@@ -1,0 +1,99 @@
+import hashlib
+
+from pholcus_spark.keys import (
+    absolutize,
+    canonicalize_url,
+    host_of,
+    key_bucket,
+    reference_md5_key,
+    request_key,
+)
+
+
+def test_canonicalize_lowercases_and_sorts_query():
+    u = "HTTP://H001.Test:80/p/1?b=2&a=1#frag"
+    assert canonicalize_url(u) == "http://h001.test/p/1?a=1&b=2"
+
+
+def test_canonicalize_keeps_nondefault_port_and_blank_values():
+    assert canonicalize_url("http://x.test:8080/?z=&a=1") == (
+        "http://x.test:8080/?a=1&z="
+    )
+
+
+def test_canonicalize_empty_path():
+    assert canonicalize_url("http://x.test") == "http://x.test/"
+
+
+def test_host_of():
+    assert host_of("https://A.B.test:443/x") == "a.b.test"
+    assert host_of("not a url") == ""
+
+
+def test_absolutize():
+    assert absolutize("http://h.test/a/b", "c") == "http://h.test/a/c"
+    assert absolutize("http://h.test/a/", "/z") == "http://h.test/z"
+    assert absolutize("http://h.test/", "http://other.test/q") == "http://other.test/q"
+
+
+def test_request_key_includes_rule_and_method():
+    # same URL under two rules → two distinct keys (request.go:139-145)
+    k1 = request_key("sp", "list", "http://h.test/p/1")
+    k2 = request_key("sp", "detail", "http://h.test/p/1")
+    k3 = request_key("sp", "list", "http://h.test/p/1", "POST")
+    assert len({k1, k2, k3}) == 3
+    assert len(k1) == 40  # sha1 hex
+
+
+def test_request_key_canonicalization_collapses_equivalent_urls():
+    k1 = request_key("sp", "list", "http://H.test/p/1?b=2&a=1")
+    k2 = request_key("sp", "list", "http://h.test:80/p/1?a=1&b=2#x")
+    assert k1 == k2
+
+
+def test_reference_md5_key_pins_reference_behavior():
+    # exact composition of the reference key (request.go:139-145)
+    expect = hashlib.md5(b"splisthttp://h.test/p/1GET").hexdigest()
+    assert reference_md5_key("sp", "list", "http://h.test/p/1") == expect
+    # reference does NOT sort query keys → different keys
+    a = reference_md5_key("sp", "list", "http://h.test/?b=2&a=1")
+    b = reference_md5_key("sp", "list", "http://h.test/?a=1&b=2")
+    assert a != b
+
+
+def test_key_bucket_range():
+    k = request_key("sp", "list", "http://h.test/p/1")
+    b = key_bucket(k, 64)
+    assert 0 <= b < 64
+
+
+def test_spark_column_key_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.keys import (
+        canonicalize_url_udf,
+        host_of_udf,
+        key_bucket_col,
+        request_key_col,
+    )
+
+    rows = [
+        ("sp", "list", "http://H001.test:80/p/1?b=2&a=1", "get"),
+        ("sp", "detail", "https://h002.test/x", "POST"),
+        ("other", "list", "http://h003.test/?q=%20x", "GET"),
+    ]
+    df = spark.createDataFrame(rows, "spider string, rule string, url string, method string")
+    out = (
+        df.withColumn("canon", canonicalize_url_udf("url"))
+        .withColumn("host", host_of_udf("url"))
+        .withColumn(
+            "key", request_key_col(F.col("spider"), F.col("rule"), F.col("canon"), F.col("method"))
+        )
+        .withColumn("bucket", key_bucket_col(F.col("key"), F.lit(64)))
+        .collect()
+    )
+    for r in out:
+        assert r.canon == canonicalize_url(r.url)
+        assert r.host == host_of(r.url)
+        assert r.key == request_key(r.spider, r.rule, r.url, r.method)
+        assert r.bucket == key_bucket(r.key, 64)
