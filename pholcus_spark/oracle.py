@@ -1,0 +1,306 @@
+"""Pure-Python single-threaded reference oracle.
+
+Re-implements, without Spark, exactly the scheduling semantics of the
+reference's ``app/scheduler/matrix.go`` (read line-by-line; citations
+below), extended with the north rule's politeness-budgeted waves. It
+produces the golden pull order, final URL-seen membership, item rows,
+fetched-image set and per-superstep metrics that the Spark engine's
+conformance tests assert against (FIXTURES.md §5).
+
+Pinned reference semantics:
+
+* Push dedup: non-reloadable requests dropped when their key is in the
+  success history or temp history; temp inserted otherwise
+  (``matrix.go:81-86,241-255``).
+* Limit guard: ``maxPage`` starts at ``-limit`` and every accepted push
+  (seeds AND requeued failures included) increments it; pushes are
+  refused once ``maxPage >= 0`` (``matrix.go:59-61,97``).
+* Pull order: highest priority bucket first, FIFO within a bucket
+  (``matrix.go:101-124``) — realized here as (priority desc, seq asc)
+  within each politeness wave.
+* DoHistory: on success, non-reloadable keys enter the success history
+  (reloadable successes do NOT — ``matrix.go:144-154``); temp entry is
+  deleted either way for non-reloadable.
+* Failure-requeue-once: first failure is stashed; when the queue drains,
+  each stashed request is re-pushed exactly once (its map slot is set to
+  a nil sentinel so a second failure goes to the permanent failure
+  history) (``matrix.go:160-204``).
+
+North-rule extensions (absent in the reference — SURVEY.md §2.3):
+robots disallow-prefix filtering at push, and per-host crawl-delay wave
+budgets ``max(1, wave_window_ms // crawl_delay_ms)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+
+from .keys import canonicalize_url, host_of, request_key
+from .spiderspec import SpiderSpec, apply_keyin, fanout_spider_name, parse_keyins
+
+
+@dataclasses.dataclass
+class OracleConfig:
+    wave_window_ms: int = 1500
+    default_crawl_delay_ms: int = 375  # 1.25 × reference Pausetime 300 ms
+    requeue_failures: bool = True
+
+
+@dataclasses.dataclass
+class Req:
+    spider: str
+    rule: str
+    url: str  # canonical
+    host: str
+    method: str
+    priority: int
+    seq: int
+    depth: int
+    parent_url: str | None
+    key: str
+    tries: int = 0
+    retried: bool = False
+    reloadable: bool = False
+    temp: dict | None = None  # carry-along (request.go Temp)
+
+
+@dataclasses.dataclass
+class OracleResult:
+    seen: set[str]  # final success-history keys
+    order: list[dict]  # spider, key, url, superstep, wave_pos, priority, seq
+    items: list[dict]  # rule, url, parent_url, data
+    images: list[dict]  # image_id, caption, url
+    failed_final: list[str]  # keys in permanent failure history
+    metrics: list[dict]  # per-superstep fetched/deduped/parsed/failed
+    dropped_robots: int
+    dropped_limit: int
+    dropped_dup: int
+
+
+def crawl(
+    pages_by_url: dict[str, dict],
+    images_by_id: dict[str, dict],
+    seeds: list[dict],
+    robots: list[dict],
+    spec: SpiderSpec,
+    config: OracleConfig | None = None,
+) -> OracleResult:
+    config = config or OracleConfig()
+    robots_by_host = {r["host"]: r for r in robots}
+
+    def budget(host: str) -> int:
+        delay = robots_by_host.get(host, {}).get(
+            "crawl_delay_ms", config.default_crawl_delay_ms
+        ) or config.default_crawl_delay_ms
+        return max(1, config.wave_window_ms // int(delay))
+
+    def robots_allows(host: str, url: str) -> bool:
+        prefixes = robots_by_host.get(host, {}).get("disallow_prefixes") or []
+        from urllib.parse import urlsplit
+
+        path = urlsplit(url).path
+        return not any(path.startswith(p) for p in prefixes)
+
+    seen: set[str] = set()
+    temp: set[str] = set()
+    queued: list[Req] = []
+    failures: dict[str, Req | None] = {}
+    failed_final: list[str] = []
+    order: list[dict] = []
+    items: list[dict] = []
+    images: list[dict] = []
+    metrics: list[dict] = []
+    next_seq = 0
+    # maxPage semantics: starts at -limit, each accepted push increments;
+    # refused once >= 0 (matrix.go:59-61,97)
+    max_page = -spec.limit if spec.limit is not None else None
+    dropped = {"robots": 0, "limit": 0, "dup": 0}
+
+    def push(req: Req) -> bool:
+        nonlocal next_seq, max_page
+        if not robots_allows(req.host, req.url):
+            dropped["robots"] += 1
+            return False
+        if max_page is not None and max_page >= 0:
+            dropped["limit"] += 1
+            return False
+        if not req.reloadable:
+            if req.key in seen or req.key in temp:
+                dropped["dup"] += 1
+                return False
+            temp.add(req.key)
+        req.seq = next_seq
+        next_seq += 1
+        queued.append(req)
+        if max_page is not None:
+            max_page += 1
+        return True
+
+    # seeds (keyin fan-out: one spider clone per token, spiderqueue.go:56-90)
+    for s in seeds:
+        keyins = parse_keyins(s.get("keyin", "") or "") or [""]
+        for k in keyins:
+            spider = fanout_spider_name(s["spider"], k)
+            url = canonicalize_url(apply_keyin(s["url"], k))
+            push(
+                Req(
+                    spider=spider,
+                    rule=s["rule"],
+                    url=url,
+                    host=host_of(url),
+                    method="GET",
+                    priority=s.get("priority", 0),
+                    seq=-1,
+                    depth=0,
+                    parent_url=None,
+                    key=request_key(spider, s["rule"], url),
+                    reloadable=url in spec.reloadable_urls,
+                )
+            )
+
+    superstep = 0
+    while True:
+        if not queued:
+            pending = [r for r in failures.values() if r is not None]
+            if pending and config.requeue_failures:
+                # failure-requeue-once (matrix.go:186-202): nil the slot,
+                # then re-Push through the normal push path — so history
+                # dedup and the limit guard re-apply, and priority is kept
+                for r in sorted(pending, key=lambda x: x.seq):
+                    failures[r.key] = None
+                    r.retried = True
+                    push(r)
+                if not queued:
+                    break
+            else:
+                break
+        superstep += 1
+        queued.sort(key=lambda r: (-r.priority, r.seq))
+        wave: list[Req] = []
+        rest: list[Req] = []
+        host_used: dict[str, int] = defaultdict(int)
+        for r in queued:
+            if host_used[r.host] < budget(r.host):
+                host_used[r.host] += 1
+                wave.append(r)
+            else:
+                rest.append(r)
+        queued = rest
+        fetched = failed = parsed = emitted = 0
+
+        for pos, req in enumerate(wave):
+            order.append(
+                {
+                    "spider": req.spider,
+                    "key": req.key,
+                    "url": req.url,
+                    "superstep": superstep,
+                    "wave_pos": pos,
+                    "priority": req.priority,
+                    "seq": req.seq,
+                }
+            )
+            page = pages_by_url.get(req.url)
+            ok = (
+                page is not None
+                and page["status"] < 400
+                and not (page.get("flaky") and req.tries == 0)
+            )
+            req.tries += 1
+            if not req.reloadable:
+                temp.discard(req.key)
+            if ok:
+                fetched += 1
+                if not req.reloadable:
+                    seen.add(req.key)
+                if req.rule == spec.image_rule:
+                    image_id = (page.get("image_refs") or [None])[0]
+                    images.append(
+                        {
+                            "image_id": image_id,
+                            "caption": (req.temp or {}).get("caption"),
+                            "url": req.url,
+                        }
+                    )
+                    continue
+                parsed += 1
+                depth_ok = spec.max_depth is None or req.depth < spec.max_depth
+                img_refs = page.get("image_refs") or []
+                out_links = page.get("out_links") or []
+                # items first (ctx.Output before AddQueue ordering doesn't
+                # affect goldens; items only from item_rules)
+                if req.rule in spec.item_rules:
+                    for image_id in img_refs:
+                        img = images_by_id.get(image_id, {})
+                        items.append(
+                            {
+                                "rule": req.rule,
+                                "url": req.url,
+                                "parent_url": req.parent_url,
+                                "data": {
+                                    "image_id": image_id,
+                                    "caption": img.get("caption", ""),
+                                },
+                            }
+                        )
+                        emitted += 1
+                if depth_ok:
+                    img_link_caption = {}
+                    if img_refs:
+                        for image_id, link in zip(img_refs, out_links):
+                            img_link_caption[canonicalize_url(link)] = {
+                                "caption": images_by_id.get(image_id, {}).get(
+                                    "caption", ""
+                                ),
+                                "image_id": image_id,
+                            }
+                    for link in out_links:
+                        canon = canonicalize_url(link)
+                        routed = spec.route(canon)
+                        if routed is None:
+                            continue
+                        child_rule, child_prio = routed
+                        child = Req(
+                            spider=req.spider,
+                            rule=child_rule,
+                            url=canon,
+                            host=host_of(canon),
+                            method="GET",
+                            priority=child_prio,
+                            seq=-1,
+                            depth=req.depth + 1,
+                            parent_url=req.url,
+                            key=request_key(req.spider, child_rule, canon),
+                            reloadable=canon in spec.reloadable_urls,
+                            temp=img_link_caption.get(canon),
+                        )
+                        push(child)
+            else:
+                failed += 1
+                if req.key in failures:  # second failure → permanent
+                    failed_final.append(req.key)
+                else:
+                    failures[req.key] = req
+        metrics.append(
+            {
+                "superstep": superstep,
+                "fetched": fetched,
+                "failed": failed,
+                "parsed": parsed,
+                "items": emitted,
+                "wave_size": len(wave),
+            }
+        )
+
+    return OracleResult(
+        seen=seen,
+        order=order,
+        items=items,
+        images=images,
+        failed_final=failed_final,
+        metrics=metrics,
+        dropped_robots=dropped["robots"],
+        dropped_limit=dropped["limit"],
+        dropped_dup=dropped["dup"],
+    )
