@@ -1,0 +1,638 @@
+"""The superstep crawl engine — Spark realization of the reference's
+crawler loop (`app/crawler/crawler.go:85-174`) as a deterministic
+batch-iterative dataflow (SURVEY.md §3.2/§7.0).
+
+Each superstep:
+
+1. **wave select** — politeness-budgeted top-k per host from the queued
+   frontier: ``row_number() over (partition by host order by priority
+   desc, seq asc) <= budget(host)`` (reference pull order
+   `matrix.go:101-124`; budgets are the north-rule crawl-delay
+   extension). The *global* rank (wave_pos) is computed only over the
+   selected wave (hosts × budget rows), never over the whole frontier —
+   the per-host window is the only frontier-wide shuffle and it
+   partitions by host.
+2. **fetch** — batched fetcher (fixture equi-join / aiohttp mapInPandas).
+3. **extract** — Arrow-vectorized link + figure extraction (extract.py),
+   image validation (validate.py).
+4. **emit** — items and validated image rows appended.
+5. **push** — children: absolutize→canonicalize→route→robots-filter→
+   SHA-1 key→within-batch dedup (first (wave_pos, ordinal) wins)→
+   anti-join vs url_seen ∪ still-queued keys→limit cutoff→dense seq
+   assignment (`matrix.go:51-98` Push semantics).
+6. **ack** — succeeded keys appended to url_seen (non-reloadable only,
+   `matrix.go:144-154`); failures become failed_wait rows; a failure
+   whose key already sits in the failure store is recorded permanently
+   (`matrix.go:160-168`); when the queue drains, failed_wait rows are
+   re-pushed exactly once (`matrix.go:186-202`).
+7. **commit** — one catalog snapshot per superstep = the resume point.
+
+Within-wave dedup subtlety (pinned by the oracle): the reference
+processes a wave sequentially, deleting each request's temp-history
+entry as it goes. A child whose key equals a wave member that *failed*
+at position j is therefore accepted only when emitted by a parent at
+position i > j (temp already deleted, no success recorded); children
+matching *successful* wave members are always dropped (temp before,
+success history after). The engine reproduces this with a join against
+failed-wave positions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import SnapshotCatalog
+from .keys import (
+    canonicalize_url,
+    canonicalize_url_udf,
+    host_of,
+    host_of_udf,
+    key_bucket_col,
+    request_key,
+    request_key_col,
+)
+from .spiderspec import SpiderSpec, apply_keyin, fanout_spider_name, parse_keyins
+
+FRONTIER_DDL = (
+    "key string, spider string, rule string, url string, host string, "
+    "method string, priority int, seq long, depth int, parent_url string, "
+    "tries int, retried boolean, reloadable boolean, caption string, "
+    "image_id string, state string"
+)
+URL_SEEN_DDL = "key string, bucket int"
+ORDER_DDL = "spider string, key string, url string, superstep int, wave_pos int, priority int, seq long"
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    wave_window_ms: int = 1500
+    default_crawl_delay_ms: int = 375  # 1.25 × reference Pausetime 300 ms
+    requeue_failures: bool = True
+    num_buckets: int = 64  # url_seen bucketing (10^10 scale → 1024+)
+    record_order: bool = True  # golden-order table (tests); off for bench
+    bloom_enabled: bool = True
+    bloom_fpp: float = 0.01
+    compact_every: int = 0  # url_seen compaction interval (0 = off)
+    # file sizing: waves are bounded (hosts × budget), so per-superstep
+    # append deltas are written with few partitions to keep task-scheduling
+    # overhead and small-file count down; scale with expected wave size
+    append_partitions: int = 2
+    frontier_partitions: int = 8
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        fetcher,
+        spec: SpiderSpec,
+        robots: DataFrame | None,
+        config: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.fetcher = fetcher
+        self.spec = spec
+        self.config = config or EngineConfig()
+        if robots is None:
+            robots = spark.createDataFrame(
+                [], "host string, disallow_prefixes array<string>, crawl_delay_ms long"
+            )
+        self.robots = robots.select("host", "disallow_prefixes", "crawl_delay_ms")
+        self._bloom = None  # lazily built per-bucket filters (bloom.py)
+
+    # ------------------------------------------------------------------
+    # seeding
+    # ------------------------------------------------------------------
+
+    def seed(self, seeds: list[dict]) -> None:
+        """Initialize snapshot 0 from the seed list (keyin fan-out per
+        `spiderqueue.go:56-90`; push dedup/limit/robots apply). Seed lists
+        are driver-scale by definition — this is plain Python."""
+        robots_rows = {r["host"]: r.asDict() for r in self.robots.collect()}
+        seen_keys: set[str] = set()
+        rows = []
+        next_seq = 0
+        limit = self.spec.limit
+        max_page = -limit if limit is not None else None
+        for s in seeds:
+            for k in parse_keyins(s.get("keyin", "") or "") or [""]:
+                spider = fanout_spider_name(s["spider"], k)
+                url = canonicalize_url(apply_keyin(s["url"], k))
+                host = host_of(url)
+                if not self._robots_allow_py(robots_rows.get(host), url):
+                    continue
+                if max_page is not None and max_page >= 0:
+                    continue
+                key = request_key(spider, s["rule"], url)
+                reloadable = url in self.spec.reloadable_urls
+                if not reloadable and key in seen_keys:
+                    continue
+                seen_keys.add(key)
+                rows.append(
+                    (
+                        key, spider, s["rule"], url, host, "GET",
+                        int(s.get("priority", 0)), next_seq, 0, None,
+                        0, False, reloadable, None, None, "queued",
+                    )
+                )
+                next_seq += 1
+                if max_page is not None:
+                    max_page += 1
+        frontier = self.spark.createDataFrame(rows, FRONTIER_DDL)
+        state = {
+            "superstep": 0,
+            "next_seq": next_seq,
+            "max_page": max_page,
+            "queued_count": len(rows),
+            "failed_wait_count": 0,
+            "stopped": False,
+            "totals": {"fetched": 0, "failed": 0, "items": 0, "images": 0},
+        }
+        self.catalog.commit({}, {"frontier": frontier}, state)
+
+    @staticmethod
+    def _robots_allow_py(robot_row: dict | None, url: str) -> bool:
+        if not robot_row:
+            return True
+        from urllib.parse import urlsplit
+
+        path = urlsplit(url).path
+        return not any(
+            path.startswith(p) for p in (robot_row.get("disallow_prefixes") or [])
+        )
+
+    # ------------------------------------------------------------------
+    # superstep loop
+    # ------------------------------------------------------------------
+
+    def run(self, max_supersteps: int | None = None) -> dict[str, Any]:
+        while True:
+            state = self.catalog.state()
+            if state["stopped"]:
+                break
+            if max_supersteps is not None and state["superstep"] >= max_supersteps:
+                break
+            self.superstep()
+        return self.catalog.state()
+
+    def superstep(self) -> int:
+        """Run one wave. Returns the wave size (0 = terminated)."""
+        state = dict(self.catalog.state())
+        frontier = self.catalog.read("frontier")
+
+        if state["queued_count"] == 0:
+            if state["failed_wait_count"] > 0 and self.config.requeue_failures:
+                self._requeue_failures(state, frontier)
+                return self.superstep() if not state.get("stopped") else 0
+            state["stopped"] = True
+            self.catalog.commit({}, {"frontier": frontier}, state)
+            return 0
+
+        cfg = self.config
+        t0 = time.time()
+        superstep = state["superstep"] + 1
+        queued = frontier.where(F.col("state") == "queued")
+        others = frontier.where(F.col("state") != "queued")
+
+        # -- 1. wave selection (politeness budgets) ----------------------
+        budget = F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(cfg.wave_window_ms)
+                / F.coalesce(F.col("crawl_delay_ms"), F.lit(cfg.default_crawl_delay_ms))
+            ),
+        ).cast("int")
+        by_host = Window.partitionBy("host").orderBy(
+            F.desc("priority"), F.asc("seq")
+        )
+        ranked = (
+            queued.join(F.broadcast(self.robots.select("host", "crawl_delay_ms")), "host", "left")
+            .withColumn("_budget", budget)
+            .withColumn("_host_rank", F.row_number().over(by_host))
+        )
+        wave = ranked.where(F.col("_host_rank") <= F.col("_budget")).drop(
+            "crawl_delay_ms", "_budget", "_host_rank"
+        )
+        rest = ranked.where(F.col("_host_rank") > F.col("_budget")).drop(
+            "crawl_delay_ms", "_budget", "_host_rank"
+        )
+        # global order only over the (small) selected wave
+        wave = wave.withColumn(
+            "wave_pos",
+            F.row_number().over(Window.orderBy(F.desc("priority"), F.asc("seq"))) - 1,
+        )
+
+        # -- 2. fetch -----------------------------------------------------
+        fetched = self.fetcher.fetch(wave).persist()
+        ok = fetched.where(F.col("ok"))
+        failed = fetched.where(~F.col("ok"))
+
+        # -- 3/4. extract + emit -------------------------------------------
+        from .extract import extract_figures_udf, extract_links_udf
+        from .validate import validate_image_udf
+
+        html_ok = ok.where(F.col("rule") != self.spec.image_rule)
+        parsed = (
+            html_ok.withColumn(
+                "out_links", extract_links_udf("body", "content_type", "url")
+            )
+            .withColumn("figures", extract_figures_udf("body", "content_type", "url"))
+            .persist()
+        )
+
+        items = (
+            parsed.where(F.col("rule").isin(list(self.spec.item_rules)))
+            .select(
+                "spider",
+                "rule",
+                "url",
+                F.col("parent_url"),
+                F.explode("figures").alias("fig"),
+            )
+            .select(
+                "spider",
+                "rule",
+                "url",
+                "parent_url",
+                F.create_map(
+                    F.lit("image_id"),
+                    F.regexp_extract(F.col("fig.src"), r"/img/(.+)\.(png|jpe?g)$", 1),
+                    F.lit("caption"),
+                    F.col("fig.caption"),
+                ).alias("data"),
+            )
+            .withColumn("superstep", F.lit(superstep))
+        )
+
+        image_ok = ok.where(F.col("rule") == self.spec.image_rule)
+        images = (
+            image_ok.withColumn(
+                "val", validate_image_udf("body", "content_type", "url")
+            )
+            .select(
+                F.coalesce(
+                    F.col("image_id"),
+                    F.regexp_extract("url", r"/img/(.+)\.(png|jpe?g)$", 1),
+                ).alias("image_id"),
+                F.col("body").alias("bytes"),
+                F.col("val.w").alias("w"),
+                F.col("val.h").alias("h"),
+                F.when(F.col("content_type").contains("jpeg"), "jpeg")
+                .otherwise("png")
+                .alias("fmt"),
+                F.coalesce(F.col("caption"), F.lit("")).alias("caption"),
+                F.col("val.phash").alias("phash"),
+                F.col("val.ok").alias("valid"),
+                F.col("val.error").alias("error"),
+                F.col("url"),
+                F.col("parent_url"),
+            )
+            .withColumn("superstep", F.lit(superstep))
+        )
+
+        # -- 5. children push ----------------------------------------------
+        children = self._emit_children(parsed, superstep)
+        # dedup (matrix.go:81-86 hasHistory = success-history ∪ temp-history):
+        #   in-run keys (this wave's successes + still-queued) are small and
+        #   checked with a plain anti-join; the historical url_seen — the
+        #   10^10-scale side — goes through the Bloom pre-filter so the
+        #   exact anti-join only sees probable-hit candidates (FPR-sized).
+        seen_old = self.catalog.read("url_seen")
+        new_seen = ok.where(~F.col("reloadable")).select("key")
+        in_run_keys = new_seen.union(rest.select("key")).distinct()
+        non_reload = children.where(~F.col("reloadable")).join(
+            in_run_keys, "key", "left_anti"
+        )
+        if seen_old is not None:
+            if self.config.bloom_enabled:
+                non_reload = self._anti_join_seen_with_bloom(non_reload, seen_old)
+            else:
+                non_reload = non_reload.join(
+                    seen_old.select("key"), "key", "left_anti"
+                )
+        # reloadable children skip every dedup check (request.go:270-277)
+        kept = non_reload.unionByName(children.where(F.col("reloadable")))
+        # failed-wave-position rule (see module docstring); reloadable exempt
+        failed_pos = failed.select(
+            F.col("key").alias("_fkey"), F.col("wave_pos").alias("_fpos")
+        )
+        kept = (
+            kept.join(failed_pos, kept["key"] == failed_pos["_fkey"], "left")
+            .where(
+                F.col("reloadable")
+                | F.col("_fkey").isNull()
+                | (F.col("wave_pos") > F.col("_fpos"))
+            )
+            .drop("_fkey", "_fpos")
+        )
+        # within-batch dedup: first (wave_pos, ordinal) wins (non-reloadable)
+        by_key = Window.partitionBy("key").orderBy("wave_pos", "ordinal")
+        kept = kept.withColumn("_rn", F.row_number().over(by_key)).where(
+            F.col("reloadable") | (F.col("_rn") == 1)
+        ).drop("_rn")
+        # limit guard cutoff in push order (matrix.go:59-61,97)
+        push_order = Window.orderBy("wave_pos", "ordinal")
+        kept = kept.withColumn("_push_rank", F.row_number().over(push_order))
+        if state["max_page"] is not None:
+            allowed = max(0, -state["max_page"])
+            kept = kept.where(F.col("_push_rank") <= allowed)
+        kept = kept.persist()
+        new_rows = kept.select(
+            "key", "spider", "rule",
+            F.col("curl").alias("url"), "host",
+            F.lit("GET").alias("method"), "priority",
+            (F.lit(state["next_seq"]) + F.col("_push_rank") - 1).alias("seq"),
+            "depth", "parent_url",
+            F.lit(0).alias("tries"), F.lit(False).alias("retried"),
+            "reloadable", "caption", "image_id",
+            F.lit("queued").alias("state"),
+        )
+
+        # -- 6. ack / failure state machine --------------------------------
+        fail_store_keys = others.where(
+            F.col("state").isin("failed_wait", "failed_nil")
+        ).select(F.col("key").alias("_sk"))
+        failed2 = failed.join(
+            fail_store_keys, failed["key"] == fail_store_keys["_sk"], "left"
+        )
+        perm_failed = failed2.where(F.col("_sk").isNotNull()).select(
+            "key", "spider", "rule", "url",
+            F.lit(superstep).alias("superstep"),
+        )
+        new_failed_wait = failed2.where(F.col("_sk").isNull()).select(
+            "key", "spider", "rule", "url", "host", "method", "priority", "seq",
+            "depth", "parent_url",
+            (F.col("tries") + 1).alias("tries"), "retried", "reloadable",
+            "caption", "image_id",
+            F.lit("failed_wait").alias("state"),
+        )
+
+        # -- counts: ONE job over the persisted branches ---------------------
+        tag = lambda df, t: df.select(F.lit(t).alias("t"))  # noqa: E731
+        counts = dict(
+            (r.t, r.n)
+            for r in tag(fetched, "wave")
+            .union(tag(ok, "ok"))
+            .union(tag(items, "items"))
+            .union(tag(images, "images"))
+            .union(tag(perm_failed, "perm"))
+            .union(tag(kept, "children"))
+            .groupBy("t")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        wave_size = counts.get("wave", 0)
+        n_ok = counts.get("ok", 0)
+        n_failed = wave_size - n_ok
+        n_perm_failed = counts.get("perm", 0)
+        n_items = counts.get("items", 0)
+        n_images = counts.get("images", 0)
+        n_children = counts.get("children", 0)
+
+        # -- lineage: per-host (the crawl's natural partition) --------------
+        lineage = (
+            fetched.groupBy("host")
+            .agg(
+                F.count("*").alias("fetched"),
+                F.sum(F.col("ok").cast("int")).alias("succeeded"),
+            )
+            .withColumn("superstep", F.lit(superstep))
+        )
+        metrics = self.spark.createDataFrame(
+            [
+                (
+                    superstep, wave_size, n_ok, n_failed, n_perm_failed,
+                    n_items, n_images, n_children,
+                    float(time.time() - t0),
+                )
+            ],
+            "superstep int, wave_size long, fetched long, failed long, "
+            "failed_final long, items long, images long, children long, "
+            "seconds double",
+        )
+
+        # -- 7. commit -------------------------------------------------------
+        new_frontier = (
+            rest.select(*[c for c in rest.columns])
+            .unionByName(others)
+            .unionByName(new_rows)
+            .unionByName(new_failed_wait)
+        )
+        appends = {
+            "url_seen": new_seen.withColumn(
+                "bucket", key_bucket_col(F.col("key"), self.config.num_buckets)
+            ),
+            "items": items,
+            "images": images,
+            "metrics": metrics,
+            "lineage": lineage,
+            "failures_final": perm_failed,
+        }
+        if self.config.record_order:
+            appends["order"] = wave.select(
+                "spider", "key", "url",
+                F.lit(superstep).alias("superstep"),
+                F.col("wave_pos").cast("int"),
+                "priority", "seq",
+            )
+        state.update(
+            superstep=superstep,
+            next_seq=state["next_seq"] + n_children,
+            max_page=(
+                state["max_page"] + n_children
+                if state["max_page"] is not None
+                else None
+            ),
+            queued_count=state["queued_count"] - wave_size + n_children,
+            failed_wait_count=state["failed_wait_count"]
+            + (n_failed - n_perm_failed),
+        )
+        state["totals"]["fetched"] += n_ok
+        state["totals"]["failed"] += n_failed
+        state["totals"]["items"] += n_items
+        state["totals"]["images"] += n_images
+        ap = self.config.append_partitions
+        appends = {k: v.coalesce(ap) for k, v in appends.items()}
+        self.catalog.commit(
+            appends,
+            {"frontier": new_frontier.coalesce(self.config.frontier_partitions)},
+            state,
+        )
+        if self._bloom is not None:
+            # fold this superstep's appended keys into the sidecar
+            from . import bloom as _bloom
+
+            self._bloom = _bloom.add_keys(self._bloom, appends["url_seen"])
+        if (
+            self.config.compact_every
+            and superstep % self.config.compact_every == 0
+        ):
+            self.catalog.compact("url_seen")
+            self._bloom = None  # rebuilt over the compacted table
+        fetched.unpersist()
+        parsed.unpersist()
+        kept.unpersist()
+        return wave_size
+
+    # ------------------------------------------------------------------
+
+    def _emit_children(self, parsed: DataFrame, superstep: int) -> DataFrame:
+        """Explode out-links into routed, keyed child requests."""
+        spec = self.spec
+        # children come from anchors AND embedded image srcs — the reference
+        # enqueues file downloads from img srcs via ctx.AddQueue just like
+        # page links (context.go:104-125, FileOutput path :247-284)
+        links = parsed.select(
+            "spider",
+            F.col("url").alias("parent_url"),
+            "depth",
+            "wave_pos",
+            F.posexplode(
+                F.concat(
+                    F.col("out_links"),
+                    F.transform(F.col("figures"), lambda f: f["src"]),
+                )
+            ).alias("ordinal", "raw_link"),
+        )
+        if spec.max_depth is not None:
+            links = links.where(F.col("depth") < spec.max_depth)
+        links = links.withColumn("curl", canonicalize_url_udf("raw_link")).withColumn(
+            "host", host_of_udf("curl")
+        )
+        # route: first matching pattern wins (spiderspec order) — a chained
+        # CASE WHEN stays JVM-side in whole-stage codegen
+        rule_col = F.lit(None).cast("string")
+        prio_col = F.lit(None).cast("int")
+        for lr in reversed(spec.link_rules):
+            cond = F.col("curl").contains(lr.pattern)
+            rule_col = F.when(cond, F.lit(lr.rule)).otherwise(rule_col)
+            prio_col = F.when(cond, F.lit(lr.priority)).otherwise(prio_col)
+        links = (
+            links.withColumn("rule", rule_col)
+            .withColumn("priority", prio_col)
+            .where(F.col("rule").isNotNull())
+        )
+        # robots disallow filter (north-rule extension): broadcast dim join
+        links = (
+            links.join(
+                F.broadcast(self.robots.select("host", "disallow_prefixes")),
+                "host",
+                "left",
+            )
+            .withColumn("_path", F.parse_url(F.col("curl"), F.lit("PATH")))
+            .where(
+                F.col("disallow_prefixes").isNull()
+                | ~F.exists(
+                    "disallow_prefixes",
+                    lambda p: F.col("_path").startswith(p),
+                )
+            )
+            .drop("disallow_prefixes", "_path")
+        )
+        # temp caption carry for image children (request Temp, temp.go:11-44)
+        figs = (
+            parsed.select(
+                F.col("url").alias("fparent"), F.explode("figures").alias("fig")
+            )
+            .select(
+                "fparent",
+                canonicalize_url_udf(F.col("fig.src")).alias("fsrc"),
+                F.col("fig.caption").alias("caption"),
+                F.regexp_extract(
+                    F.col("fig.src"), r"/img/(.+)\.(png|jpe?g)$", 1
+                ).alias("image_id"),
+            )
+            .dropDuplicates(["fparent", "fsrc"])
+        )
+        links = links.join(
+            figs,
+            (links["parent_url"] == figs["fparent"]) & (links["curl"] == figs["fsrc"]),
+            "left",
+        ).drop("fparent", "fsrc")
+        reload_list = list(spec.reloadable_urls)
+        links = links.withColumn(
+            "reloadable",
+            F.col("curl").isin(reload_list) if reload_list else F.lit(False),
+        )
+        links = links.withColumn(
+            "key",
+            request_key_col(
+                F.col("spider"), F.col("rule"), F.col("curl"), F.lit("GET")
+            ),
+        ).withColumn("depth", F.col("depth") + 1)
+        return links
+
+    def _anti_join_seen_with_bloom(
+        self, candidates: DataFrame, seen_old: DataFrame
+    ) -> DataFrame:
+        """Dedup vs the historical url_seen with a Bloom pre-pass.
+
+        Probe the partitioned Bloom sidecars (broadcast, executor-side,
+        vectorized): definitely-unseen rows pass through with NO exact
+        join at all; probable hits (candidates × FPR + true dups) go to
+        the exact left-anti join. At 10^10 keys this is what keeps the
+        per-superstep dedup O(wave) instead of O(seen) (SURVEY.md §7.3).
+
+        The sidecar is built incrementally: stale filters are refreshed
+        from url_seen deltas on read (bloom.py), fully rebuilt at
+        compaction.
+        """
+        from . import bloom
+
+        if self._bloom is None:
+            self._bloom = bloom.build_partitioned(
+                seen_old, self.config.num_buckets, self.config.bloom_fpp
+            )
+        probed = bloom.probe(self.spark, candidates, self._bloom, "key")
+        fresh = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+        maybe = (
+            probed.where(F.col("_maybe_seen"))
+            .drop("_maybe_seen")
+            .join(seen_old.select("key"), "key", "left_anti")
+        )
+        return fresh.unionByName(maybe)
+
+    def _requeue_failures(self, state: dict, frontier: DataFrame) -> None:
+        """failure-requeue-once at queue drain (`matrix.go:186-202`)."""
+        fw = frontier.where(F.col("state") == "failed_wait")
+        rest = frontier.where(F.col("state") != "failed_wait")
+        seen = self.catalog.read("url_seen")
+        cand = fw
+        if seen is not None:
+            cand = fw.where(F.col("reloadable")).unionByName(
+                fw.where(~F.col("reloadable")).join(
+                    seen.select("key"), "key", "left_anti"
+                )
+            )
+        order = Window.orderBy("seq")
+        cand = cand.withColumn("_rank", F.row_number().over(order))
+        if state["max_page"] is not None:
+            cand = cand.where(F.col("_rank") <= max(0, -state["max_page"]))
+        requeued = cand.select(
+            "key", "spider", "rule", "url", "host", "method", "priority",
+            (F.lit(state["next_seq"]) + F.col("_rank") - 1).alias("seq"),
+            "depth", "parent_url", "tries",
+            F.lit(True).alias("retried"), "reloadable", "caption", "image_id",
+            F.lit("queued").alias("state"),
+        ).persist()
+        n = requeued.count()
+        nils = fw.withColumn("state", F.lit("failed_nil"))
+        new_frontier = rest.unionByName(nils).unionByName(requeued)
+        state.update(
+            next_seq=state["next_seq"] + n,
+            max_page=(state["max_page"] + n if state["max_page"] is not None else None),
+            queued_count=n,
+            failed_wait_count=0,
+        )
+        if n == 0:
+            state["stopped"] = True
+        self.catalog.commit({}, {"frontier": new_frontier}, state)
+        requeued.unpersist()

@@ -1,0 +1,129 @@
+"""Batched fetch stage — the Spark replacement for the reference's
+downloader (`app/downloader/downloader_surfer.go:35-74`, Surf HTTP
+`app/downloader/surfer/surf.go:52-197`).
+
+Two interchangeable implementations behind one interface (SURVEY.md
+§7.3: the fetch stage must be cleanly swappable because tests run with
+no network):
+
+* :class:`FixtureFetcher` — deterministic equi-join against the fixture
+  ``pages`` table. Flaky pages (fail first, succeed on retry) model the
+  transient-error path that drives the reference's
+  failure-requeue-once (`matrix.go:144-204`); missing URLs and
+  status>=400 model the permanent path (`downloader_surfer.go:67-69`).
+* :class:`HttpFetcher` — an ``aiohttp``-based ``mapInPandas`` batch
+  fetcher for production clusters. Gated behind an import-try; this
+  container has no aiohttp and tests never touch the network.
+
+Both return the wave DataFrame extended with
+``status int, content_type string, body binary, ok boolean``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class FixtureFetcher:
+    """Fetch = left equi-join on canonical URL against the pages fixture.
+
+    The join is the 'scan of the web' (SURVEY.md §2.1). The pages side
+    is pre-repartitioned on url so repeated waves reuse a stable
+    shuffle; at bench scale AQE handles the skewed hot host.
+    """
+
+    def __init__(self, pages: DataFrame):
+        # keep only fetch-relevant columns; canonical url join key
+        self.pages = pages.select(
+            F.col("url").alias("_page_url"),
+            "status",
+            "flaky",
+            "content_type",
+            "body",
+        )
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        joined = wave.join(
+            self.pages, wave["url"] == self.pages["_page_url"], "left"
+        ).drop("_page_url")
+        return (
+            joined.withColumn("status", F.coalesce(F.col("status"), F.lit(599)))
+            .withColumn(
+                "ok",
+                (F.col("status") < 400)
+                & ~(F.coalesce(F.col("flaky"), F.lit(False)) & (F.col("tries") == 0)),
+            )
+            .drop("flaky")
+        )
+
+
+class HttpFetcher:  # pragma: no cover - requires aiohttp + network
+    """Production fetcher: Arrow-batched async HTTP via mapInPandas.
+
+    Per-batch politeness is already enforced upstream by wave selection;
+    this stage only bounds in-flight connections per task. Timeouts and
+    bounded in-fetch retries mirror the reference's per-request
+    DialTimeout/ConnTimeout/TryTimes (`request.go:45-50`,
+    `surf.go:112-197`).
+    """
+
+    def __init__(self, timeout_s: float = 120.0, max_conn_per_task: int = 16,
+                 try_times: int = 3, retry_pause_s: float = 2.0):
+        try:
+            import aiohttp  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "HttpFetcher requires aiohttp (not installed in this "
+                "container); use FixtureFetcher for tests/benchmarks"
+            ) from e
+        self.timeout_s = timeout_s
+        self.max_conn_per_task = max_conn_per_task
+        self.try_times = try_times
+        self.retry_pause_s = retry_pause_s
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        import asyncio
+
+        timeout_s = self.timeout_s
+        max_conn = self.max_conn_per_task
+        try_times = self.try_times
+        retry_pause_s = self.retry_pause_s
+        schema = wave.schema.add("status", "int").add("content_type", "string").add(
+            "body", "binary"
+        ).add("ok", "boolean")
+
+        def run(batches):
+            import aiohttp
+            import pandas as pd
+
+            async def fetch_all(urls):
+                conn = aiohttp.TCPConnector(limit=max_conn)
+                tmo = aiohttp.ClientTimeout(total=timeout_s)
+                async with aiohttp.ClientSession(connector=conn, timeout=tmo) as s:
+                    async def one(u):
+                        for attempt in range(try_times):
+                            try:
+                                async with s.get(u) as r:
+                                    return (
+                                        r.status,
+                                        r.headers.get("content-type", ""),
+                                        await r.read(),
+                                    )
+                            except Exception:
+                                if attempt + 1 < try_times:
+                                    await asyncio.sleep(retry_pause_s)
+                        return (599, "", b"")
+
+                    return await asyncio.gather(*[one(u) for u in urls])
+
+            for pdf in batches:
+                res = asyncio.run(fetch_all(pdf["url"].tolist()))
+                pdf = pdf.copy()
+                pdf["status"] = [r[0] for r in res]
+                pdf["content_type"] = [r[1] for r in res]
+                pdf["body"] = [r[2] for r in res]
+                pdf["ok"] = pd.Series([r[0] < 400 for r in res])
+                yield pdf
+
+        return wave.mapInPandas(run, schema)

@@ -1,0 +1,238 @@
+"""Deduplication operators over the documents table — exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB (the whole point of each variant):
+
+* exact        — one hash-groupBy shuffle on a 16-byte key; AQE handles
+                 skewed boilerplate texts.
+* minhash_lsh  — signatures are a map-side transform (no shuffle);
+                 candidates come from a band-bucket self-join, so the
+                 shuffle key is the band hash, never the document —
+                 O(near-dups), not O(n²).
+* simhash      — one 64-bit value per doc; banded prefix buckets give
+                 the candidate join the same O(near-dups) profile.
+* ngram_jaccard— the exact verifier run *after* LSH candidate pruning
+                 at scale (here also runnable standalone for the oracle).
+* embedding    — cosine near-dup; brute pair join at oracle scale,
+                 LSH-bucketed in similarity.py for the scale path.
+
+Every operator is built-in-function only (JVM codegen; zero Python) and
+deterministic, with bit-exact DuckDB oracles in __spark_entry__.py.
+MinHash hash family: h_j(s) = portable_hash64(j || '|' || s).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import norm_text, portable_hash64
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) texts: fingerprint,
+    canonical (min) doc_id, group size. Only groups with >1 member."""
+    norm = norm_text(F.col("text"))
+    return (
+        docs.select(F.col("doc_id"), F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    slice() is 1-based in both Spark and DuckDB list semantics."""
+    toks = docs.select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("w")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets; pairs
+    with jaccard >= threshold (a < b)."""
+    sh = word_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """(doc_id, j, minhash): min over shingles of h_j(shingle)."""
+    sh = word_shingles(docs, n)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "j",
+        portable_hash64(
+            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+    band signature = md5 of the band's minhashes joined in j order —
+    identical construction in the DuckDB oracle (string_agg ORDER BY j).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n).withColumn(
+        "band", (F.col("j") / rows_per_band).cast("int")
+    )
+    band_sig = sig.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("minhash")))
+                    ),
+                    lambda s: F.concat(
+                        s["j"].cast("string"), F.lit(":"), s["minhash"].cast("string")
+                    ),
+                ),
+            )
+        ).alias("bsig")
+    )
+    return (
+        band_sig.alias("a")
+        .join(band_sig.alias("b"), ["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: sign-aggregate token-hash bits.
+    bit b of simhash = 1 iff sum over tokens of ±1 (by bit b of the
+    token hash) is positive."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
+    ).withColumn("h", portable_hash64(F.col("tok")))
+    per_bit = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("h"),
+    ).groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.shiftright(F.col("h"), F.col("b")).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance; candidate pruning via banded
+    prefix buckets (pigeonhole: ≤3 differing bits over 4 bands → at
+    least one identical band), then exact popcount verify."""
+    bands = max_hamming + 1
+    band_bits = bits // bands
+    sh = simhash(docs, bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.shiftright(F.col("simhash"), F.col("band") * band_bits).bitwiseAND(
+            (1 << band_bits) - 1
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.99
+) -> DataFrame:
+    """Embedding-cosine near-duplicates (a < b, cosine >= threshold).
+    Brute pair join — the oracle-scale exact variant; the LSH-bucketed
+    scale path lives in similarity.py."""
+    from .similarity import cosine_col
+
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exact baseline; one pass, no index.
+* random-hyperplane LSH ANN — the scale path: deterministic
+  pseudo-random hyperplanes (seeded from the portable hash, so the
+  DuckDB oracle reproduces the exact same buckets), sign-bit bucket
+  key, candidates only from the query's bucket (with multi-probe over
+  1-bit flips), exact re-rank inside the bucket.
+
+Dot products use F.zip_with + F.aggregate — JVM higher-order functions,
+no Python in the plan. (A Pandas-UDF/numpy variant would batch better
+for very wide vectors; at dim≈32 the built-ins win on serialization.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against one stored vector. The query row is
+    a broadcast cross join (one row), so the scan stays embarrassingly
+    parallel with no shuffle until the final top-k."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component values in
+    [-1, 1): derived from md5 so any engine reproduces them."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"plane|{plane}|{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 20001) / 10000.0 - 1.0)
+    return out
+
+
+def lsh_sign_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bucket = bucket + F.when(
+            dot_col(vec, plane) > 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dim: int = 32,
+    num_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signs, search the query's
+    bucket plus (multiprobe) all 1-bit-flip neighbor buckets, exact
+    cosine re-rank inside. Deterministic end-to-end → exact DuckDB
+    oracle possible despite being 'approximate' vs brute force."""
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_sign_bucket(F.col("embedding"), dim, num_planes)
+    )
+    qrow = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cand = bucketed.crossJoin(F.broadcast(qrow)).where(
+        F.col("vec_id") != query_vec_id
+    )
+    if multiprobe:
+        probe = F.col("bucket").bitwiseXOR(F.col("qbucket"))
+        # bucket equal, or differing in exactly one sign bit
+        cand = cand.where((probe == 0) | (F.bit_count(probe) == 1))
+    else:
+        cand = cand.where(F.col("bucket") == F.col("qbucket"))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,147 @@
+"""End-to-end conformance: Spark engine vs pure-Python oracle on the
+same fixture corpus (FIXTURES.md §5-6). Asserts exact equality of
+final URL-seen membership, the politeness-budgeted pull schedule
+(superstep, wave_pos), item rows, fetched+validated image rows, and the
+permanent-failure set — plus the north-rule image invariants
+(PSNR ≥ 40 dB for lossy rows, bit-exact for lossless, caption + phash
+equality)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pholcus_spark import fixtures, testkit
+from pholcus_spark.engine import EngineConfig
+from pholcus_spark.oracle import OracleConfig
+from pholcus_spark.spiderspec import SpiderSpec
+
+
+def assert_conformance(spark, corpus, spec, wave_window_ms=6000, bloom=True):
+    run = testkit.run_engine(
+        spark, corpus, spec,
+        EngineConfig(wave_window_ms=wave_window_ms, bloom_enabled=bloom),
+    )
+    res = testkit.run_oracle(corpus, spec, OracleConfig(wave_window_ms=wave_window_ms))
+    try:
+        # URL-seen membership — exact set equality
+        seen_df = run.df("url_seen")
+        engine_seen = (
+            {r.key for r in seen_df.select("key").collect()} if seen_df else set()
+        )
+        assert engine_seen == res.seen
+        # pull schedule
+        assert testkit.order_tuples_engine(run) == testkit.order_tuples_oracle(res)
+        # items
+        assert testkit.items_set_engine(run) == testkit.items_set_oracle(res)
+        # images fetched
+        img_df = run.df("images")
+        engine_imgs = (
+            {(r.image_id, r.caption) for r in img_df.collect()} if img_df else set()
+        )
+        assert engine_imgs == {(i["image_id"], i["caption"]) for i in res.images}
+        # permanent failures
+        ff = run.df("failures_final")
+        engine_ff = sorted(r.key for r in ff.collect()) if ff else []
+        assert engine_ff == sorted(res.failed_final)
+        # metrics account for every pulled request
+        mdf = run.df("metrics")
+        assert mdf.agg(F.sum("wave_size")).first()[0] == len(res.order)
+    finally:
+        run.cleanup()
+    return run, res
+
+
+def test_t1_full_conformance(spark):
+    corpus = fixtures.generate(fixtures.t1_spec())
+    assert_conformance(spark, corpus, SpiderSpec("site"))
+
+
+def test_t1_conformance_without_bloom(spark):
+    corpus = fixtures.generate(fixtures.t1_spec())
+    assert_conformance(spark, corpus, SpiderSpec("site"), bloom=False)
+
+
+def test_politeness_budget_conformance(spark):
+    # strict budgets: hot-ish small graph, delay 750ms, window 1500ms → 2/host
+    spec = fixtures.SiteSpec(
+        n_hosts=2, list_pages=7, details_per_list=1, images_per_detail=1,
+        crawl_delay_ms={"h000.test": 750, "h001.test": 1500},
+        flaky_rate=0.0, fail_404_rate=0.0,
+    )
+    corpus = fixtures.generate(spec)
+    run, res = assert_conformance(
+        spark, corpus, SpiderSpec("site"), wave_window_ms=1500
+    )
+    # budget actually binds: no superstep fetched more than 2 per h000 / 1 per h001
+    per_step_host = {}
+    for o in res.order:
+        host = o["url"].split("/")[2]
+        k = (o["superstep"], host)
+        per_step_host[k] = per_step_host.get(k, 0) + 1
+    assert all(
+        n <= (2 if h == "h000.test" else 1) for (s, h), n in per_step_host.items()
+    )
+
+
+def test_limit_guard_conformance(spark):
+    corpus = fixtures.generate(fixtures.t1_spec())
+    assert_conformance(spark, corpus, SpiderSpec("site", limit=25))
+
+
+def test_robots_disallow_conformance(spark):
+    spec_site = fixtures.SiteSpec(
+        n_hosts=2, list_pages=7,
+        robots_disallow={"h000.test": ["/d/"], "h001.test": ["/p/3"]},
+        flaky_rate=0.0, fail_404_rate=0.0,
+    )
+    corpus = fixtures.generate(spec_site)
+    run, res = assert_conformance(spark, corpus, SpiderSpec("site"))
+    assert all("/d/" not in o["url"] or not o["url"].startswith("http://h000") for o in res.order)
+    assert res.dropped_robots > 0
+
+
+def test_reloadable_conformance(spark):
+    # make the home page reloadable: it is re-linked from every list page
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=7, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    spec = SpiderSpec("site", reloadable_urls=frozenset(["http://h000.test/p/0"]))
+    run, res = assert_conformance(spark, corpus, spec)
+    fetches = [o for o in res.order if o["url"] == "http://h000.test/p/0"]
+    assert len(fetches) > 1  # dedup opt-out exercised
+
+
+def test_image_invariants_psnr_caption_phash(spark):
+    corpus = fixtures.generate(fixtures.t1_spec())
+    run = testkit.run_engine(spark, corpus, SpiderSpec("site"))
+    try:
+        from pholcus_spark import fixtures as fx
+        from pholcus_spark.validate import psnr_vs_truth_udf
+
+        _, images_fixture, truth, _, _ = fx.to_spark(spark, corpus)
+        out = run.df("images")
+        assert out.where(~F.col("valid")).count() == 0
+        joined = (
+            out.alias("o")
+            .join(images_fixture.alias("f"), "image_id")
+            .join(truth, "image_id")
+        )
+        n = joined.count()
+        assert n == out.count()  # every crawled image exists in the fixture
+        checked = joined.select(
+            "image_id",
+            (F.col("o.caption") == F.col("f.caption")).alias("caption_eq"),
+            (F.col("o.phash") == F.col("f.phash")).alias("phash_eq"),
+            (F.col("o.w") == F.col("f.w")).alias("w_eq"),
+            (F.col("o.h") == F.col("f.h")).alias("h_eq"),
+            F.col("lossy"),
+            psnr_vs_truth_udf(F.col("o.bytes"), F.col("o.fmt"), F.col("orig_png")).alias("psnr"),
+            (F.col("o.bytes") == F.col("f.bytes")).alias("bytes_eq"),
+        ).collect()
+        for r in checked:
+            assert r.caption_eq and r.phash_eq and r.w_eq and r.h_eq, r.image_id
+            if r.lossy:
+                assert 40.0 <= r.psnr < 1e9, (r.image_id, r.psnr)
+            else:
+                assert r.bytes_eq and r.psnr == pytest.approx(1e9), r.image_id
+    finally:
+        run.cleanup()
