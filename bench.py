@@ -1,0 +1,135 @@
+"""Bench harness (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Includes a crawl-engine throughput entry (the north-rule metric:
+URLs fetched+deduped+validated through the full superstep pipeline on
+a bench-scale fixture). The two-parallelism scaling evidence
+(local[8] vs local[32], efficiency >= 0.8) is produced by
+tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_dedup_anti_join",
+    "q_wave_select",
+    "q_priority_topk",
+    "q_metrics_rollup",
+    "q_keyin_fanout",
+    "q_sessionize",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+]
+
+
+def force(df) -> int:
+    """Execute the full plan without driver-side materialization."""
+    return df.write.mode("overwrite").format("noop").save() or 0
+
+
+def crawl_bench(spark, parallelism: int) -> dict:
+    """Full-pipeline crawl throughput on a deterministic fixture:
+    fetch + extract + validate + dedup + commit per superstep."""
+    from pholcus_spark import fixtures
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine, EngineConfig
+    from pholcus_spark.fetch import FixtureFetcher
+    from pholcus_spark.spiderspec import SpiderSpec
+
+    spec = fixtures.SiteSpec(
+        n_hosts=16, list_pages=40, details_per_list=2, images_per_detail=1,
+        hot_host=True, flaky_rate=0.01, fail_404_rate=0.01,
+    )
+    corpus = fixtures.generate(spec)
+    pages, *_rest, robots = fixtures.to_spark(spark, corpus)
+    workdir = tempfile.mkdtemp(prefix="pholcus-bench-")
+    try:
+        cat = SnapshotCatalog(workdir, spark)
+        eng = CrawlEngine(
+            spark, cat, FixtureFetcher(pages.persist()), SpiderSpec("site"), robots,
+            EngineConfig(
+                wave_window_ms=120_000,  # throughput mode: politeness off
+                record_order=False,
+                append_partitions=max(2, parallelism // 4),
+                frontier_partitions=parallelism,
+            ),
+        )
+        eng.seed(corpus.seeds)
+        t0 = time.time()
+        state = eng.run()
+        dt = time.time() - t0
+        fetched = state["totals"]["fetched"] + state["totals"]["failed"]
+        return {
+            "seconds": round(dt, 2),
+            "urls": fetched,
+            "urls_per_sec": round(fetched / dt, 1),
+            "images_validated": state["totals"]["images"],
+            "images_per_sec": round(state["totals"]["images"] / dt, 1),
+            "supersteps": state["superstep"],
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pholcus_spark.session import build_spark
+
+    spark = build_spark("pholcus-bench", parallelism=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # warm up the JVM + parquet footers once (excluded from timings)
+    force(qs["q_dedup_anti_join"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl = crawl_bench(spark, cpus)
+    timings["crawl_pipeline"] = crawl["seconds"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_crawl",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -162,15 +162,17 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
         F.col("h"),
     ).groupBy("doc_id", "b").agg(
+        # shiftright builtin takes a literal shift — use the SQL form for
+        # a column-valued shift (stays JVM-side)
         F.sum(
-            F.when(F.shiftright(F.col("h"), F.col("b")).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
         ).alias("s")
     )
     return per_bit.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
+            ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
 
@@ -190,9 +192,7 @@ def simhash_neardup_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).withColumn(
         "bucket",
-        F.shiftright(F.col("simhash"), F.col("band") * band_bits).bitwiseAND(
-            (1 << band_bits) - 1
-        ),
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"),
     )
     cand = (
         banded.alias("a")

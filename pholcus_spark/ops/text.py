@@ -68,8 +68,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_chars.alias("n_chars_measured"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
         alpha_ratio.alias("alpha_ratio"),
         upper_ratio.alias("upper_ratio"),
         punct_ratio.alias("punct_ratio"),
@@ -104,7 +104,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
         ).alias(f"score_{lang}")
         for lang, markers in _LANG_MARKERS.items()
     }
-    out = docs.select("doc_id", "lang", *scores.values())
+    lang_col = (
+        F.col("lang") if "lang" in docs.columns else F.lit(None).cast("string")
+    ).alias("lang")
+    out = docs.select("doc_id", lang_col, *scores.values())
     best = F.lit(0)
     for lang in _LANG_MARKERS:
         best = F.greatest(best, F.col(f"score_{lang}"))

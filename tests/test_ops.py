@@ -1,0 +1,157 @@
+"""Training-data pipeline ops: dedup recall, ANN recall vs brute force,
+multimodal plumbing (real PNG path + clearly-marked stubs)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pholcus_spark.ops import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a completely different document about spark shuffle partitions and joins",
+        "colorless green ideas sleep furiously in the garden of forking paths",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        rows.append((did, b)); did += 1
+        rows.append((did, b + " extra tail token"), ); did += 1  # near-dup
+        rows.append((did, b), ); did += 1  # exact dup
+    rows.append((did, "short"),); did += 1
+    rows.append((did, ""),); did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r.canonical_doc_id: r.dup_count for r in dedup.exact_duplicates(docs).collect()}
+    assert out == {0: 2, 3: 2, 6: 2}
+
+
+def test_ngram_jaccard_finds_neardups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    # exact dups have jaccard 1.0; near-dups high
+    assert pairs[(0, 2)] == 1.0
+    assert pairs[(0, 1)] >= 0.5
+    assert (0, 9) not in pairs
+
+
+def test_minhash_lsh_recall_of_high_jaccard(spark, docs):
+    cand = {(r.doc_a, r.doc_b) for r in
+            dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()}
+    # every >=0.8-jaccard pair must be an LSH candidate (banding recall)
+    assert exact <= cand
+
+
+def test_simhash_neardup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in
+             dedup.simhash_neardup_pairs(docs, bits=32, max_hamming=3).collect()}
+    assert pairs.get((0, 2)) == 0  # exact dup → identical simhash
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    assert sh[0] == sh[2]
+    assert bin((sh[0] ^ sh[1]) & 0xFFFFFFFF).count("1") <= 6  # near-dup close
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(5, 16))
+    rows = []
+    vid = 0
+    for label in range(5):
+        for _ in range(20):
+            v = centers[label] + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    q = vecs[0]
+    cos = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items() if vid != 0
+    }
+    expected = sorted(cos, key=lambda v: (-round(cos[v], 4), v))[:10]
+    got = [r.vec_id for r in similarity.cosine_topk(emb, 0, 10).collect()]
+    assert got == expected
+
+
+def test_ann_lsh_recall(spark, emb):
+    brute = {r.vec_id for r in similarity.cosine_topk(emb, 0, 10).collect()}
+    ann = {r.vec_id for r in
+           similarity.ann_lsh_topk(emb, 0, 10, dim=16, num_planes=6).collect()}
+    # clustered data: same-cluster neighbors share sign buckets
+    assert len(brute & ann) >= 7
+
+
+def test_embedding_neardup_pairs(spark, emb):
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.995).collect()
+    assert len(pairs) > 0
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    same = sum(labels[r.id_a] == labels[r.id_b] for r in pairs)
+    assert same / len(pairs) > 0.95  # near-dups are intra-cluster
+
+
+def test_image_stats_matches_fixture_phash(spark):
+    from pholcus_spark import fixtures
+
+    corpus = fixtures.generate(fixtures.SiteSpec(n_hosts=1, list_pages=2))
+    _, images, _, _, _ = fixtures.to_spark(spark, corpus)
+    stats = multimodal.image_stats(images)
+    joined = stats.alias("s").join(images.alias("i"), "image_id").select(
+        "image_id",
+        (F.col("s.phash") == F.col("i.phash")).alias("ph_eq"),
+        (F.col("s.w") == F.col("i.w")).alias("w_eq"),
+        F.col("s.ok"),
+    ).collect()
+    assert len(joined) > 0
+    assert all(r.ph_eq and r.w_eq and r.ok for r in joined)
+
+
+def test_resize_images(spark):
+    from pholcus_spark import fixtures
+
+    corpus = fixtures.generate(fixtures.SiteSpec(n_hosts=1, list_pages=1))
+    _, images, _, _, _ = fixtures.to_spark(spark, corpus)
+    out = multimodal.resize_images(images, 16, 16).collect()
+    from pholcus_spark.imaging import decode_png
+
+    for r in out:
+        px = decode_png(bytes(r.bytes))
+        assert px.shape == (16, 16, 3)
+
+
+def test_audio_byte_features_deterministic(spark):
+    rows = [("m1", b"\x00\x01\x02" * 100), ("m2", b"\xff" * 50)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    out = {r.media_id: (r.n_bytes, round(r.byte_entropy, 6), round(r.rms_proxy, 4))
+           for r in multimodal.audio_byte_features(df).collect()}
+    assert out["m1"][0] == 300
+    assert out["m1"][1] == pytest.approx(1.584963, abs=1e-5)  # log2(3)
+    assert out["m2"] == (50, 0.0, 127.0)
+
+
+def test_video_stub_raises(spark):
+    df = spark.createDataFrame([("m1", b"xx")], "media_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.video_frame_sample_stub(df).collect()
+
+
+def test_text_ops_shapes(spark, docs):
+    tc = {r.doc_id: r.n_tokens for r in text.token_count(docs).collect()}
+    assert tc[0] == 13
+    q = {r.doc_id: r.quality for r in text.quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    li = {r.doc_id: r.pred_lang for r in text.lang_id(docs).collect()}
+    assert li[0] == "en"  # 'the' markers
+    fp = {r.doc_id: r.fp_md5 for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[2] and fp[0] != fp[1]
