@@ -56,7 +56,7 @@ def crawl_bench(spark, parallelism: int) -> dict:
     from pholcus_spark.spiderspec import SpiderSpec
 
     spec = fixtures.SiteSpec(
-        n_hosts=16, list_pages=40, details_per_list=2, images_per_detail=1,
+        n_hosts=32, list_pages=100, details_per_list=1, images_per_detail=2,
         hot_host=True, flaky_rate=0.01, fail_404_rate=0.01,
     )
     corpus = fixtures.generate(spec)
@@ -67,7 +67,7 @@ def crawl_bench(spark, parallelism: int) -> dict:
         eng = CrawlEngine(
             spark, cat, FixtureFetcher(pages.persist()), SpiderSpec("site"), robots,
             EngineConfig(
-                wave_window_ms=120_000,  # throughput mode: politeness off
+                wave_window_ms=1_200_000,  # throughput mode: politeness off
                 record_order=False,
                 append_partitions=max(2, parallelism // 4),
                 frontier_partitions=parallelism,

@@ -107,6 +107,10 @@ class CrawlEngine:
             )
         self.robots = robots.select("host", "disallow_prefixes", "crawl_delay_ms")
         self._bloom = None  # lazily built per-bucket filters (bloom.py)
+        # in-memory frontier carry between supersteps: localCheckpoint
+        # truncates lineage each step; parquet stays the durable resume
+        # point, but the hot loop never re-reads it
+        self._frontier_df = None
 
     # ------------------------------------------------------------------
     # seeding
@@ -186,14 +190,18 @@ class CrawlEngine:
     def superstep(self) -> int:
         """Run one wave. Returns the wave size (0 = terminated)."""
         state = dict(self.catalog.state())
-        frontier = self.catalog.read("frontier")
+        frontier = (
+            self._frontier_df
+            if self._frontier_df is not None
+            else self.catalog.read("frontier")
+        )
 
         if state["queued_count"] == 0:
             if state["failed_wait_count"] > 0 and self.config.requeue_failures:
                 self._requeue_failures(state, frontier)
                 return self.superstep() if not state.get("stopped") else 0
             state["stopped"] = True
-            self.catalog.commit({}, {"frontier": frontier}, state)
+            self.catalog.commit({}, {}, state)  # frontier dirs unchanged
             return 0
 
         cfg = self.config
@@ -297,6 +305,8 @@ class CrawlEngine:
             )
             .withColumn("superstep", F.lit(superstep))
         )
+        items = items.persist()
+        images = images.persist()  # image decode UDF runs once, not per action
 
         # -- 5. children push ----------------------------------------------
         children = self._emit_children(parsed, superstep)
@@ -426,17 +436,21 @@ class CrawlEngine:
             .unionByName(new_rows)
             .unionByName(new_failed_wait)
         )
-        appends = {
-            "url_seen": new_seen.withColumn(
+        # skip writes we know are empty — each append is a Spark job
+        appends = {"metrics": metrics}
+        if wave_size > 0:
+            appends["lineage"] = lineage
+        if n_ok > 0:
+            appends["url_seen"] = new_seen.withColumn(
                 "bucket", key_bucket_col(F.col("key"), self.config.num_buckets)
-            ),
-            "items": items,
-            "images": images,
-            "metrics": metrics,
-            "lineage": lineage,
-            "failures_final": perm_failed,
-        }
-        if self.config.record_order:
+            )
+        if n_items > 0:
+            appends["items"] = items
+        if n_images > 0:
+            appends["images"] = images
+        if n_perm_failed > 0:
+            appends["failures_final"] = perm_failed
+        if self.config.record_order and wave_size > 0:
             appends["order"] = wave.select(
                 "spider", "key", "url",
                 F.lit(superstep).alias("superstep"),
@@ -461,12 +475,14 @@ class CrawlEngine:
         state["totals"]["images"] += n_images
         ap = self.config.append_partitions
         appends = {k: v.coalesce(ap) for k, v in appends.items()}
-        self.catalog.commit(
-            appends,
-            {"frontier": new_frontier.coalesce(self.config.frontier_partitions)},
-            state,
-        )
-        if self._bloom is not None:
+        new_frontier = new_frontier.coalesce(
+            self.config.frontier_partitions
+        ).localCheckpoint(eager=True)
+        self.catalog.commit(appends, {"frontier": new_frontier}, state)
+        if self._frontier_df is not None:
+            self._frontier_df.unpersist()
+        self._frontier_df = new_frontier
+        if self._bloom is not None and n_ok > 0:
             # fold this superstep's appended keys into the sidecar
             from . import bloom as _bloom
 
@@ -480,6 +496,8 @@ class CrawlEngine:
         fetched.unpersist()
         parsed.unpersist()
         kept.unpersist()
+        items.unpersist()
+        images.unpersist()
         return wave_size
 
     # ------------------------------------------------------------------
@@ -625,7 +643,12 @@ class CrawlEngine:
         ).persist()
         n = requeued.count()
         nils = fw.withColumn("state", F.lit("failed_nil"))
-        new_frontier = rest.unionByName(nils).unionByName(requeued)
+        new_frontier = (
+            rest.unionByName(nils)
+            .unionByName(requeued)
+            .coalesce(self.config.frontier_partitions)
+            .localCheckpoint(eager=True)
+        )
         state.update(
             next_seq=state["next_seq"] + n,
             max_page=(state["max_page"] + n if state["max_page"] is not None else None),
@@ -635,4 +658,7 @@ class CrawlEngine:
         if n == 0:
             state["stopped"] = True
         self.catalog.commit({}, {"frontier": new_frontier}, state)
+        if self._frontier_df is not None:
+            self._frontier_df.unpersist()
+        self._frontier_df = new_frontier
         requeued.unpersist()
