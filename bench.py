@@ -56,21 +56,27 @@ def crawl_bench(spark, parallelism: int) -> dict:
     from pholcus_spark.spiderspec import SpiderSpec
 
     spec = fixtures.SiteSpec(
-        n_hosts=32, list_pages=100, details_per_list=1, images_per_detail=2,
-        hot_host=True, flaky_rate=0.01, fail_404_rate=0.01,
+        n_hosts=32, branch=6, list_pages=200, details_per_list=1,
+        images_per_detail=2, hot_host=True, flaky_rate=0.01,
+        fail_404_rate=0.01, image_sizes=(32, 64),
     )
     corpus = fixtures.generate(spec)
     pages, *_rest, robots = fixtures.to_spark(spark, corpus)
+    # pre-partition the fixture on the join key once: every wave's fetch
+    # join then shuffles only the (small) wave side
+    pages = pages.repartition(parallelism, "url").persist()
+    pages.count()
     workdir = tempfile.mkdtemp(prefix="pholcus-bench-")
     try:
         cat = SnapshotCatalog(workdir, spark)
         eng = CrawlEngine(
-            spark, cat, FixtureFetcher(pages.persist()), SpiderSpec("site"), robots,
+            spark, cat, FixtureFetcher(pages), SpiderSpec("site"), robots,
             EngineConfig(
-                wave_window_ms=1_200_000,  # throughput mode: politeness off
+                wave_window_ms=10_000_000,  # throughput mode: politeness off
                 record_order=False,
                 append_partitions=max(2, parallelism // 4),
                 frontier_partitions=parallelism,
+                commit_every=10,
             ),
         )
         eng.seed(corpus.seeds)

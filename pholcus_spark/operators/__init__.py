@@ -1,0 +1,15 @@
+"""Operator facade — the engine's dataflow operators by SURVEY.md §2 name.
+
+The implementation lives in flat modules (engine/bloom/oracle); this
+package groups them the way the operator inventory does:
+
+- frontier push/pull, politeness waves, limit guard, failure state
+  machine: :class:`pholcus_spark.engine.CrawlEngine`
+- URL-seen dedup (Bloom + anti-join): :mod:`pholcus_spark.bloom` and
+  ``CrawlEngine._anti_join_seen_with_bloom``
+- reference-semantics oracle: :mod:`pholcus_spark.oracle`
+"""
+
+from ..bloom import PartitionedBloom, build_partitioned, probe  # noqa: F401
+from ..engine import CrawlEngine, EngineConfig  # noqa: F401
+from ..oracle import OracleConfig, crawl as oracle_crawl  # noqa: F401
