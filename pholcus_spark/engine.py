@@ -49,10 +49,10 @@ from pyspark.sql.window import Window
 
 from .catalog import SnapshotCatalog
 from .keys import (
+    canon_host_udf,
     canonicalize_url,
     canonicalize_url_udf,
     host_of,
-    host_of_udf,
     key_bucket_col,
     request_key,
     request_key_col,
@@ -79,6 +79,14 @@ class EngineConfig:
     bloom_enabled: bool = True
     bloom_fpp: float = 0.01
     compact_every: int = 0  # url_seen compaction interval (0 = off)
+    # commit (flush) the catalog every N supersteps. 1 = a durable
+    # snapshot per superstep (finest resume grain). >1 buffers append
+    # deltas in executor caches and flushes them in one commit —
+    # resume replays from the last flushed snapshot (deterministic →
+    # identical results), trading resume granularity for a large cut in
+    # per-superstep Spark-job count. Flushes are forced at stop,
+    # failure-requeue, and run() exit.
+    commit_every: int = 1
     # file sizing: waves are bounded (hosts × budget), so per-superstep
     # append deltas are written with few partitions to keep task-scheduling
     # overhead and small-file count down; scale with expected wave size
@@ -111,6 +119,14 @@ class CrawlEngine:
         # truncates lineage each step; parquet stays the durable resume
         # point, but the hot loop never re-reads it
         self._frontier_df = None
+        # commit_every>1 buffering: per-table pending append deltas, the
+        # caches backing them (unpersisted only after flush), and the
+        # in-memory engine state between durable commits
+        self._state: dict | None = None
+        self._pending: dict[str, list[DataFrame]] = {}
+        self._pending_unpersist: list[DataFrame] = []
+        self._steps_since_flush = 0
+        self._frontier_dirty = False
 
     # ------------------------------------------------------------------
     # seeding
@@ -151,16 +167,35 @@ class CrawlEngine:
                 if max_page is not None:
                     max_page += 1
         frontier = self.spark.createDataFrame(rows, FRONTIER_DDL)
+        n_rows = len(rows)
+        # SuccessInherit semantics (history.go:83-159): seeding over an
+        # existing catalog dedups non-reloadable seeds against the
+        # inherited url_seen before they enter the frontier
+        seen = self.catalog.read("url_seen")
+        if seen is not None:
+            frontier = frontier.where(F.col("reloadable")).unionByName(
+                frontier.where(~F.col("reloadable")).join(
+                    seen.select("key"), "key", "left_anti"
+                )
+            )
+            frontier = frontier.withColumn(
+                "seq", F.row_number().over(Window.orderBy("seq")).cast("long") - 1
+            ).persist()
+            n_rows = frontier.count()
+            if max_page is not None:
+                max_page = -self.spec.limit + n_rows  # type: ignore[operator]
         state = {
             "superstep": 0,
-            "next_seq": next_seq,
+            "next_seq": n_rows,
             "max_page": max_page,
-            "queued_count": len(rows),
+            "queued_count": n_rows,
             "failed_wait_count": 0,
             "stopped": False,
             "totals": {"fetched": 0, "failed": 0, "items": 0, "images": 0},
         }
         self.catalog.commit({}, {"frontier": frontier}, state)
+        self._frontier_df = None  # force re-read of the committed frontier
+        self._state = state
 
     @staticmethod
     def _robots_allow_py(robot_row: dict | None, url: str) -> bool:
@@ -177,19 +212,25 @@ class CrawlEngine:
     # superstep loop
     # ------------------------------------------------------------------
 
+    def _state_ref(self) -> dict:
+        if self._state is None:
+            self._state = dict(self.catalog.state())
+        return self._state
+
     def run(self, max_supersteps: int | None = None) -> dict[str, Any]:
         while True:
-            state = self.catalog.state()
+            state = self._state_ref()
             if state["stopped"]:
                 break
             if max_supersteps is not None and state["superstep"] >= max_supersteps:
                 break
             self.superstep()
+        self._flush(self._state_ref())  # durable pause/stop point
         return self.catalog.state()
 
     def superstep(self) -> int:
         """Run one wave. Returns the wave size (0 = terminated)."""
-        state = dict(self.catalog.state())
+        state = self._state_ref()
         frontier = (
             self._frontier_df
             if self._frontier_df is not None
@@ -197,11 +238,14 @@ class CrawlEngine:
         )
 
         if state["queued_count"] == 0:
+            # requeue and termination decisions read the durable url_seen —
+            # flush pending deltas first
+            self._flush(state)
             if state["failed_wait_count"] > 0 and self.config.requeue_failures:
                 self._requeue_failures(state, frontier)
                 return self.superstep() if not state.get("stopped") else 0
             state["stopped"] = True
-            self.catalog.commit({}, {}, state)  # frontier dirs unchanged
+            self._flush(state)
             return 0
 
         cfg = self.config
@@ -232,27 +276,48 @@ class CrawlEngine:
         rest = ranked.where(F.col("_host_rank") > F.col("_budget")).drop(
             "crawl_delay_ms", "_budget", "_host_rank"
         )
-        # global order only over the (small) selected wave
-        wave = wave.withColumn(
-            "wave_pos",
-            F.row_number().over(Window.orderBy(F.desc("priority"), F.asc("seq"))) - 1,
-        )
+        # NOTE: no global sort of the wave. Within-wave position is the
+        # total order (-priority, seq) — used directly for child dedup /
+        # seq ordering. A materialized wave_pos (single-partition window)
+        # is computed ONLY for the golden-order table in test runs.
+        if cfg.record_order:
+            wave = wave.withColumn(
+                "wave_pos",
+                F.row_number().over(
+                    Window.orderBy(F.desc("priority"), F.asc("seq"))
+                ) - 1,
+            )
 
         # -- 2. fetch -----------------------------------------------------
-        fetched = self.fetcher.fetch(wave).persist()
+        # bodies are NEVER cached: the metadata projection (tiny rows) is
+        # what every bookkeeping branch consumes; body-bearing branches
+        # (extract, image write) each stream bodies exactly once. With a
+        # cheap-meta fetcher the metadata pass never touches bodies at all.
+        if getattr(self.fetcher, "has_cheap_meta", False):
+            # deterministic fetcher: body branches re-derive lazily
+            fetched_full = self.fetcher.fetch(wave)
+            fetched = self.fetcher.fetch_meta(wave).persist()
+        else:
+            # live fetcher: fetch exactly once, cache bodies (idempotence)
+            fetched_full = self.fetcher.fetch(wave).persist()
+            fetched = fetched_full
         ok = fetched.where(F.col("ok"))
         failed = fetched.where(~F.col("ok"))
 
         # -- 3/4. extract + emit -------------------------------------------
-        from .extract import extract_figures_udf, extract_links_udf
+        from .extract import extract_all_udf
         from .validate import validate_image_udf
 
-        html_ok = ok.where(F.col("rule") != self.spec.image_rule)
+        html_ok = fetched_full.where(
+            F.col("ok") & (F.col("rule") != self.spec.image_rule)
+        )
         parsed = (
             html_ok.withColumn(
-                "out_links", extract_links_udf("body", "content_type", "url")
+                "_ex", extract_all_udf("body", "content_type", "url")
             )
-            .withColumn("figures", extract_figures_udf("body", "content_type", "url"))
+            .withColumn("out_links", F.col("_ex.out_links"))
+            .withColumn("figures", F.col("_ex.figures"))
+            .drop("_ex", "body")  # bodies leave the plan before the cache
             .persist()
         )
 
@@ -280,7 +345,9 @@ class CrawlEngine:
             .withColumn("superstep", F.lit(superstep))
         )
 
-        image_ok = ok.where(F.col("rule") == self.spec.image_rule)
+        image_ok = fetched_full.where(
+            F.col("ok") & (F.col("rule") == self.spec.image_rule)
+        )
         images = (
             image_ok.withColumn(
                 "val", validate_image_udf("body", "content_type", "url")
@@ -306,7 +373,10 @@ class CrawlEngine:
             .withColumn("superstep", F.lit(superstep))
         )
         items = items.persist()
-        images = images.persist()  # image decode UDF runs once, not per action
+        # images is intentionally NOT persisted and NOT counted via its own
+        # branch: its row count equals the ok image-rule rows (metadata),
+        # so the decode UDF + body stream execute exactly once — inside
+        # the flush write
 
         # -- 5. children push ----------------------------------------------
         children = self._emit_children(parsed, superstep)
@@ -316,6 +386,10 @@ class CrawlEngine:
         #   10^10-scale side — goes through the Bloom pre-filter so the
         #   exact anti-join only sees probable-hit candidates (FPR-sized).
         seen_old = self.catalog.read("url_seen")
+        for pend in self._pending.get("url_seen", []):
+            seen_old = (
+                pend if seen_old is None else seen_old.unionByName(pend)
+            )
         new_seen = ok.where(~F.col("reloadable")).select("key")
         in_run_keys = new_seen.union(rest.select("key")).distinct()
         non_reload = children.where(~F.col("reloadable")).join(
@@ -330,26 +404,37 @@ class CrawlEngine:
                 )
         # reloadable children skip every dedup check (request.go:270-277)
         kept = non_reload.unionByName(children.where(F.col("reloadable")))
-        # failed-wave-position rule (see module docstring); reloadable exempt
+        # failed-wave-position rule (see module docstring); reloadable
+        # exempt. Wave position i > j  <=>  (-prio_i, seq_i) > (-prio_j,
+        # seq_j) lexicographically — no materialized position needed.
         failed_pos = failed.select(
-            F.col("key").alias("_fkey"), F.col("wave_pos").alias("_fpos")
+            F.col("key").alias("_fkey"),
+            F.col("priority").alias("_fprio"),
+            F.col("seq").alias("_fseq"),
         )
         kept = (
             kept.join(failed_pos, kept["key"] == failed_pos["_fkey"], "left")
             .where(
                 F.col("reloadable")
                 | F.col("_fkey").isNull()
-                | (F.col("wave_pos") > F.col("_fpos"))
+                | (F.col("p_prio") < F.col("_fprio"))
+                | (
+                    (F.col("p_prio") == F.col("_fprio"))
+                    & (F.col("p_seq") > F.col("_fseq"))
+                )
             )
-            .drop("_fkey", "_fpos")
+            .drop("_fkey", "_fprio", "_fseq")
         )
-        # within-batch dedup: first (wave_pos, ordinal) wins (non-reloadable)
-        by_key = Window.partitionBy("key").orderBy("wave_pos", "ordinal")
+        # within-batch dedup: first emitter in wave order wins (non-reloadable)
+        by_key = Window.partitionBy("key").orderBy(
+            F.desc("p_prio"), F.asc("p_seq"), F.asc("ordinal")
+        )
         kept = kept.withColumn("_rn", F.row_number().over(by_key)).where(
             F.col("reloadable") | (F.col("_rn") == 1)
         ).drop("_rn")
-        # limit guard cutoff in push order (matrix.go:59-61,97)
-        push_order = Window.orderBy("wave_pos", "ordinal")
+        # limit guard cutoff in push order (matrix.go:59-61,97); this global
+        # window runs over the CHILDREN only (needed for dense seq anyway)
+        push_order = Window.orderBy(F.desc("p_prio"), F.asc("p_seq"), F.asc("ordinal"))
         kept = kept.withColumn("_push_rank", F.row_number().over(push_order))
         if state["max_page"] is not None:
             allowed = max(0, -state["max_page"])
@@ -386,19 +471,28 @@ class CrawlEngine:
         )
 
         # -- counts: ONE job over the persisted branches ---------------------
+        import os as _os
+        _dbg = _os.environ.get("PHOLCUS_TIMING")
+        if _dbg:
+            print(f"  [t] plan-build {time.time()-t0:.2f}")
+        _tc = time.time()
         tag = lambda df, t: df.select(F.lit(t).alias("t"))  # noqa: E731
         counts = dict(
             (r.t, r.n)
             for r in tag(fetched, "wave")
             .union(tag(ok, "ok"))
             .union(tag(items, "items"))
-            .union(tag(images, "images"))
+            .union(
+                tag(ok.where(F.col("rule") == self.spec.image_rule), "images")
+            )
             .union(tag(perm_failed, "perm"))
             .union(tag(kept, "children"))
             .groupBy("t")
             .agg(F.count("*").alias("n"))
             .collect()
         )
+        if _dbg:
+            print(f"  [t] count-job {time.time()-_tc:.2f}")
         wave_size = counts.get("wave", 0)
         n_ok = counts.get("ok", 0)
         n_failed = wave_size - n_ok
@@ -475,30 +569,64 @@ class CrawlEngine:
         state["totals"]["images"] += n_images
         ap = self.config.append_partitions
         appends = {k: v.coalesce(ap) for k, v in appends.items()}
+        _tf = time.time()
         new_frontier = new_frontier.coalesce(
             self.config.frontier_partitions
         ).localCheckpoint(eager=True)
-        self.catalog.commit(appends, {"frontier": new_frontier}, state)
+        if _dbg:
+            print(f"  [t] frontier-ckpt {time.time()-_tf:.2f}")
         if self._frontier_df is not None:
-            self._frontier_df.unpersist()
+            # old checkpoint may still back pending append plans — defer
+            self._pending_unpersist.append(self._frontier_df)
         self._frontier_df = new_frontier
+        self._frontier_dirty = True
+        for name, df in appends.items():
+            self._pending.setdefault(name, []).append(df)
+        self._pending_unpersist.extend([fetched, parsed, kept, items])
+        _tb = time.time()
         if self._bloom is not None and n_ok > 0:
             # fold this superstep's appended keys into the sidecar
             from . import bloom as _bloom
 
             self._bloom = _bloom.add_keys(self._bloom, appends["url_seen"])
-        if (
-            self.config.compact_every
-            and superstep % self.config.compact_every == 0
-        ):
-            self.catalog.compact("url_seen")
-            self._bloom = None  # rebuilt over the compacted table
-        fetched.unpersist()
-        parsed.unpersist()
-        kept.unpersist()
-        items.unpersist()
-        images.unpersist()
+        if _dbg:
+            print(f"  [t] bloom-add {time.time()-_tb:.2f}")
+        self._steps_since_flush += 1
+        if self._steps_since_flush >= self.config.commit_every:
+            _tfl = time.time()
+            self._flush(state)
+            if _dbg:
+                print(f"  [t] flush {time.time()-_tfl:.2f}")
         return wave_size
+
+    def _flush(self, state: dict) -> None:
+        """Durably commit buffered append deltas + the current frontier +
+        state as one catalog snapshot, then release the caches that
+        backed the buffered plans."""
+        appends: dict[str, DataFrame] = {}
+        for name, dfs in self._pending.items():
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            appends[name] = out
+        rewrites = (
+            {"frontier": self._frontier_df}
+            if (self._frontier_dirty and self._frontier_df is not None)
+            else {}
+        )
+        self.catalog.commit(appends, rewrites, state)
+        for df in self._pending_unpersist:
+            df.unpersist()
+        self._pending = {}
+        self._pending_unpersist = []
+        self._steps_since_flush = 0
+        self._frontier_dirty = False
+        if self.config.compact_every:
+            m = self.catalog.current()
+            dirs = (m["tables"].get("url_seen") or {}).get("dirs", [])
+            if len(dirs) >= self.config.compact_every:
+                self.catalog.compact("url_seen")
+                self._bloom = None  # rebuilt over the compacted table
 
     # ------------------------------------------------------------------
 
@@ -512,7 +640,8 @@ class CrawlEngine:
             "spider",
             F.col("url").alias("parent_url"),
             "depth",
-            "wave_pos",
+            F.col("priority").alias("p_prio"),
+            F.col("seq").alias("p_seq"),
             F.posexplode(
                 F.concat(
                     F.col("out_links"),
@@ -522,8 +651,11 @@ class CrawlEngine:
         )
         if spec.max_depth is not None:
             links = links.where(F.col("depth") < spec.max_depth)
-        links = links.withColumn("curl", canonicalize_url_udf("raw_link")).withColumn(
-            "host", host_of_udf("curl")
+        links = (
+            links.withColumn("_ch", canon_host_udf("raw_link"))
+            .withColumn("curl", F.col("_ch.curl"))
+            .withColumn("host", F.col("_ch.host"))
+            .drop("_ch")
         )
         # route: first matching pattern wins (spiderspec order) — a chained
         # CASE WHEN stays JVM-side in whole-stage codegen
@@ -661,4 +793,5 @@ class CrawlEngine:
         if self._frontier_df is not None:
             self._frontier_df.unpersist()
         self._frontier_df = new_frontier
+        self._frontier_dirty = False
         requeued.unpersist()

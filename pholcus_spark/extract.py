@@ -102,3 +102,41 @@ def extract_figures_udf(
             for b, ct, u in zip(bodies, content_types, base_urls)
         ]
     )
+
+
+EXTRACT_ALL_TYPE = StructType(
+    [
+        StructField("out_links", ArrayType(StringType())),
+        StructField("figures", FIGURES_TYPE),
+    ]
+)
+
+
+@pandas_udf(EXTRACT_ALL_TYPE)
+def extract_all_udf(
+    bodies: pd.Series, content_types: pd.Series, base_urls: pd.Series
+) -> pd.DataFrame:
+    """Links + figures in ONE pass: the body is charset-decoded once per
+    row instead of once per extractor, and the engine spends one Python
+    stage instead of two (the hot-path form; the single-purpose UDFs
+    above remain for composability)."""
+    links_out, figs_out = [], []
+    for b, ct, u in zip(bodies, content_types, base_urls):
+        if b is None:
+            links_out.append([])
+            figs_out.append([])
+            continue
+        text = decode_body(b, ct)
+        links_out.append(
+            [absolutize(u, html_mod.unescape(h)) for h in _HREF_RE.findall(text)]
+        )
+        figs_out.append(
+            [
+                {
+                    "src": absolutize(u, html_mod.unescape(src)),
+                    "caption": html_mod.unescape(cap),
+                }
+                for src, cap in _FIGURE_RE.findall(text)
+            ]
+        )
+    return pd.DataFrame({"out_links": links_out, "figures": figs_out})

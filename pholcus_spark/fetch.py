@@ -33,6 +33,13 @@ class FixtureFetcher:
     shuffle; at bench scale AQE handles the skewed hot host.
     """
 
+    # a fixture fetch is a deterministic table lookup, so the engine may
+    # ask for the cheap metadata-only projection separately from bodies
+    # (body bytes then flow ONLY through the extract/validate branches).
+    # A live HTTP fetcher can't fetch twice — it sets this False and the
+    # engine falls back to a single full fetch.
+    has_cheap_meta = True
+
     def __init__(self, pages: DataFrame):
         # keep only fetch-relevant columns; canonical url join key
         self.pages = pages.select(
@@ -43,9 +50,9 @@ class FixtureFetcher:
             "body",
         )
 
-    def fetch(self, wave: DataFrame) -> DataFrame:
+    def _join(self, wave: DataFrame, pages: DataFrame) -> DataFrame:
         joined = wave.join(
-            self.pages, wave["url"] == self.pages["_page_url"], "left"
+            pages, wave["url"] == pages["_page_url"], "left"
         ).drop("_page_url")
         return (
             joined.withColumn("status", F.coalesce(F.col("status"), F.lit(599)))
@@ -56,6 +63,15 @@ class FixtureFetcher:
             )
             .drop("flaky")
         )
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        return self._join(wave, self.pages)
+
+    def fetch_meta(self, wave: DataFrame) -> DataFrame:
+        """Metadata-only fetch result (no body column) — the columnar
+        page cache prunes the body column, so this join moves KBs, not
+        the corpus."""
+        return self._join(wave, self.pages.drop("body"))
 
 
 class HttpFetcher:  # pragma: no cover - requires aiohttp + network

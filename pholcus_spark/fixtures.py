@@ -67,6 +67,7 @@ class SiteSpec:
     robots_disallow: dict[str, list[str]] | None = None  # host -> prefixes
     crawl_delay_ms: dict[str, int] | None = None  # host -> delay
     default_crawl_delay_ms: int = 375  # = 1.25 × reference Pausetime 300ms
+    image_sizes: tuple[int, ...] = (32, 64, 128)  # candidate px dims
 
     def host(self, i: int) -> str:
         return f"h{i:03d}.test"
@@ -165,8 +166,8 @@ def generate(spec: SiteSpec, seed: int = SEED) -> Corpus:
                 img_links: list[str] = []
                 for m in range(spec.images_per_detail):
                     image_id = f"img-{hi:04d}-{j:06d}-{k:02d}{m:02d}"
-                    w = int(rng.choice([32, 64, 128]))
-                    h = int(rng.choice([32, 64, 128]))
+                    w = int(rng.choice(list(spec.image_sizes)))
+                    h = int(rng.choice(list(spec.image_sizes)))
                     orig = synth_pixels(rng, w, h)
                     lossy = bool(rng.random() < spec.lossy_rate)
                     stored_px = quantize(orig, 4) if lossy else orig

@@ -195,18 +195,22 @@ def _dct_basis() -> np.ndarray:
 
 
 def _resample_gray(pixels: np.ndarray, n: int = _PHASH_N) -> np.ndarray:
-    """Area-average resample of an RGB image to n×n grayscale (float64)."""
+    """Area-average resample of an RGB image to n×n grayscale (float64).
+
+    Implemented as two reduceat passes (rows then cols) — sequential
+    gathers, no scatter (np.add.at is a memory-bandwidth hog that
+    destroys multi-process scaling on shared hosts)."""
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    # integer box binning via index mapping (deterministic, no scipy)
-    yi = (np.arange(h) * n // max(h, 1)).clip(0, n - 1)
-    xi = (np.arange(w) * n // max(w, 1)).clip(0, n - 1)
-    out = np.zeros((n, n))
-    cnt = np.zeros((n, n))
-    np.add.at(out, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
-    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
-    cnt[cnt == 0] = 1.0
-    return out / cnt
+    # bin boundaries identical to the old index mapping: row y goes to
+    # bin y*n//h — boundaries are the first y of each bin
+    yb = np.searchsorted(np.arange(h) * n // max(h, 1), np.arange(n), side="left")
+    xb = np.searchsorted(np.arange(w) * n // max(w, 1), np.arange(n), side="left")
+    ycnt = np.diff(np.append(yb, h)).clip(min=1)
+    xcnt = np.diff(np.append(xb, w)).clip(min=1)
+    rows = np.add.reduceat(gray, yb, axis=0)
+    both = np.add.reduceat(rows, xb, axis=1)
+    return both / (ycnt[:, None] * xcnt[None, :])
 
 
 def phash64(pixels: np.ndarray) -> int:

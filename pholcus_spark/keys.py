@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -147,3 +147,24 @@ def key_bucket_col(key: Column, num_buckets: int) -> Column:
 def key_bucket(key: str, num_buckets: int) -> int:
     """Python mirror of :func:`key_bucket_col` (must agree bit-for-bit)."""
     return int(key[:8], 16) % num_buckets
+
+
+CANON_HOST_TYPE = StructType(
+    [StructField("curl", StringType()), StructField("host", StringType())]
+)
+
+
+@pandas_udf(CANON_HOST_TYPE)
+def canon_host_udf(urls: pd.Series) -> pd.DataFrame:
+    """Canonical URL + host in one Python stage (hot-path form of
+    canonicalize_url_udf + host_of_udf — one urlsplit per row)."""
+    curls, hosts = [], []
+    for u in urls:
+        if u is None:
+            curls.append(None)
+            hosts.append(None)
+            continue
+        c = canonicalize_url(u)
+        curls.append(c)
+        hosts.append(host_of(c))
+    return pd.DataFrame({"curl": curls, "host": hosts})

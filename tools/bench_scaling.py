@@ -37,10 +37,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_IMAGES = 120_000
+N_IMAGES = int(os.environ.get("PHOLCUS_N_IMAGES", "300000"))
 N_HOSTS = 64
 POOL = 128
-LEVELS = (8, 32)
+LEVELS = (4, 16)
 
 CRAWL_SPEC = dict(
     n_hosts=32, branch=6, list_pages=150, details_per_list=1,
