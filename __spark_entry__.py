@@ -198,7 +198,9 @@ def q_sessionize(spark, sf_dir):
         ev.withColumn("new_session", flag)
         .groupBy("user_id")
         .agg(
-            F.sum("new_session").alias("n_sessions"),
+            # DuckDB sum(int) is HUGEINT — both sides pin BIGINT so the
+            # value-hash comparison serializes identically
+            F.sum("new_session").cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
     )
@@ -272,6 +274,17 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+def dedup_embedding_lsh(spark, sf_dir):
+    from pholcus_spark.ops.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(
+        _load(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        dim=EMB_DIM,
+        num_planes=8,
+    )
+
+
 def sim_cosine_topk(spark, sf_dir):
     from pholcus_spark.ops.similarity import cosine_topk
 
@@ -310,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
     }
@@ -320,17 +334,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _ann_lsh_sql() -> str:
+def _bucket_sql(num_planes: int = 8) -> str:
+    """Sign-LSH bucket expression over `embedding` — same deterministic
+    hyperplanes and fold order as similarity.lsh_sign_bucket, so DuckDB
+    reproduces the exact buckets."""
     from pholcus_spark.ops.similarity import _hyperplane
 
     bucket_terms = []
-    for p in range(8):
+    for p in range(num_planes):
         plane = "[" + ", ".join(repr(v) for v in _hyperplane(EMB_DIM, p)) + "]"
         dot = _SQL_DOT.format(dim=EMB_DIM, a="embedding", b=plane)
         bucket_terms.append(
             f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         )
-    bucket = " + ".join(bucket_terms)
+    return " + ".join(bucket_terms)
+
+
+def _ann_lsh_sql() -> str:
+    bucket = _bucket_sql(8)
     dotq = _SQL_DOT.format(dim=EMB_DIM, a="e.embedding", b="q.qvec")
     return f"""
 WITH b AS (
@@ -423,7 +444,7 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """,
         "text_token_count": """
@@ -549,7 +570,7 @@ WITH toks AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM pb GROUP BY doc_id
 """,
         "dedup_simhash_pairs": f"""
@@ -586,6 +607,24 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND round({dot_ab} / ({_SQL_NORM.format(a='a.embedding')} * {_SQL_NORM.format(a='b.embedding')}), 4) >= 0.35
 """,
+        "dedup_embedding_lsh": f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql(8)} AS bucket FROM embeddings
+), pr AS (
+  SELECT vec_id AS id_a, embedding AS va,
+    CASE WHEN j = 8 THEN bucket
+         ELSE xor(bucket, (CAST(1 AS BIGINT) << j)) END AS probe
+  FROM (SELECT vec_id, embedding, bucket, unnest(range(0, 9)) AS j FROM b)
+), cand AS (
+  SELECT pr.id_a, o.vec_id AS id_b, pr.va, o.embedding AS vb
+  FROM pr JOIN b o ON pr.probe = o.bucket
+  WHERE pr.id_a < o.vec_id
+)
+SELECT id_a, id_b,
+  round({_SQL_DOT.format(dim=EMB_DIM, a='va', b='vb')} / ({_SQL_NORM.format(a='va')} * {_SQL_NORM.format(a='vb')}), 4) AS cosine
+FROM cand
+WHERE round({_SQL_DOT.format(dim=EMB_DIM, a='va', b='vb')} / ({_SQL_NORM.format(a='va')} * {_SQL_NORM.format(a='vb')}), 4) >= 0.35
+""",
         "sim_cosine_topk": f"""
 WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7)
 SELECT e.vec_id, e.label,
@@ -607,14 +646,14 @@ LIMIT 10
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: the near-dup pipeline the engine exists for —
     MinHash/LSH candidate generation followed by exact n-gram Jaccard
-    verification (candidates are band-bucket joins, never O(n²));
+    verification driven BY the candidate pairs (the shingle join touches
+    only candidate pairs — nothing in the plan is O(n²));
     returns verified near-duplicate pairs with their similarity."""
     sf_dir = "/root/testdata/sf0.001"
     from pholcus_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=3)
-    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.0, candidates=cand).select(
         "doc_a", "doc_b", "common", "jaccard"
     )

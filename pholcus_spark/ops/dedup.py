@@ -65,21 +65,46 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets; pairs
-    with jaccard >= threshold (a < b)."""
+    with jaccard >= threshold (a < b).
+
+    With ``candidates`` (doc_a, doc_b pairs, e.g. from
+    minhash_lsh_candidates), the shingle join is driven BY the candidate
+    pairs — cost O(candidates × shingles-per-doc) instead of the full
+    shingle self-join. This is the 100 TB path: LSH proposes, this
+    verifies, and nothing ever enumerates all pairs. Pairs sharing zero
+    shingles drop out in both modes (common >= 1 by construction)."""
     sh = word_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    common = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    if candidates is not None:
+        sh_a = sh.select(
+            F.col("doc_id").alias("doc_a"), F.col("shingle").alias("shingle")
         )
-        .agg(F.count("*").alias("common"))
-    )
+        sh_b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle")
+        )
+        common = (
+            candidates.select("doc_a", "doc_b")
+            .join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        common = (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("common"))
+        )
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -169,11 +194,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         ).alias("s")
     )
     return per_bit.groupBy("doc_id").agg(
+        # .cast("long") pins the output to BIGINT — DuckDB's sum() widens
+        # to HUGEINT, which hash-mismatches the gate otherwise
         F.sum(
             F.when(
                 F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
             ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+        ).cast("long").alias("simhash")
     )
 
 
@@ -233,6 +260,63 @@ def embedding_neardup_pairs(
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Scale-path embedding near-dup: sign-LSH bucket self-join + exact
+    cosine verify — the bucketed replacement for the all-pairs crossJoin
+    in embedding_neardup_pairs.
+
+    Candidate rule (deterministic, so exactly DuckDB-oracle-able): a
+    pair is a candidate iff their hyperplane-sign buckets are equal OR
+    differ in exactly one bit (multiprobe). Realized as an EQUI-join:
+    side A explodes into its own bucket plus all 1-bit flips (probe
+    keys); side B keeps its bucket; join on probe == bucket. The shuffle
+    key is the 8-bit bucket — O(candidates), never O(n²). Each
+    qualifying pair is produced exactly once per matching probe and
+    deduped; the exact cosine then filters false positives.
+    """
+    from .similarity import cosine_col, lsh_sign_bucket
+
+    bucketed = embeddings.select(
+        "vec_id",
+        "embedding",
+        lsh_sign_bucket(F.col("embedding"), dim, num_planes).alias("bucket"),
+    )
+    # probe j in [0, num_planes]: j == num_planes is the identity probe
+    probes = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_planes))).alias("j"),
+        F.col("bucket").alias("bucket_a"),
+    ).select(
+        "id_a",
+        "va",
+        F.when(F.col("j") == num_planes, F.col("bucket_a"))
+        .otherwise(F.col("bucket_a").bitwiseXOR(F.expr("shiftleft(cast(1 as bigint), j)")))
+        .alias("probe"),
+    )
+    other = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("bucket").alias("probe"),
+    )
+    cand = (
+        probes.join(other, "probe")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 4))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

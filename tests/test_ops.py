@@ -93,6 +93,46 @@ def test_ann_lsh_recall(spark, emb):
     assert len(brute & ann) >= 7
 
 
+def test_jaccard_candidate_driven_equals_full(spark, docs):
+    """Candidate-driven verify (the scale path entry() uses) returns
+    exactly the full-join result restricted to the candidate pairs, and
+    its plan never contains a cartesian product."""
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    driven = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0, candidates=cand)
+    plan = driven._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    full = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    expect = {
+        (r.doc_a, r.doc_b): (r.common, r.jaccard)
+        for r in full.join(cand, ["doc_a", "doc_b"]).collect()
+    }
+    got = {(r.doc_a, r.doc_b): (r.common, r.jaccard) for r in driven.collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
+    """Bucketed LSH near-dup pairs are a subset of the exact all-pairs
+    result with identical cosines, and recall is high on clustered data
+    (same-cluster vectors share sign buckets)."""
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.99).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_neardup_lsh(
+            emb, threshold=0.99, dim=16, num_planes=6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == c for p, c in lsh.items())
+    assert len(lsh) >= 0.7 * len(exact)
+    plan = dedup.embedding_neardup_lsh(
+        emb, threshold=0.99, dim=16, num_planes=6
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_neardup_pairs(spark, emb):
     pairs = dedup.embedding_neardup_pairs(emb, threshold=0.995).collect()
     assert len(pairs) > 0

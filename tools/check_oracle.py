@@ -18,6 +18,34 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from pholcus_spark.session import build_spark  # noqa: E402
 
 
+# canonical type families — the driver's value hash is typed (round 1:
+# DuckDB HUGEINT vs Spark BIGINT hash-mismatched while the stringified
+# values were identical), so we compare type families too
+_SPARK_FAM = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str",
+    "boolean": "bool", "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+_DUCK_FAM = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "int128", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
+    "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date",
+}
+
+
+def type_families(scols, sdtypes, dcols, dtypes):
+    """Return (spark_fams, duck_fams) keyed by lowercased column name;
+    unknown types map to their raw name (still comparable)."""
+    sf = {c.lower(): _SPARK_FAM.get(t, t.lower()) for c, t in sdtypes}
+    df = {
+        c.lower(): _DUCK_FAM.get(str(t).upper(), str(t).lower())
+        for c, t in zip(dcols, dtypes)
+    }
+    return sf, df
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -75,6 +103,14 @@ def main():
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             failures.append((name, f"columns {scols} vs {dcols}"))
             print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            continue
+        sfam, dfam = type_families(scols, sdf.dtypes, dcols, res.types)
+        mismatched = {
+            c: (sfam[c], dfam[c]) for c in sfam if sfam[c] != dfam.get(c)
+        }
+        if mismatched:
+            failures.append((name, f"type families differ: {mismatched}"))
+            print(f"FAIL {name}: type families differ: {mismatched}")
             continue
         sn = normalize(srows, [c.lower() for c in scols])
         dn = normalize(drows, [c.lower() for c in dcols])
