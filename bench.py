@@ -32,10 +32,15 @@ HEADLINE = [
     "q_sessionize",
     "text_token_count",
     "text_quality",
+    "text_lang_id",
     "text_fingerprint",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
     "sim_cosine_topk",
     "sim_ann_lsh",
 ]

@@ -1,18 +1,27 @@
-"""Partitioned Bloom-filter sidecar for the url_seen set.
+"""Partitioned Bloom-filter sidecar for the url_seen set — fully
+distributed, nothing driver-resident.
 
 The reference keeps its URL-seen set as an in-memory Go hash map
 (`app/aid/history/success.go:16-23`) — RAM-bound and single-process.
-The north rule scales this to 10^10 keys: the exact membership lives in
-the bucketed ``url_seen`` table; a per-bucket Bloom filter sidecar
-answers "definitely unseen" without touching the table, so the
-per-superstep dedup anti-join probes only candidates × FPR.
+The north rule scales this to 10^10 keys: exact membership lives in the
+bucketed ``url_seen`` table; per-bucket Bloom filters answer
+"definitely unseen" so the exact anti-join only sees candidates × FPR.
 
-Sizing (SURVEY.md §7.3): 10^10 keys at ~10 bits/key ≈ 12.5 GB total,
-bucketed ×1024 ≈ 12 MB/bucket — each bucket's filter is built
-independently by ``applyInPandas`` over that bucket's partition (no
-single-node bottleneck) and the assembled sidecar is broadcast for
-executor-side vectorized probing. Filters are grown incrementally with
-each superstep's appended keys and fully rebuilt at compaction.
+Scale architecture (what changed from a driver-side sidecar): at 10^10
+keys the filters total ~12.5 GB (10 bits/key) — collecting or
+broadcasting them is a hard scale-killer. Instead:
+
+* **build** — one ``applyInPandas`` task per bucket writes its bitmap
+  row; the sidecar is a parquet table ``(bucket int, bitmap binary)``
+  persisted next to the catalog (plus a tiny JSON meta).
+* **probe** — candidates are repartitioned by ``bucket`` and cogrouped
+  with the filter table, so each task loads exactly ONE bucket's bitmap
+  (~12 MB at 1024 buckets) and probes its candidates vectorized.
+* **freshness** — a sidecar covers an explicit list of url_seen delta
+  dirs (in its meta). Keys appended later are deduped by the engine
+  with an exact anti-join against just those uncovered deltas (small,
+  recent) until the next rebuild — the LSM pattern: bulk membership via
+  filters, recent tail via exact join, periodic rebuild folds the tail.
 
 Hash scheme (double hashing, Kirsch–Mitzenmacher): the key is already a
 SHA-1 hex string; bucket = first 8 hex digits mod buckets (must match
@@ -23,23 +32,28 @@ position_i = (h1 + i·h2) mod m.
 from __future__ import annotations
 
 import dataclasses
+import json
 import math
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 
-@dataclasses.dataclass
-class PartitionedBloom:
+@dataclasses.dataclass(frozen=True)
+class BloomSidecar:
+    """Handle to a persisted sidecar. Holds paths and parameters only —
+    bitmap bytes never live on the driver."""
+
+    path: str  # parquet dir of (bucket int, bitmap binary)
     num_buckets: int
     m_bits: int  # bits per bucket filter
     k: int  # hash functions
-    bitmaps: dict[int, bytes]  # bucket -> bitmap (m_bits/8 bytes)
-    n_keys: int
+    n_keys: int  # keys folded in at build time
+    covered_dirs: tuple[str, ...]  # url_seen delta dirs the filters cover
 
 
 def _params(n_per_bucket: int, fpp: float) -> tuple[int, int]:
@@ -67,91 +81,125 @@ def _build_bitmap(keys: pd.Series, m: int, k: int) -> bytes:
     return bm.tobytes()
 
 
-def build_partitioned(
+def _meta_path(path: str) -> str:
+    # underscore prefix: ignored by Spark's parquet reader
+    return os.path.join(path, "_bloom_meta.json")
+
+
+def _pointer_path(bloom_root: str) -> str:
+    return os.path.join(bloom_root, "_current.json")
+
+
+def build_sidecar(
     seen: DataFrame,
     num_buckets: int,
+    out_path: str,
     fpp: float = 0.01,
-    headroom: float = 4.0,
-) -> PartitionedBloom:
+    covered_dirs: tuple[str, ...] = (),
+    headroom: float = 2.0,
+) -> BloomSidecar:
     """Build per-bucket filters distributed (one applyInPandas group per
-    bucket), sized for `headroom ×` the current key count so incremental
-    adds don't immediately saturate."""
+    bucket) and persist them as a parquet table at ``out_path``; sized
+    for ``headroom ×`` the current key count so the uncovered tail can
+    grow before a rebuild is forced."""
     n = seen.count()
     m, k = _params(int(n * headroom / num_buckets) + 64, fpp)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
-        return pd.DataFrame({"bucket": [bucket], "bitmap": [_build_bitmap(pdf["key"], m, k)]})
+        return pd.DataFrame(
+            {"bucket": [bucket], "bitmap": [_build_bitmap(pdf["key"], m, k)]}
+        )
 
-    rows = (
+    (
         seen.select("key", "bucket")
         .groupBy("bucket")
         .applyInPandas(build, "bucket int, bitmap binary")
-        .collect()
+        .write.mode("overwrite")
+        .parquet(out_path)
     )
-    return PartitionedBloom(
+    sidecar = BloomSidecar(
+        path=out_path,
         num_buckets=num_buckets,
         m_bits=m,
         k=k,
-        bitmaps={r.bucket: bytes(r.bitmap) for r in rows},
         n_keys=n,
+        covered_dirs=tuple(covered_dirs),
     )
+    meta = dataclasses.asdict(sidecar)
+    meta["covered_dirs"] = list(sidecar.covered_dirs)
+    with open(_meta_path(out_path), "w") as f:
+        json.dump(meta, f)
+    pointer = _pointer_path(os.path.dirname(out_path))
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, pointer)  # atomic pointer swap, like the manifest
+    return sidecar
 
 
-def add_keys(bloom: PartitionedBloom, new_keys: DataFrame) -> PartitionedBloom:
-    """Fold a (small) DataFrame of appended keys into the sidecar.
-    The per-superstep delta is wave-sized, so a driver-side fold is
-    cheap; at production scale the same OR-merge runs per bucket file."""
-    m, k = bloom.m_bits, bloom.k
-    rows = new_keys.select("key", "bucket").collect()
-    maps = {b: bytearray(bm) for b, bm in bloom.bitmaps.items()}
-    for r in rows:
-        bm = maps.get(r.bucket)
-        if bm is None:
-            bm = bytearray(m // 8)
-            maps[r.bucket] = bm
-        pos = _positions(r.key, m, k)
-        for p in pos:
-            bm[int(p) >> 3] |= 1 << (int(p) & 7)
-    return PartitionedBloom(
-        num_buckets=bloom.num_buckets,
-        m_bits=m,
-        k=k,
-        bitmaps={b: bytes(bm) for b, bm in maps.items()},
-        n_keys=bloom.n_keys + len(rows),
-    )
+def load_sidecar(bloom_root: str) -> BloomSidecar | None:
+    """Load the current sidecar handle (meta only — no bitmap I/O)."""
+    pointer = _pointer_path(bloom_root)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        meta = json.load(f)
+    meta["covered_dirs"] = tuple(meta["covered_dirs"])
+    if not os.path.exists(_meta_path(meta["path"])):
+        return None
+    return BloomSidecar(**meta)
 
 
-def contains(bloom: PartitionedBloom, key: str) -> bool:
-    bucket = int(key[:8], 16) % bloom.num_buckets
-    bm = bloom.bitmaps.get(bucket)
-    if bm is None:
-        return False
-    arr = np.frombuffer(bm, dtype=np.uint8)
-    pos = _positions(key, bloom.m_bits, bloom.k)
-    return bool(np.all((arr[pos >> 3] >> (pos & 7)) & 1))
+def probe(df: DataFrame, sidecar: BloomSidecar, key_col: str = "key") -> DataFrame:
+    """Add a boolean ``_maybe_seen`` column. False = definitely unseen
+    (no exact join needed for the covered portion of url_seen).
 
+    Cogrouped probe: candidates repartition by bucket and meet exactly
+    their bucket's bitmap row — each task reads one filter, never the
+    whole sidecar. All columns of ``df`` pass through unchanged.
+    """
+    from .keys import key_bucket_col
 
-def probe(
-    spark: SparkSession, df: DataFrame, bloom: PartitionedBloom, key_col: str
-) -> DataFrame:
-    """Add a boolean ``_maybe_seen`` column via a broadcast, Arrow-batched
-    probe. False = definitely unseen (no exact-join needed)."""
-    bcast = spark.sparkContext.broadcast(
-        (bloom.num_buckets, bloom.m_bits, bloom.k, bloom.bitmaps)
-    )
+    spark = df.sparkSession
+    filters = spark.read.parquet(sidecar.path)
+    out_schema = df.schema.add("_maybe_seen", BooleanType())
+    m, k = sidecar.m_bits, sidecar.k
 
-    @pandas_udf(BooleanType())
-    def _probe(keys: pd.Series) -> pd.Series:
-        num_buckets, m, k, bitmaps = bcast.value
-        arrs = {b: np.frombuffer(bm, dtype=np.uint8) for b, bm in bitmaps.items()}
-        out = np.zeros(len(keys), dtype=bool)
-        for i, key in enumerate(keys):
-            arr = arrs.get(int(key[:8], 16) % num_buckets)
-            if arr is None:
-                continue
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left.drop(columns=["_bb"])
+        if left.empty:
+            out["_maybe_seen"] = pd.Series(dtype=bool)
+            return out
+        if right.empty:
+            out["_maybe_seen"] = False
+            return out
+        arr = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        res = np.zeros(len(out), dtype=bool)
+        for i, key in enumerate(out[key_col]):
             pos = _positions(key, m, k)
-            out[i] = bool(np.all((arr[pos >> 3] >> (pos & 7)) & 1))
-        return pd.Series(out)
+            res[i] = bool(np.all((arr[pos >> 3] >> (pos & 7)) & 1))
+        out["_maybe_seen"] = res
+        return out
 
-    return df.withColumn("_maybe_seen", _probe(F.col(key_col)))
+    return (
+        df.withColumn("_bb", key_bucket_col(F.col(key_col), sidecar.num_buckets))
+        .groupBy("_bb")
+        .cogroup(filters.groupBy("bucket"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+def contains(spark: SparkSession, sidecar: BloomSidecar, key: str) -> bool:
+    """Point probe — test helper; reads a single bucket row."""
+    bucket = int(key[:8], 16) % sidecar.num_buckets
+    rows = (
+        spark.read.parquet(sidecar.path)
+        .where(F.col("bucket") == bucket)
+        .collect()
+    )
+    if not rows:
+        return False
+    arr = np.frombuffer(bytes(rows[0].bitmap), dtype=np.uint8)
+    pos = _positions(key, sidecar.m_bits, sidecar.k)
+    return bool(np.all((arr[pos >> 3] >> (pos & 7)) & 1))

@@ -94,6 +94,13 @@ class SnapshotCatalog:
         paths = [os.path.join(self.root, d) for d in entry["dirs"]]
         return self.spark.read.parquet(*paths)
 
+    def read_dirs(self, name: str, dirs: list[str]) -> DataFrame | None:
+        """Read a specific subset of a table's delta dirs (e.g. the
+        url_seen deltas not yet covered by the Bloom sidecar)."""
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+
     def commit(
         self,
         appends: dict[str, DataFrame],

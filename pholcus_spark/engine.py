@@ -40,6 +40,7 @@ failed-wave positions.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any
 
@@ -51,7 +52,6 @@ from .catalog import SnapshotCatalog
 from .keys import (
     canon_host_udf,
     canonicalize_url,
-    canonicalize_url_udf,
     host_of,
     key_bucket_col,
     request_key,
@@ -61,12 +61,78 @@ from .spiderspec import SpiderSpec, apply_keyin, fanout_spider_name, parse_keyin
 
 FRONTIER_DDL = (
     "key string, spider string, rule string, url string, host string, "
-    "method string, priority int, seq long, depth int, parent_url string, "
-    "tries int, retried boolean, reloadable boolean, caption string, "
-    "image_id string, state string"
+    "method string, post_data string, priority int, seq long, depth int, "
+    "parent_url string, tries int, retried boolean, reloadable boolean, "
+    "temp map<string,string>, state string"
 )
 URL_SEEN_DDL = "key string, bucket int"
 ORDER_DDL = "spider string, key string, url string, superstep int, wave_pos int, priority int, seq long"
+
+
+# JVM fast path for canonicalization: a URL matching this is ALREADY in
+# canonical form (lowercase http/https scheme + lowercase host, no port,
+# no userinfo, non-empty path, no query/fragment/whitespace) — for such
+# rows curl == raw and host is a regexp_extract, all inside codegen.
+# Everything else (relative leftovers, ports, uppercase, queries, IDN,
+# malformed) takes the exact pandas-UDF path. Absolutized crawl links
+# overwhelmingly hit the fast path, so the per-link Python cost drops to
+# the odd tail — this is the widest stage of a superstep (links ≈ wave ×
+# branching).
+_FAST_CANON_RE = r"^https?://[a-z0-9\.\-]+/[^?#\s]*$"
+_FAST_HOST_RE = r"^https?://([a-z0-9\.\-]+)/"
+
+
+def canonical_split(df: DataFrame, src_col: str) -> DataFrame:
+    """Add ``curl`` (canonical URL) + ``host`` columns: JVM expression
+    for already-canonical URLs, vectorized UDF for the rest; rows whose
+    URL is malformed canonicalize to NULL curl (caller filters)."""
+    fast_cond = F.col(src_col).rlike(_FAST_CANON_RE)
+    fast = (
+        df.where(fast_cond)
+        .withColumn("curl", F.col(src_col))
+        .withColumn("host", F.regexp_extract(F.col(src_col), _FAST_HOST_RE, 1))
+    )
+    slow = (
+        df.where(fast_cond.isNull() | ~fast_cond)
+        .withColumn("_ch", canon_host_udf(src_col))
+        .withColumn("curl", F.col("_ch.curl"))
+        .withColumn("host", F.col("_ch.host"))
+        .drop("_ch")
+    )
+    return fast.unionByName(slow)
+
+
+def dense_push_rank(df: DataFrame, partitions: int) -> DataFrame:
+    """Dense global rank over push order (p_prio desc, p_seq asc,
+    ordinal asc) WITHOUT a single-partition exchange.
+
+    Two-phase: range-repartition on the sort key, rank locally inside
+    each range partition, then add the cumulative row count of the
+    preceding partitions via a broadcast join (the cumulative window
+    runs over ≤ `partitions` rows — trivially small). The sort key is
+    unique per row (ordinal disambiguates siblings), so the assembled
+    rank is independent of where the sampled range boundaries fall —
+    deterministic, and identical to the single-window rank.
+
+    The caller must persist `df` first: the range exchange samples its
+    input and the partition-count pass scans it again.
+    """
+    order = [F.desc("p_prio"), F.asc("p_seq"), F.asc("ordinal")]
+    ranged = df.repartitionByRange(partitions, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("_pid").orderBy(*order)
+    ranked = ranged.withColumn("_lrank", F.row_number().over(local))
+    pc = ranged.groupBy("_pid").agg(F.count("*").alias("_pn"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pc.withColumn(
+        "_poff", F.coalesce(F.sum("_pn").over(off_w), F.lit(0))
+    ).select("_pid", "_poff")
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn("_push_rank", (F.col("_poff") + F.col("_lrank")).cast("int"))
+        .drop("_pid", "_lrank", "_poff")
+    )
 
 
 @dataclasses.dataclass
@@ -78,6 +144,14 @@ class EngineConfig:
     record_order: bool = True  # golden-order table (tests); off for bench
     bloom_enabled: bool = True
     bloom_fpp: float = 0.01
+    # sidecar rebuild policy (LSM-style): the filters cover url_seen up
+    # to their build snapshot; newer keys are exact-anti-joined until the
+    # uncovered tail exceeds max(min, frac × covered), then the sidecar
+    # is rebuilt at the next flush. Lower bloom_rebuild_min to force the
+    # probe path at fixture scale (conformance tests do).
+    bloom_rebuild_min: int = 1024
+    bloom_rebuild_frac: float = 0.5
+    bloom_headroom: float = 2.0
     compact_every: int = 0  # url_seen compaction interval (0 = off)
     # commit (flush) the catalog every N supersteps. 1 = a durable
     # snapshot per superstep (finest resume grain). >1 buffers append
@@ -87,6 +161,10 @@ class EngineConfig:
     # per-superstep Spark-job count. Flushes are forced at stop,
     # failure-requeue, and run() exit.
     commit_every: int = 1
+    # fair-share quota: max wave rows per spider, applied to the
+    # host-budgeted wave (reference scheduler.go:92-99 avgRes slot cap).
+    # None = unlimited (single-spider runs).
+    per_spider_quota: int | None = None
     # file sizing: waves are bounded (hosts × budget), so per-superstep
     # append deltas are written with few partitions to keep task-scheduling
     # overhead and small-file count down; scale with expected wave size
@@ -114,7 +192,9 @@ class CrawlEngine:
                 [], "host string, disallow_prefixes array<string>, crawl_delay_ms long"
             )
         self.robots = robots.select("host", "disallow_prefixes", "crawl_delay_ms")
-        self._bloom = None  # lazily built per-bucket filters (bloom.py)
+        self._bloom = None  # BloomSidecar handle (paths/params only)
+        self._bloom_load_attempted = False
+        self._uncovered_est: int | None = None  # keys not covered by sidecar
         # in-memory frontier carry between supersteps: localCheckpoint
         # truncates lineage each step; parquet stays the durable resume
         # point, but the hot loop never re-reads it
@@ -133,23 +213,30 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def seed(self, seeds: list[dict]) -> None:
-        """Initialize snapshot 0 from the seed list (keyin fan-out per
-        `spiderqueue.go:56-90`; push dedup/limit/robots apply). Seed lists
-        are driver-scale by definition — this is plain Python."""
+        """Push the seed list into the frontier (keyin fan-out per
+        `spiderqueue.go:56-90`; robots/dedup/limit apply like any push).
+
+        Fresh catalog: initializes snapshot 0. Non-empty catalog: the new
+        seeds are UNIONED into the existing frontier — superstep ids,
+        seq counter, totals, and failure-state rows are all preserved
+        (the reference inherits success AND failure history on re-run,
+        `history.go:83-159`, `matrix.go:40-46`; rewriting state here
+        would hand already-failed URLs a fresh retry cycle and collide
+        superstep ids in the append-only tables). Seed lists are
+        driver-scale by definition — the row build is plain Python.
+        """
+        state0 = self._state_ref() if self.catalog.state() is not None else None
+        if state0 is not None:
+            self._flush(state0)  # durable base for the merge
         robots_rows = {r["host"]: r.asDict() for r in self.robots.collect()}
         seen_keys: set[str] = set()
         rows = []
-        next_seq = 0
-        limit = self.spec.limit
-        max_page = -limit if limit is not None else None
         for s in seeds:
             for k in parse_keyins(s.get("keyin", "") or "") or [""]:
                 spider = fanout_spider_name(s["spider"], k)
                 url = canonicalize_url(apply_keyin(s["url"], k))
                 host = host_of(url)
                 if not self._robots_allow_py(robots_rows.get(host), url):
-                    continue
-                if max_page is not None and max_page >= 0:
                     continue
                 key = request_key(spider, s["rule"], url)
                 reloadable = url in self.spec.reloadable_urls
@@ -158,44 +245,88 @@ class CrawlEngine:
                 seen_keys.add(key)
                 rows.append(
                     (
-                        key, spider, s["rule"], url, host, "GET",
-                        int(s.get("priority", 0)), next_seq, 0, None,
-                        0, False, reloadable, None, None, "queued",
+                        key, spider, s["rule"], url, host, "GET", "",
+                        int(s.get("priority", 0)), len(rows), 0, None,
+                        0, False, reloadable, {}, "queued",
                     )
                 )
-                next_seq += 1
-                if max_page is not None:
-                    max_page += 1
-        frontier = self.spark.createDataFrame(rows, FRONTIER_DDL)
-        n_rows = len(rows)
-        # SuccessInherit semantics (history.go:83-159): seeding over an
-        # existing catalog dedups non-reloadable seeds against the
-        # inherited url_seen before they enter the frontier
+        new_df = self.spark.createDataFrame(rows, FRONTIER_DDL)
+        # push dedup (hasHistory = success ∪ temp history): inherited
+        # url_seen (SuccessInherit) and still-queued frontier keys
         seen = self.catalog.read("url_seen")
-        if seen is not None:
-            frontier = frontier.where(F.col("reloadable")).unionByName(
-                frontier.where(~F.col("reloadable")).join(
-                    seen.select("key"), "key", "left_anti"
-                )
+        old_frontier = None
+        if state0 is not None:
+            old_frontier = (
+                self._frontier_df
+                if self._frontier_df is not None
+                else self.catalog.read("frontier")
             )
-            frontier = frontier.withColumn(
-                "seq", F.row_number().over(Window.orderBy("seq")).cast("long") - 1
-            ).persist()
-            n_rows = frontier.count()
-            if max_page is not None:
-                max_page = -self.spec.limit + n_rows  # type: ignore[operator]
-        state = {
-            "superstep": 0,
-            "next_seq": n_rows,
-            "max_page": max_page,
-            "queued_count": n_rows,
-            "failed_wait_count": 0,
-            "stopped": False,
-            "totals": {"fetched": 0, "failed": 0, "items": 0, "images": 0},
-        }
-        self.catalog.commit({}, {"frontier": frontier}, state)
-        self._frontier_df = None  # force re-read of the committed frontier
-        self._state = state
+        blockers = [df for df in (
+            seen.select("key") if seen is not None else None,
+            old_frontier.where(F.col("state") == "queued").select("key")
+            if old_frontier is not None
+            else None,
+        ) if df is not None]
+        if blockers:
+            block = blockers[0]
+            for b in blockers[1:]:
+                block = block.unionByName(b)
+            new_df = new_df.where(F.col("reloadable")).unionByName(
+                new_df.where(~F.col("reloadable")).join(block, "key", "left_anti")
+            )
+        base_seq = state0["next_seq"] if state0 else 0
+        limit = self.spec.limit
+        max_page = (
+            state0["max_page"]
+            if state0
+            else (-limit if limit is not None else None)
+        )
+        # limit guard: accepted (non-dup) seeds consume the remaining
+        # budget in seed order (matrix.go:59-61,97 — dups never increment)
+        new_df = new_df.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("seq"))
+        )
+        if max_page is not None:
+            new_df = new_df.where(F.col("_rn") <= max(0, -max_page))
+        new_df = (
+            new_df.withColumn(
+                "seq", (F.lit(base_seq) + F.col("_rn") - 1).cast("long")
+            )
+            .drop("_rn")
+            .persist()
+        )
+        n_new = new_df.count()
+        if state0 is None:
+            state = {
+                "superstep": 0,
+                "next_seq": n_new,
+                "max_page": max_page + n_new if max_page is not None else None,
+                "queued_count": n_new,
+                "failed_wait_count": 0,
+                "stopped": False,
+                "totals": {"fetched": 0, "failed": 0, "items": 0, "images": 0},
+            }
+            self.catalog.commit({}, {"frontier": new_df}, state)
+            self._frontier_df = None  # force re-read of the committed frontier
+            self._state = state
+        else:
+            frontier = (
+                old_frontier.unionByName(new_df)
+                .coalesce(self.config.frontier_partitions)
+                .localCheckpoint(eager=True)
+            )
+            state0.update(
+                next_seq=base_seq + n_new,
+                max_page=max_page + n_new if max_page is not None else None,
+                queued_count=state0["queued_count"] + n_new,
+                stopped=state0["stopped"] and n_new == 0,
+            )
+            self.catalog.commit({}, {"frontier": frontier}, state0)
+            if self._frontier_df is not None:
+                self._frontier_df.unpersist()
+            self._frontier_df = frontier
+            self._frontier_dirty = False
+        new_df.unpersist()
 
     @staticmethod
     def _robots_allow_py(robot_row: dict | None, url: str) -> bool:
@@ -255,11 +386,17 @@ class CrawlEngine:
         others = frontier.where(F.col("state") != "queued")
 
         # -- 1. wave selection (politeness budgets) ----------------------
+        # crawl_delay_ms = 0 falls back to the default exactly like the
+        # oracle's `delay or default` (a zero divisor would otherwise
+        # NULL out the floor and silently clamp the budget to 1)
         budget = F.greatest(
             F.lit(1),
             F.floor(
                 F.lit(cfg.wave_window_ms)
-                / F.coalesce(F.col("crawl_delay_ms"), F.lit(cfg.default_crawl_delay_ms))
+                / F.coalesce(
+                    F.nullif(F.col("crawl_delay_ms"), F.lit(0)),
+                    F.lit(cfg.default_crawl_delay_ms),
+                )
             ),
         ).cast("int")
         by_host = Window.partitionBy("host").orderBy(
@@ -276,6 +413,20 @@ class CrawlEngine:
         rest = ranked.where(F.col("_host_rank") > F.col("_budget")).drop(
             "crawl_delay_ms", "_budget", "_host_rank"
         )
+        if cfg.per_spider_quota is not None:
+            # fair share (scheduler.go:92-99 avgRes): per-spider cap over
+            # the host-budgeted wave; overflow returns to the queue. A
+            # prefix in (priority desc, seq) order == the oracle's greedy.
+            by_spider = Window.partitionBy("spider").orderBy(
+                F.desc("priority"), F.asc("seq")
+            )
+            wave = wave.withColumn("_srank", F.row_number().over(by_spider))
+            rest = rest.unionByName(
+                wave.where(F.col("_srank") > cfg.per_spider_quota).drop("_srank")
+            )
+            wave = wave.where(F.col("_srank") <= cfg.per_spider_quota).drop(
+                "_srank"
+            )
         # NOTE: no global sort of the wave. Within-wave position is the
         # total order (-priority, seq) — used directly for child dedup /
         # seq ordering. A materialized wave_pos (single-partition window)
@@ -303,6 +454,20 @@ class CrawlEngine:
             fetched = fetched_full
         ok = fetched.where(F.col("ok"))
         failed = fetched.where(~F.col("ok"))
+        # same-key repeat failures within one wave (only possible for
+        # reloadable rows — non-reloadable keys are unique in the queue):
+        # the FIRST failure (wave order) drives the failure store and the
+        # within-wave child rule; repeats go straight to the permanent
+        # failure history, like the reference's sequential DoHistory
+        # hitting an already-stashed key (matrix.go:160-168)
+        _wave_fail_rank = Window.partitionBy("key").orderBy(
+            F.desc("priority"), F.asc("seq")
+        )
+        failed_ranked = failed.withColumn(
+            "_frank", F.row_number().over(_wave_fail_rank)
+        )
+        failed_first = failed_ranked.where(F.col("_frank") == 1).drop("_frank")
+        failed_repeat = failed_ranked.where(F.col("_frank") > 1).drop("_frank")
 
         # -- 3/4. extract + emit -------------------------------------------
         from .extract import extract_all_udf
@@ -344,6 +509,31 @@ class CrawlEngine:
             )
             .withColumn("superstep", F.lit(superstep))
         )
+        if self.spec.extract_rules:
+            # user-authored ExtractRules (the ParseFunc surface): one
+            # vectorized body pass emitting array<map> items, exploded
+            # into the same items table as the built-in figure items
+            from .extract import extract_items_vec
+
+            dsl_rules = sorted({er.rule for er in self.spec.extract_rules})
+            dsl_items = (
+                html_ok.where(F.col("rule").isin(dsl_rules))
+                .withColumn(
+                    "_di",
+                    extract_items_vec(self.spec.extract_rules)(
+                        "body", "content_type", "url", "rule"
+                    ),
+                )
+                .select(
+                    "spider",
+                    "rule",
+                    "url",
+                    "parent_url",
+                    F.explode("_di").alias("data"),
+                )
+                .withColumn("superstep", F.lit(superstep))
+            )
+            items = items.unionByName(dsl_items)
 
         image_ok = fetched_full.where(
             F.col("ok") & (F.col("rule") == self.spec.image_rule)
@@ -354,7 +544,7 @@ class CrawlEngine:
             )
             .select(
                 F.coalesce(
-                    F.col("image_id"),
+                    F.try_element_at(F.col("temp"), F.lit("image_id")),
                     F.regexp_extract("url", r"/img/(.+)\.(png|jpe?g)$", 1),
                 ).alias("image_id"),
                 F.col("body").alias("bytes"),
@@ -363,7 +553,9 @@ class CrawlEngine:
                 F.when(F.col("content_type").contains("jpeg"), "jpeg")
                 .otherwise("png")
                 .alias("fmt"),
-                F.coalesce(F.col("caption"), F.lit("")).alias("caption"),
+                F.coalesce(
+                    F.try_element_at(F.col("temp"), F.lit("caption")), F.lit("")
+                ).alias("caption"),
                 F.col("val.phash").alias("phash"),
                 F.col("val.ok").alias("valid"),
                 F.col("val.error").alias("error"),
@@ -383,31 +575,20 @@ class CrawlEngine:
         # dedup (matrix.go:81-86 hasHistory = success-history ∪ temp-history):
         #   in-run keys (this wave's successes + still-queued) are small and
         #   checked with a plain anti-join; the historical url_seen — the
-        #   10^10-scale side — goes through the Bloom pre-filter so the
-        #   exact anti-join only sees probable-hit candidates (FPR-sized).
-        seen_old = self.catalog.read("url_seen")
-        for pend in self._pending.get("url_seen", []):
-            seen_old = (
-                pend if seen_old is None else seen_old.unionByName(pend)
-            )
+        #   10^10-scale side — goes through the Bloom sidecar so the exact
+        #   anti-join only sees probable hits + the uncovered recent tail.
         new_seen = ok.where(~F.col("reloadable")).select("key")
         in_run_keys = new_seen.union(rest.select("key")).distinct()
         non_reload = children.where(~F.col("reloadable")).join(
             in_run_keys, "key", "left_anti"
         )
-        if seen_old is not None:
-            if self.config.bloom_enabled:
-                non_reload = self._anti_join_seen_with_bloom(non_reload, seen_old)
-            else:
-                non_reload = non_reload.join(
-                    seen_old.select("key"), "key", "left_anti"
-                )
+        non_reload = self._dedup_vs_history(non_reload)
         # reloadable children skip every dedup check (request.go:270-277)
         kept = non_reload.unionByName(children.where(F.col("reloadable")))
         # failed-wave-position rule (see module docstring); reloadable
         # exempt. Wave position i > j  <=>  (-prio_i, seq_i) > (-prio_j,
         # seq_j) lexicographically — no materialized position needed.
-        failed_pos = failed.select(
+        failed_pos = failed_first.select(
             F.col("key").alias("_fkey"),
             F.col("priority").alias("_fprio"),
             F.col("seq").alias("_fseq"),
@@ -432,10 +613,12 @@ class CrawlEngine:
         kept = kept.withColumn("_rn", F.row_number().over(by_key)).where(
             F.col("reloadable") | (F.col("_rn") == 1)
         ).drop("_rn")
-        # limit guard cutoff in push order (matrix.go:59-61,97); this global
-        # window runs over the CHILDREN only (needed for dense seq anyway)
-        push_order = Window.orderBy(F.desc("p_prio"), F.asc("p_seq"), F.asc("ordinal"))
-        kept = kept.withColumn("_push_rank", F.row_number().over(push_order))
+        # limit guard cutoff in push order (matrix.go:59-61,97) and dense
+        # seq assignment both need a global rank over the CHILDREN — the
+        # two-phase form keeps it shuffle-parallel (no single-partition
+        # exchange anywhere in the superstep plan)
+        kept_base = kept.persist()
+        kept = dense_push_rank(kept_base, max(1, self.config.frontier_partitions))
         if state["max_page"] is not None:
             allowed = max(0, -state["max_page"])
             kept = kept.where(F.col("_push_rank") <= allowed)
@@ -443,11 +626,11 @@ class CrawlEngine:
         new_rows = kept.select(
             "key", "spider", "rule",
             F.col("curl").alias("url"), "host",
-            F.lit("GET").alias("method"), "priority",
+            "method", "post_data", "priority",
             (F.lit(state["next_seq"]) + F.col("_push_rank") - 1).alias("seq"),
             "depth", "parent_url",
             F.lit(0).alias("tries"), F.lit(False).alias("retried"),
-            "reloadable", "caption", "image_id",
+            "reloadable", "temp",
             F.lit("queued").alias("state"),
         )
 
@@ -455,18 +638,23 @@ class CrawlEngine:
         fail_store_keys = others.where(
             F.col("state").isin("failed_wait", "failed_nil")
         ).select(F.col("key").alias("_sk"))
-        failed2 = failed.join(
-            fail_store_keys, failed["key"] == fail_store_keys["_sk"], "left"
+        failed2 = failed_first.join(
+            fail_store_keys, failed_first["key"] == fail_store_keys["_sk"], "left"
         )
         perm_failed = failed2.where(F.col("_sk").isNotNull()).select(
             "key", "spider", "rule", "url",
             F.lit(superstep).alias("superstep"),
+        ).unionByName(
+            failed_repeat.select(
+                "key", "spider", "rule", "url",
+                F.lit(superstep).alias("superstep"),
+            )
         )
         new_failed_wait = failed2.where(F.col("_sk").isNull()).select(
-            "key", "spider", "rule", "url", "host", "method", "priority", "seq",
-            "depth", "parent_url",
+            "key", "spider", "rule", "url", "host", "method", "post_data",
+            "priority", "seq", "depth", "parent_url",
             (F.col("tries") + 1).alias("tries"), "retried", "reloadable",
-            "caption", "image_id",
+            "temp",
             F.lit("failed_wait").alias("state"),
         )
 
@@ -582,15 +770,11 @@ class CrawlEngine:
         self._frontier_dirty = True
         for name, df in appends.items():
             self._pending.setdefault(name, []).append(df)
-        self._pending_unpersist.extend([fetched, parsed, kept, items])
-        _tb = time.time()
-        if self._bloom is not None and n_ok > 0:
-            # fold this superstep's appended keys into the sidecar
-            from . import bloom as _bloom
-
-            self._bloom = _bloom.add_keys(self._bloom, appends["url_seen"])
-        if _dbg:
-            print(f"  [t] bloom-add {time.time()-_tb:.2f}")
+        self._pending_unpersist.extend([fetched, parsed, kept_base, kept, items])
+        if n_ok > 0:
+            # appended keys sit in the uncovered tail until the sidecar
+            # is rebuilt (exact-joined meanwhile — _dedup_vs_history)
+            self._uncovered_est = (self._uncovered_est or 0) + n_ok
         self._steps_since_flush += 1
         if self._steps_since_flush >= self.config.commit_every:
             _tfl = time.time()
@@ -626,7 +810,10 @@ class CrawlEngine:
             dirs = (m["tables"].get("url_seen") or {}).get("dirs", [])
             if len(dirs) >= self.config.compact_every:
                 self.catalog.compact("url_seen")
-                self._bloom = None  # rebuilt over the compacted table
+                # coverage now points at rewritten dirs — invalidate
+                self._bloom = None
+                self._uncovered_est = None
+        self._maybe_rebuild_bloom()
 
     # ------------------------------------------------------------------
 
@@ -651,23 +838,29 @@ class CrawlEngine:
         )
         if spec.max_depth is not None:
             links = links.where(F.col("depth") < spec.max_depth)
-        links = (
-            links.withColumn("_ch", canon_host_udf("raw_link"))
-            .withColumn("curl", F.col("_ch.curl"))
-            .withColumn("host", F.col("_ch.host"))
-            .drop("_ch")
+        # malformed hrefs canonicalize to NULL and are dropped, never
+        # fatal (common.go:178-196 MakeUrl ok=false; oracle does the same)
+        links = canonical_split(links, "raw_link").where(
+            F.col("curl").isNotNull()
         )
         # route: first matching pattern wins (spiderspec order) — a chained
-        # CASE WHEN stays JVM-side in whole-stage codegen
+        # CASE WHEN stays JVM-side in whole-stage codegen. The LinkRule also
+        # fixes the HTTP method + POST body (param.go:61-84).
         rule_col = F.lit(None).cast("string")
         prio_col = F.lit(None).cast("int")
+        method_col = F.lit(None).cast("string")
+        post_col = F.lit(None).cast("string")
         for lr in reversed(spec.link_rules):
             cond = F.col("curl").contains(lr.pattern)
             rule_col = F.when(cond, F.lit(lr.rule)).otherwise(rule_col)
             prio_col = F.when(cond, F.lit(lr.priority)).otherwise(prio_col)
+            method_col = F.when(cond, F.lit(lr.method)).otherwise(method_col)
+            post_col = F.when(cond, F.lit(lr.post_data)).otherwise(post_col)
         links = (
             links.withColumn("rule", rule_col)
             .withColumn("priority", prio_col)
+            .withColumn("method", method_col)
+            .withColumn("post_data", post_col)
             .where(F.col("rule").isNotNull())
         )
         # robots disallow filter (north-rule extension): broadcast dim join
@@ -690,65 +883,177 @@ class CrawlEngine:
         # temp caption carry for image children (request Temp, temp.go:11-44)
         figs = (
             parsed.select(
-                F.col("url").alias("fparent"), F.explode("figures").alias("fig")
+                F.col("url").alias("fparent"),
+                F.posexplode("figures").alias("fpos", "fig"),
             )
             .select(
                 "fparent",
-                canonicalize_url_udf(F.col("fig.src")).alias("fsrc"),
+                "fpos",
+                F.col("fig.src").alias("_rawsrc"),
                 F.col("fig.caption").alias("caption"),
                 F.regexp_extract(
                     F.col("fig.src"), r"/img/(.+)\.(png|jpe?g)$", 1
                 ).alias("image_id"),
             )
-            .dropDuplicates(["fparent", "fsrc"])
+        )
+        figs = (
+            canonical_split(figs, "_rawsrc")
+            .withColumnRenamed("curl", "fsrc")
+            .drop("host", "_rawsrc")
+            # same src twice on a page with different captions: the LAST
+            # occurrence wins, deterministically — matching the oracle's
+            # dict assignment (dropDuplicates would keep an arbitrary row)
+            .withColumn(
+                "_frn",
+                F.row_number().over(
+                    Window.partitionBy("fparent", "fsrc").orderBy(F.desc("fpos"))
+                ),
+            )
+            .where(F.col("_frn") == 1)
+            .drop("_frn", "fpos")
         )
         links = links.join(
             figs,
             (links["parent_url"] == figs["fparent"]) & (links["curl"] == figs["fsrc"]),
             "left",
         ).drop("fparent", "fsrc")
+        # generic Temp carry-along (request.go:280-332, temp.go:11-44):
+        # a map<string,string> column on the frontier row; the figure
+        # carry (caption/image_id for image children) populates it here,
+        # and any future rule-authored carry lands in the same map
+        links = links.withColumn(
+            "temp",
+            F.map_filter(
+                F.create_map(
+                    F.lit("caption"), F.col("caption"),
+                    F.lit("image_id"), F.col("image_id"),
+                ),
+                lambda k, v: v.isNotNull(),
+            ),
+        ).drop("caption", "image_id")
         reload_list = list(spec.reloadable_urls)
         links = links.withColumn(
             "reloadable",
             F.col("curl").isin(reload_list) if reload_list else F.lit(False),
         )
+        # method is part of the identity key: the same URL under GET and
+        # POST is two frontier entries (request.go:139-145)
         links = links.withColumn(
             "key",
             request_key_col(
-                F.col("spider"), F.col("rule"), F.col("curl"), F.lit("GET")
+                F.col("spider"), F.col("rule"), F.col("curl"), F.col("method")
             ),
         ).withColumn("depth", F.col("depth") + 1)
         return links
 
-    def _anti_join_seen_with_bloom(
-        self, candidates: DataFrame, seen_old: DataFrame
-    ) -> DataFrame:
-        """Dedup vs the historical url_seen with a Bloom pre-pass.
+    def _seen_dirs(self) -> list[str]:
+        m = self.catalog.current()
+        if m is None:
+            return []
+        return list((m["tables"].get("url_seen") or {}).get("dirs", []))
 
-        Probe the partitioned Bloom sidecars (broadcast, executor-side,
-        vectorized): definitely-unseen rows pass through with NO exact
-        join at all; probable hits (candidates × FPR + true dups) go to
-        the exact left-anti join. At 10^10 keys this is what keeps the
-        per-superstep dedup O(wave) instead of O(seen) (SURVEY.md §7.3).
+    def _read_seen(
+        self, dirs: list[str], pending: list[DataFrame]
+    ) -> DataFrame | None:
+        df = self.catalog.read_dirs("url_seen", dirs)
+        for p in pending:
+            df = p if df is None else df.unionByName(p)
+        return df
 
-        The sidecar is built incrementally: stale filters are refreshed
-        from url_seen deltas on read (bloom.py), fully rebuilt at
-        compaction.
+    def _valid_sidecar(self, dirs: list[str]):
+        """Current sidecar handle iff its coverage is still a subset of
+        the live url_seen dirs (compaction invalidates it)."""
+        if not self._bloom_load_attempted and self._bloom is None:
+            from . import bloom
+
+            self._bloom = bloom.load_sidecar(
+                os.path.join(self.catalog.root, "bloom")
+            )
+            self._bloom_load_attempted = True
+        sidecar = self._bloom
+        if sidecar is not None and not set(sidecar.covered_dirs) <= set(dirs):
+            self._bloom = sidecar = None
+            self._uncovered_est = None
+        return sidecar
+
+    def _dedup_vs_history(self, candidates: DataFrame) -> DataFrame:
+        """Anti-join candidates vs the historical url_seen, Bloom-
+        accelerated and fully distributed.
+
+        Covered portion (filters built at the last rebuild): cogrouped
+        per-bucket probe — definitely-unseen rows pass with NO exact
+        join; probable hits (candidates × FPR + true dups) exact-join
+        only the covered dirs. Uncovered tail (keys appended since the
+        rebuild, incl. unflushed deltas): small and recent, exact
+        anti-join. At 10^10 keys this keeps per-superstep dedup O(wave),
+        with no driver-resident or broadcast bitmap state (SURVEY.md
+        §7.3).
         """
+        dirs = self._seen_dirs()
+        pending = self._pending.get("url_seen", [])
+        sidecar = (
+            self._valid_sidecar(dirs) if self.config.bloom_enabled else None
+        )
+        if sidecar is None:
+            seen = self._read_seen(dirs, pending)
+            if seen is None:
+                return candidates
+            return candidates.join(seen.select("key"), "key", "left_anti")
         from . import bloom
 
-        if self._bloom is None:
-            self._bloom = bloom.build_partitioned(
-                seen_old, self.config.num_buckets, self.config.bloom_fpp
-            )
-        probed = bloom.probe(self.spark, candidates, self._bloom, "key")
+        covered = list(sidecar.covered_dirs)
+        uncovered = [d for d in dirs if d not in sidecar.covered_dirs]
+        probed = bloom.probe(candidates, sidecar, "key")
         fresh = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen")
-        maybe = (
-            probed.where(F.col("_maybe_seen"))
-            .drop("_maybe_seen")
-            .join(seen_old.select("key"), "key", "left_anti")
+        maybe = probed.where(F.col("_maybe_seen")).drop("_maybe_seen")
+        covered_df = self.catalog.read_dirs("url_seen", covered)
+        if covered_df is not None:
+            maybe = maybe.join(covered_df.select("key"), "key", "left_anti")
+        out = fresh.unionByName(maybe)
+        tail = self._read_seen(uncovered, pending)
+        if tail is not None:
+            out = out.join(tail.select("key"), "key", "left_anti")
+        return out
+
+    def _maybe_rebuild_bloom(self) -> None:
+        """At flush time: fold the uncovered url_seen tail into a fresh
+        sidecar when it has outgrown the rebuild threshold. The build is
+        one applyInPandas job over the full (durable) url_seen; filters
+        land as a parquet table — never on the driver."""
+        cfg = self.config
+        if not cfg.bloom_enabled:
+            return
+        dirs = self._seen_dirs()
+        if not dirs:
+            return
+        sidecar = self._valid_sidecar(dirs)
+        covered_n = sidecar.n_keys if sidecar is not None else 0
+        if self._uncovered_est is None:
+            uncovered = [
+                d
+                for d in dirs
+                if sidecar is None or d not in sidecar.covered_dirs
+            ]
+            df = self.catalog.read_dirs("url_seen", uncovered)
+            self._uncovered_est = df.count() if df is not None else 0
+        threshold = max(cfg.bloom_rebuild_min, cfg.bloom_rebuild_frac * covered_n)
+        if self._uncovered_est <= threshold:
+            return
+        from . import bloom
+
+        m = self.catalog.current()
+        out = os.path.join(
+            self.catalog.root, "bloom", f"v{m['snapshot_id']:06d}"
         )
-        return fresh.unionByName(maybe)
+        self._bloom = bloom.build_sidecar(
+            self.catalog.read("url_seen"),
+            cfg.num_buckets,
+            out,
+            fpp=cfg.bloom_fpp,
+            covered_dirs=tuple(dirs),
+            headroom=cfg.bloom_headroom,
+        )
+        self._uncovered_est = 0
 
     def _requeue_failures(self, state: dict, frontier: DataFrame) -> None:
         """failure-requeue-once at queue drain (`matrix.go:186-202`)."""
@@ -762,15 +1067,24 @@ class CrawlEngine:
                     seen.select("key"), "key", "left_anti"
                 )
             )
+        # one requeue per key (the failure store is key-addressed,
+        # matrix.go:160-168): keep the earliest failure if duplicates slip in
+        per_key = Window.partitionBy("key").orderBy(F.asc("seq"))
+        cand = (
+            cand.withColumn("_krn", F.row_number().over(per_key))
+            .where(F.col("_krn") == 1)
+            .drop("_krn")
+        )
         order = Window.orderBy("seq")
         cand = cand.withColumn("_rank", F.row_number().over(order))
         if state["max_page"] is not None:
             cand = cand.where(F.col("_rank") <= max(0, -state["max_page"]))
         requeued = cand.select(
-            "key", "spider", "rule", "url", "host", "method", "priority",
+            "key", "spider", "rule", "url", "host", "method", "post_data",
+            "priority",
             (F.lit(state["next_seq"]) + F.col("_rank") - 1).alias("seq"),
             "depth", "parent_url", "tries",
-            F.lit(True).alias("retried"), "reloadable", "caption", "image_id",
+            F.lit(True).alias("retried"), "reloadable", "temp",
             F.lit("queued").alias("state"),
         ).persist()
         n = requeued.count()

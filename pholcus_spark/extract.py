@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -102,6 +103,125 @@ def extract_figures_udf(
             for b, ct, u in zip(bodies, content_types, base_urls)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML cleaning helpers — reference `app/spider/common/common.go:19-101`
+# (CleanHtml, 5 aggressiveness depths) and `:210-232` (ExtractArticle,
+# longest-text-block heuristic). Re-expressed from the documented
+# behavior, vectorizable per Arrow batch.
+# ---------------------------------------------------------------------------
+
+_DOCTYPE_RE = re.compile(r"<!DOCTYPE[^>]*>", re.I)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_RE = re.compile(r"<script[^>]*>.*?</script>", re.I | re.S)
+_STYLE_RE = re.compile(r"<style[^>]*>.*?</style>", re.I | re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n+")
+_BLOCK_SPLIT_RE = re.compile(r"</?(?:p|div|article|section|br)[^>]*>", re.I)
+
+
+def clean_html(text: str, depth: int = 5) -> str:
+    """Progressive HTML cleaning, cumulative by depth
+    (`common.go:19-101` semantics): 1 = drop doctype, 2 = + comments,
+    3 = + script/style blocks, 4 = + all tags (entity-unescaped),
+    5 = + whitespace collapse."""
+    if text is None:
+        return None
+    out = text
+    if depth >= 1:
+        out = _DOCTYPE_RE.sub("", out)
+    if depth >= 2:
+        out = _COMMENT_RE.sub("", out)
+    if depth >= 3:
+        out = _SCRIPT_RE.sub("", out)
+        out = _STYLE_RE.sub("", out)
+    if depth >= 4:
+        out = html_mod.unescape(_TAG_RE.sub("", out))
+    if depth >= 5:
+        out = _WS_RE.sub(" ", out)
+        out = _NL_RE.sub("\n", out).strip()
+    return out
+
+
+def extract_article(text: str) -> str:
+    """Main-content heuristic (`common.go:210-232`): split on block-level
+    tags, clean each block, return the longest text block."""
+    if text is None:
+        return None
+    blocks = _BLOCK_SPLIT_RE.split(text)
+    best = ""
+    for b in blocks:
+        t = clean_html(b, depth=5)
+        if t and len(t) > len(best):
+            best = t
+    return best
+
+
+def clean_html_udf(depth: int = 5):
+    """Column form of :func:`clean_html` (Arrow-batched)."""
+
+    @pandas_udf(StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: clean_html(t, depth))
+
+    return _udf
+
+
+@pandas_udf(StringType())
+def extract_article_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(extract_article)
+
+
+ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
+
+
+def extract_items_vec(
+    extract_rules,
+):
+    """Vectorized applier for user-authored ExtractRules (the
+    ParseFunc/goquery replacement, ``spider.go:48-58``): returns a
+    pandas UDF (body, content_type, url, rule) → array<map> of items.
+
+    The rules are captured as plain (rule, pattern, fields) tuples so
+    the closure ships to executors; patterns compile once per task.
+    One decoded-body pass per row regardless of rule count.
+    """
+    specs = [(er.rule, er.item_pattern, tuple(er.fields)) for er in extract_rules]
+
+    @pandas_udf(ITEMS_TYPE)
+    def _udf(
+        bodies: pd.Series,
+        content_types: pd.Series,
+        base_urls: pd.Series,
+        rules: pd.Series,
+    ) -> pd.Series:
+        compiled = [
+            (rule, re.compile(pat, re.S), fields) for rule, pat, fields in specs
+        ]
+        out = []
+        for b, ct, _u, r in zip(bodies, content_types, base_urls, rules):
+            row_items: list[dict] = []
+            if b is not None:
+                text = None
+                for rule, rx, fields in compiled:
+                    if rule != r:
+                        continue
+                    if text is None:
+                        text = decode_body(b, ct)
+                    for m in rx.finditer(text):
+                        gd = m.groupdict()
+                        row_items.append(
+                            {
+                                f: html_mod.unescape(gd.get(f) or "")
+                                for f in fields
+                            }
+                        )
+            out.append(row_items)
+        return pd.Series(out)
+
+    return _udf
 
 
 EXTRACT_ALL_TYPE = StructType(

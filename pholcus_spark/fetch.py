@@ -85,7 +85,11 @@ class HttpFetcher:  # pragma: no cover - requires aiohttp + network
     """
 
     def __init__(self, timeout_s: float = 120.0, max_conn_per_task: int = 16,
-                 try_times: int = 3, retry_pause_s: float = 2.0):
+                 try_times: int = 3, retry_pause_s: float = 2.0,
+                 redirect_times: int = 0):
+        # redirect policy per the reference (`surfer/param.go:130-144`):
+        # 0 = unlimited, <0 = forbidden, n = at most n redirects
+        self.redirect_times = redirect_times
         try:
             import aiohttp  # noqa: F401
         except ImportError as e:
@@ -105,6 +109,7 @@ class HttpFetcher:  # pragma: no cover - requires aiohttp + network
         max_conn = self.max_conn_per_task
         try_times = self.try_times
         retry_pause_s = self.retry_pause_s
+        redirect_times = self.redirect_times
         schema = wave.schema.add("status", "int").add("content_type", "string").add(
             "body", "binary"
         ).add("ok", "boolean")
@@ -113,14 +118,22 @@ class HttpFetcher:  # pragma: no cover - requires aiohttp + network
             import aiohttp
             import pandas as pd
 
-            async def fetch_all(urls):
+            async def fetch_all(urls, methods, bodies):
                 conn = aiohttp.TCPConnector(limit=max_conn)
                 tmo = aiohttp.ClientTimeout(total=timeout_s)
                 async with aiohttp.ClientSession(connector=conn, timeout=tmo) as s:
-                    async def one(u):
+                    async def one(u, m, d):
+                        m = (m or "GET").upper()
+                        kwargs = {
+                            "allow_redirects": redirect_times >= 0,
+                        }
+                        if redirect_times > 0:
+                            kwargs["max_redirects"] = redirect_times
+                        if m == "POST" and d:
+                            kwargs["data"] = d
                         for attempt in range(try_times):
                             try:
-                                async with s.get(u) as r:
+                                async with s.request(m, u, **kwargs) as r:
                                     return (
                                         r.status,
                                         r.headers.get("content-type", ""),
@@ -131,10 +144,24 @@ class HttpFetcher:  # pragma: no cover - requires aiohttp + network
                                     await asyncio.sleep(retry_pause_s)
                         return (599, "", b"")
 
-                    return await asyncio.gather(*[one(u) for u in urls])
+                    return await asyncio.gather(
+                        *[one(u, m, d) for u, m, d in zip(urls, methods, bodies)]
+                    )
 
             for pdf in batches:
-                res = asyncio.run(fetch_all(pdf["url"].tolist()))
+                methods = (
+                    pdf["method"].tolist()
+                    if "method" in pdf
+                    else ["GET"] * len(pdf)
+                )
+                bodies_in = (
+                    pdf["post_data"].tolist()
+                    if "post_data" in pdf
+                    else [None] * len(pdf)
+                )
+                res = asyncio.run(
+                    fetch_all(pdf["url"].tolist(), methods, bodies_in)
+                )
                 pdf = pdf.copy()
                 pdf["status"] = [r[0] for r in res]
                 pdf["content_type"] = [r[1] for r in res]

@@ -54,6 +54,19 @@ def canonicalize_url(url: str) -> str:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+def canonicalize_url_safe(url: str | None) -> str | None:
+    """Canonicalize, returning None for malformed URLs (bad brackets,
+    out-of-range ports, …) instead of raising — crawled page content is
+    untrusted, and the reference drops unparseable hrefs rather than
+    failing the crawl (``common/common.go:178-196`` MakeUrl ok=false)."""
+    if url is None:
+        return None
+    try:
+        return canonicalize_url(url)
+    except Exception:
+        return None
+
+
 def host_of(url: str) -> str:
     """Registrable host of a URL (lowercased hostname)."""
     try:
@@ -102,7 +115,7 @@ def reference_md5_key(spider: str, rule: str, url: str, method: str = "GET") -> 
 
 @pandas_udf(StringType())
 def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+    return urls.map(canonicalize_url_safe)
 
 
 @pandas_udf(StringType())
@@ -160,11 +173,7 @@ def canon_host_udf(urls: pd.Series) -> pd.DataFrame:
     canonicalize_url_udf + host_of_udf — one urlsplit per row)."""
     curls, hosts = [], []
     for u in urls:
-        if u is None:
-            curls.append(None)
-            hosts.append(None)
-            continue
-        c = canonicalize_url(u)
+        c = canonicalize_url_safe(u)
         curls.append(c)
-        hosts.append(host_of(c))
+        hosts.append(host_of(c) if c is not None else None)
     return pd.DataFrame({"curl": curls, "host": hosts})

@@ -36,7 +36,7 @@ from __future__ import annotations
 import dataclasses
 from collections import defaultdict
 
-from .keys import canonicalize_url, host_of, request_key
+from .keys import canonicalize_url, canonicalize_url_safe, host_of, request_key
 from .spiderspec import SpiderSpec, apply_keyin, fanout_spider_name, parse_keyins
 
 
@@ -45,6 +45,11 @@ class OracleConfig:
     wave_window_ms: int = 1500
     default_crawl_delay_ms: int = 375  # 1.25 × reference Pausetime 300 ms
     requeue_failures: bool = True
+    # fair-share quota: max wave rows per spider, applied greedily (in
+    # pull order) to the host-budgeted wave — the wave-parallel form of
+    # the reference's per-spider avgRes slot cap (scheduler.go:92-99,
+    # matrix.go:72-79). None = unlimited.
+    per_spider_quota: int | None = None
 
 
 @dataclasses.dataclass
@@ -76,6 +81,31 @@ class OracleResult:
     dropped_robots: int
     dropped_limit: int
     dropped_dup: int
+
+
+def _extract_items(page: dict, er) -> list[dict]:
+    """Apply one ExtractRule to a fixture page: charset-decode the body,
+    regex over the text, one item per match, named groups → fields
+    (HTML-unescaped, missing groups → '')."""
+    import html as html_mod
+    import re as re_mod
+
+    ct = page.get("content_type") or ""
+    m = re_mod.search(r"charset=([\w-]+)", ct, re_mod.I)
+    charset = (m.group(1) if m else "utf-8").lower()
+    if charset in ("gb2312", "gbk", "gb18030"):
+        charset = "gb18030"
+    try:
+        text = (page.get("body") or b"").decode(charset, errors="replace")
+    except LookupError:
+        text = (page.get("body") or b"").decode("utf-8", errors="replace")
+    out = []
+    for match in re_mod.finditer(er.item_pattern, text, re_mod.S):
+        gd = match.groupdict()
+        out.append(
+            {f: html_mod.unescape(gd.get(f) or "") for f in er.fields}
+        )
+    return out
 
 
 def crawl(
@@ -186,6 +216,18 @@ def crawl(
                 wave.append(r)
             else:
                 rest.append(r)
+        if config.per_spider_quota is not None:
+            # fair share: per-spider cap over the host-budgeted wave,
+            # greedy in pull order; overflow returns to the queue
+            spider_used: dict[str, int] = defaultdict(int)
+            capped: list[Req] = []
+            for r in wave:
+                if spider_used[r.spider] < config.per_spider_quota:
+                    spider_used[r.spider] += 1
+                    capped.append(r)
+                else:
+                    rest.append(r)
+            wave = capped
         queued = rest
         fetched = failed = parsed = emitted = 0
 
@@ -245,33 +287,58 @@ def crawl(
                             }
                         )
                         emitted += 1
+                # user-authored extraction rules (ExtractRule): one item
+                # per regex match over the decoded body; named capture
+                # groups → fields (spider.go:48-58 ParseFunc analog)
+                for er in spec.extract_rules:
+                    if er.rule != req.rule:
+                        continue
+                    for data in _extract_items(page, er):
+                        items.append(
+                            {
+                                "rule": req.rule,
+                                "url": req.url,
+                                "parent_url": req.parent_url,
+                                "data": data,
+                            }
+                        )
+                        emitted += 1
                 if depth_ok:
                     img_link_caption = {}
                     if img_refs:
                         for image_id, link in zip(img_refs, out_links):
-                            img_link_caption[canonicalize_url(link)] = {
+                            c = canonicalize_url_safe(link)
+                            if c is None:
+                                continue
+                            img_link_caption[c] = {
                                 "caption": images_by_id.get(image_id, {}).get(
                                     "caption", ""
                                 ),
                                 "image_id": image_id,
                             }
                     for link in out_links:
-                        canon = canonicalize_url(link)
-                        routed = spec.route(canon)
-                        if routed is None:
+                        # malformed hrefs in crawled content are dropped,
+                        # never fatal (common.go:178-196 MakeUrl ok=false)
+                        canon = canonicalize_url_safe(link)
+                        if canon is None:
                             continue
-                        child_rule, child_prio = routed
+                        lr = spec.route(canon)
+                        if lr is None:
+                            continue
                         child = Req(
                             spider=req.spider,
-                            rule=child_rule,
+                            rule=lr.rule,
                             url=canon,
                             host=host_of(canon),
-                            method="GET",
-                            priority=child_prio,
+                            method=lr.method,
+                            priority=lr.priority,
                             seq=-1,
                             depth=req.depth + 1,
                             parent_url=req.url,
-                            key=request_key(req.spider, child_rule, canon),
+                            # method is part of the identity key — the same
+                            # URL under GET and POST is two frontier entries
+                            # (request.go:139-145)
+                            key=request_key(req.spider, lr.rule, canon, lr.method),
                             reloadable=canon in spec.reloadable_urls,
                             temp=img_link_caption.get(canon),
                         )

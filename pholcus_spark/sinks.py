@@ -21,15 +21,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def export_items_csv(items: DataFrame, out_dir: str) -> None:
+def rule_fields_df(spark, spec) -> DataFrame:
+    """The ItemFields dimension: (rule, field, ordinal) — declared
+    column order per rule (`spider.go:53-58`), driving sink headers
+    exactly like the reference's ordered CSV export
+    (`output_csv.go:46-50`)."""
+    rows = [
+        (rule, field, i)
+        for rule, fields in spec.item_fields().items()
+        for i, field in enumerate(fields)
+    ]
+    return spark.createDataFrame(rows, "rule string, field string, ordinal int")
+
+
+def export_items_csv(items: DataFrame, out_dir: str, field_order=None) -> None:
     """CSV export of the items table, one partition dir per
-    (spider, rule) — the namespace__subnamespace contract. The dynamic
-    map payload is flattened to JSON (the reference JSON-stringifies
-    non-string values at the sink, `output_csv.go:56-60`), and the
-    three default provenance columns ride along
-    (`context.go:236-240`)."""
+    (spider, rule) — the namespace__subnamespace contract.
+
+    ``field_order`` (rule → ordered field names, e.g.
+    ``spec.item_fields()``): the map payload is pivoted to NAMED COLUMNS
+    in declared ItemFields order, one header per rule — the reference's
+    per-subnamespace CSV shape (`output_csv.go:46-61`). Rules without a
+    declared order fall back to a JSON blob column (the reference
+    JSON-stringifies unknown values, `output_csv.go:56-60`). The default
+    provenance columns Url/ParentUrl ride along (`context.go:236-240`).
+    """
+    field_order = field_order or {}
+    listed = [r for r in field_order if r is not None]
+    rest = items.where(~F.col("rule").isin(listed)) if listed else items
+    for rule, fields in field_order.items():
+        sub = items.where(F.col("rule") == rule)
+        cols = [
+            F.try_element_at(F.col("data"), F.lit(f)).alias(f) for f in fields
+        ]
+        (
+            sub.select("spider", *cols,
+                       F.col("url").alias("Url"),
+                       F.col("parent_url").alias("ParentUrl"),
+                       "superstep")
+            .repartition("spider")
+            .write.mode("overwrite")
+            .partitionBy("spider")
+            .option("header", True)
+            .csv(f"{out_dir}/rule={rule}")
+        )
     (
-        items.select(
+        rest.select(
             "spider",
             "rule",
             F.to_json("data").alias("data_json"),
@@ -41,7 +78,7 @@ def export_items_csv(items: DataFrame, out_dir: str) -> None:
         .write.mode("overwrite")
         .partitionBy("spider", "rule")
         .option("header", True)
-        .csv(out_dir)
+        .csv(f"{out_dir}/unordered" if field_order else out_dir)
     )
 
 

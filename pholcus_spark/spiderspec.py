@@ -22,6 +22,30 @@ class LinkRule:
     pattern: str  # substring matched against the absolutized URL path
     rule: str
     priority: int
+    # HTTP method for requests routed here — GET / POST / HEAD
+    # (``surfer/param.go:61-84``; rules like taobao.go POST at AddQueue)
+    method: str = "GET"
+    post_data: str = ""  # form-urlencoded body for POST
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractRule:
+    """Declarative per-rule item extraction — the user-authorable
+    replacement for the reference's arbitrary ``ParseFunc`` + goquery
+    selectors (``spider.go:48-58``; ``context.go:214-242`` Output field
+    mapping; goquery ``property.go`` Attr/Text).
+
+    Each regex match of ``item_pattern`` over the decoded page emits one
+    item; **named capture groups** become the item's fields (values are
+    HTML-unescaped). ``fields`` is the rule's ordered ItemFields schema
+    (``spider.go:53-58``) — sinks emit columns in exactly this order
+    (``output_csv.go:46-50``), followed by the default provenance
+    columns (``context.go:236-240``).
+    """
+
+    rule: str  # parse-rule name this extraction applies to
+    item_pattern: str  # regex; one match = one item; named groups = fields
+    fields: tuple[str, ...]  # ordered ItemFields (must name capture groups)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,12 +61,24 @@ class SpiderSpec:
     reloadable_urls: frozenset[str] = frozenset()  # request.go:270-277 opt-out
     limit: int | None = None  # total enqueue cap (matrix.go:59-61,97)
     max_depth: int | None = None
+    # user-authored extraction rules (see ExtractRule); items they emit
+    # land in the same items table alongside the built-in figure items
+    extract_rules: tuple[ExtractRule, ...] = ()
 
-    def route(self, url: str) -> tuple[str, int] | None:
+    def route(self, url: str) -> LinkRule | None:
         for lr in self.link_rules:
             if lr.pattern in url:
-                return lr.rule, lr.priority
+                return lr
         return None
+
+    def item_fields(self) -> dict[str, tuple[str, ...]]:
+        """rule → ordered ItemFields. Built-in figure items carry
+        (image_id, caption); ExtractRules declare their own order.
+        Feeds the rule_fields dimension for ordered sink columns."""
+        out = {r: ("image_id", "caption") for r in self.item_rules}
+        for er in self.extract_rules:
+            out[er.rule] = er.fields
+        return out
 
 
 def parse_keyins(raw: str) -> list[str]:

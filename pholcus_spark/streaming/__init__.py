@@ -24,8 +24,9 @@ def drive_forever(engine, seed_poll, interval_s: float = 5.0, max_cycles=None):
         engine.run()
         seeds = seed_poll()
         if seeds:
-            state = engine._state_ref()
-            state["stopped"] = False
+            # seed() unions into the existing frontier and clears the
+            # stopped flag itself — state, superstep ids, and failure
+            # history all survive across poll cycles
             engine.seed(seeds)
         cycles += 1
         if max_cycles is not None and cycles >= max_cycles:

@@ -88,13 +88,13 @@ def items_set_engine(run: EngineRun) -> set[tuple]:
     if df is None:
         return set()
     return {
-        (r.rule, r.url, r.parent_url, r.data.get("image_id"), r.data.get("caption"))
+        (r.rule, r.url, r.parent_url, tuple(sorted(r.data.items())))
         for r in df.collect()
     }
 
 
 def items_set_oracle(res: oracle.OracleResult) -> set[tuple]:
     return {
-        (i["rule"], i["url"], i["parent_url"], i["data"]["image_id"], i["data"]["caption"])
+        (i["rule"], i["url"], i["parent_url"], tuple(sorted(i["data"].items())))
         for i in res.items
     }

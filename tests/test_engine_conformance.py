@@ -12,58 +12,106 @@ from pyspark.sql import functions as F
 from pholcus_spark import fixtures, testkit
 from pholcus_spark.engine import EngineConfig
 from pholcus_spark.oracle import OracleConfig
-from pholcus_spark.spiderspec import SpiderSpec
+from pholcus_spark.spiderspec import ExtractRule, LinkRule, SpiderSpec
 
 
-def assert_conformance(spark, corpus, spec, wave_window_ms=6000, bloom=True):
+def run_pair(
+    spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None
+):
     run = testkit.run_engine(
         spark, corpus, spec,
-        EngineConfig(wave_window_ms=wave_window_ms, bloom_enabled=bloom),
+        # bloom_rebuild_min=20: low enough that fixture runs rebuild the
+        # sidecar several times (exercising the cogrouped probe path),
+        # high enough not to rebuild on every flush; commit_every=2
+        # halves the per-superstep flush cost while still producing
+        # multiple durable snapshots per run
+        EngineConfig(
+            wave_window_ms=wave_window_ms,
+            bloom_enabled=bloom,
+            bloom_rebuild_min=20,
+            commit_every=2,
+            per_spider_quota=per_spider_quota,
+        ),
     )
-    res = testkit.run_oracle(corpus, spec, OracleConfig(wave_window_ms=wave_window_ms))
+    res = testkit.run_oracle(
+        corpus,
+        spec,
+        OracleConfig(
+            wave_window_ms=wave_window_ms, per_spider_quota=per_spider_quota
+        ),
+    )
+    return run, res
+
+
+def check_conformance(run, res):
+    # URL-seen membership — exact set equality
+    seen_df = run.df("url_seen")
+    engine_seen = (
+        {r.key for r in seen_df.select("key").collect()} if seen_df else set()
+    )
+    assert engine_seen == res.seen
+    # pull schedule
+    assert testkit.order_tuples_engine(run) == testkit.order_tuples_oracle(res)
+    # items
+    assert testkit.items_set_engine(run) == testkit.items_set_oracle(res)
+    # images fetched
+    img_df = run.df("images")
+    engine_imgs = (
+        {(r.image_id, r.caption) for r in img_df.collect()} if img_df else set()
+    )
+    assert engine_imgs == {(i["image_id"], i["caption"]) for i in res.images}
+    # permanent failures
+    ff = run.df("failures_final")
+    engine_ff = sorted(r.key for r in ff.collect()) if ff else []
+    assert engine_ff == sorted(res.failed_final)
+    # metrics account for every pulled request
+    mdf = run.df("metrics")
+    assert mdf.agg(F.sum("wave_size")).first()[0] == len(res.order)
+
+
+def assert_conformance(
+    spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None
+):
+    run, res = run_pair(
+        spark, corpus, spec,
+        wave_window_ms=wave_window_ms,
+        bloom=bloom,
+        per_spider_quota=per_spider_quota,
+    )
     try:
-        # URL-seen membership — exact set equality
-        seen_df = run.df("url_seen")
-        engine_seen = (
-            {r.key for r in seen_df.select("key").collect()} if seen_df else set()
-        )
-        assert engine_seen == res.seen
-        # pull schedule
-        assert testkit.order_tuples_engine(run) == testkit.order_tuples_oracle(res)
-        # items
-        assert testkit.items_set_engine(run) == testkit.items_set_oracle(res)
-        # images fetched
-        img_df = run.df("images")
-        engine_imgs = (
-            {(r.image_id, r.caption) for r in img_df.collect()} if img_df else set()
-        )
-        assert engine_imgs == {(i["image_id"], i["caption"]) for i in res.images}
-        # permanent failures
-        ff = run.df("failures_final")
-        engine_ff = sorted(r.key for r in ff.collect()) if ff else []
-        assert engine_ff == sorted(res.failed_final)
-        # metrics account for every pulled request
-        mdf = run.df("metrics")
-        assert mdf.agg(F.sum("wave_size")).first()[0] == len(res.order)
+        check_conformance(run, res)
     finally:
         run.cleanup()
     return run, res
 
 
-def test_t1_full_conformance(spark):
+@pytest.fixture(scope="module")
+def t1_run(spark):
+    """One shared t1 engine+oracle run — consumed by the full-conformance
+    check AND the image-invariant check (an engine run is the expensive
+    unit; sharing it halves the suite's t1 cost)."""
     corpus = fixtures.generate(fixtures.t1_spec())
-    assert_conformance(spark, corpus, SpiderSpec("site"))
+    run, res = run_pair(spark, corpus, SpiderSpec("site"))
+    yield corpus, run, res
+    run.cleanup()
+
+
+def test_t1_full_conformance(t1_run):
+    _, run, res = t1_run
+    check_conformance(run, res)
 
 
 def test_t1_conformance_without_bloom(spark):
-    corpus = fixtures.generate(fixtures.t1_spec())
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=2, list_pages=7)
+    )
     assert_conformance(spark, corpus, SpiderSpec("site"), bloom=False)
 
 
 def test_politeness_budget_conformance(spark):
     # strict budgets: hot-ish small graph, delay 750ms, window 1500ms → 2/host
     spec = fixtures.SiteSpec(
-        n_hosts=2, list_pages=7, details_per_list=1, images_per_detail=1,
+        n_hosts=2, list_pages=5, details_per_list=1, images_per_detail=1,
         crawl_delay_ms={"h000.test": 750, "h001.test": 1500},
         flaky_rate=0.0, fail_404_rate=0.0,
     )
@@ -110,38 +158,101 @@ def test_reloadable_conformance(spark):
     assert len(fetches) > 1  # dedup opt-out exercised
 
 
-def test_image_invariants_psnr_caption_phash(spark):
-    corpus = fixtures.generate(fixtures.t1_spec())
-    run = testkit.run_engine(spark, corpus, SpiderSpec("site"))
-    try:
-        from pholcus_spark import fixtures as fx
-        from pholcus_spark.validate import psnr_vs_truth_udf
+def test_extract_rule_dsl_conformance(spark):
+    """A user-authored spider shape (the ParseFunc surface): anchors on
+    list pages become (href, anchor_text) items — a shape the built-in
+    figure extraction never emits. Engine items == oracle items over
+    the full data map."""
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=2, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    spec = SpiderSpec(
+        "site",
+        extract_rules=(
+            ExtractRule(
+                rule="list",
+                item_pattern=r'<a href="(?P<href>[^"]*)">(?P<anchor_text>[^<]*)</a>',
+                fields=("href", "anchor_text"),
+            ),
+        ),
+    )
+    run, res = assert_conformance(spark, corpus, spec)
+    dsl_items = [i for i in res.items if "href" in i["data"]]
+    assert len(dsl_items) > 0
+    assert any(i["data"]["anchor_text"].startswith("detail") for i in dsl_items)
 
-        _, images_fixture, truth, _, _ = fx.to_spark(spark, corpus)
-        out = run.df("images")
-        assert out.where(~F.col("valid")).count() == 0
-        joined = (
-            out.alias("o")
-            .join(images_fixture.alias("f"), "image_id")
-            .join(truth, "image_id")
+
+def test_post_method_conformance(spark):
+    """POST routing: detail pages fetched via POST — the method is part
+    of the dedup key (request.go:139-145) and rides the frontier."""
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=2, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    spec = SpiderSpec(
+        "site",
+        link_rules=(
+            LinkRule("/p/", "list", 0),
+            LinkRule("/d/", "detail", 1, method="POST", post_data="view=full"),
+            LinkRule("/img/", "image", 2),
+        ),
+    )
+    run, res = assert_conformance(spark, corpus, spec)
+    assert any("/d/" in o["url"] for o in res.order)
+
+
+def test_per_spider_fair_share_conformance(spark):
+    """Two spiders sharing the engine: the per-spider wave quota binds
+    and the schedule still matches the oracle exactly
+    (scheduler.go:92-99 avgRes fair share)."""
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(
+            n_hosts=2, list_pages=4, details_per_list=1, images_per_detail=1,
+            flaky_rate=0.0, fail_404_rate=0.0,
         )
-        n = joined.count()
-        assert n == out.count()  # every crawled image exists in the fixture
-        checked = joined.select(
-            "image_id",
-            (F.col("o.caption") == F.col("f.caption")).alias("caption_eq"),
-            (F.col("o.phash") == F.col("f.phash")).alias("phash_eq"),
-            (F.col("o.w") == F.col("f.w")).alias("w_eq"),
-            (F.col("o.h") == F.col("f.h")).alias("h_eq"),
-            F.col("lossy"),
-            psnr_vs_truth_udf(F.col("o.bytes"), F.col("o.fmt"), F.col("orig_png")).alias("psnr"),
-            (F.col("o.bytes") == F.col("f.bytes")).alias("bytes_eq"),
-        ).collect()
-        for r in checked:
-            assert r.caption_eq and r.phash_eq and r.w_eq and r.h_eq, r.image_id
-            if r.lossy:
-                assert 40.0 <= r.psnr < 1e9, (r.image_id, r.psnr)
-            else:
-                assert r.bytes_eq and r.psnr == pytest.approx(1e9), r.image_id
-    finally:
-        run.cleanup()
+    )
+    corpus.seeds = [
+        {**s, "spider": f"s{i}"} for i, s in enumerate(corpus.seeds)
+    ]
+    run, res = assert_conformance(
+        spark, corpus, SpiderSpec("site"), per_spider_quota=2
+    )
+    per_step_spider = {}
+    for o in res.order:
+        k = (o["superstep"], o["spider"])
+        per_step_spider[k] = per_step_spider.get(k, 0) + 1
+    assert all(n <= 2 for n in per_step_spider.values())
+    assert len({sp for _, sp in per_step_spider}) == 2
+    assert max(per_step_spider.values()) == 2  # the quota actually binds
+
+
+def test_image_invariants_psnr_caption_phash(spark, t1_run):
+    corpus, run, _res = t1_run
+    from pholcus_spark import fixtures as fx
+    from pholcus_spark.validate import psnr_vs_truth_udf
+
+    _, images_fixture, truth, _, _ = fx.to_spark(spark, corpus)
+    out = run.df("images")
+    assert out.where(~F.col("valid")).count() == 0
+    joined = (
+        out.alias("o")
+        .join(images_fixture.alias("f"), "image_id")
+        .join(truth, "image_id")
+    )
+    n = joined.count()
+    assert n == out.count()  # every crawled image exists in the fixture
+    checked = joined.select(
+        "image_id",
+        (F.col("o.caption") == F.col("f.caption")).alias("caption_eq"),
+        (F.col("o.phash") == F.col("f.phash")).alias("phash_eq"),
+        (F.col("o.w") == F.col("f.w")).alias("w_eq"),
+        (F.col("o.h") == F.col("f.h")).alias("h_eq"),
+        F.col("lossy"),
+        psnr_vs_truth_udf(F.col("o.bytes"), F.col("o.fmt"), F.col("orig_png")).alias("psnr"),
+        (F.col("o.bytes") == F.col("f.bytes")).alias("bytes_eq"),
+    ).collect()
+    for r in checked:
+        assert r.caption_eq and r.phash_eq and r.w_eq and r.h_eq, r.image_id
+        if r.lossy:
+            assert 40.0 <= r.psnr < 1e9, (r.image_id, r.psnr)
+        else:
+            assert r.bytes_eq and r.psnr == pytest.approx(1e9), r.image_id

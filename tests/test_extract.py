@@ -1,0 +1,67 @@
+"""Extraction helpers: charset generality, HTML cleaning levels,
+article heuristic, and the ExtractRule applier (pure-fn level; the
+engine-path conformance lives in test_engine_conformance)."""
+
+from pholcus_spark.extract import (
+    clean_html,
+    decode_body,
+    extract_article,
+    extract_items_vec,  # noqa: F401 - imported to pin the public surface
+)
+from pholcus_spark.spiderspec import ExtractRule
+
+HTML = (
+    "<!DOCTYPE html><!-- c --><html><head>"
+    "<script>var x=1;</script><style>.a{}</style></head>"
+    "<body><p>Hello&nbsp;world</p>  \n\n<div>a much longer article body "
+    "with several words of actual content</div></body></html>"
+)
+
+
+def test_clean_html_depths_cumulative():
+    assert "<!DOCTYPE" not in clean_html(HTML, 1)
+    assert "<!--" in clean_html(HTML, 1)
+    assert "<!--" not in clean_html(HTML, 2)
+    assert "var x" in clean_html(HTML, 2)
+    assert "var x" not in clean_html(HTML, 3)
+    assert "<p>" in clean_html(HTML, 3)
+    lvl4 = clean_html(HTML, 4)
+    assert "<" not in lvl4 and "Hello\xa0world" in lvl4
+    lvl5 = clean_html(HTML, 5)
+    assert "  " not in lvl5 and lvl5.startswith("Hello")
+
+
+def test_extract_article_longest_block():
+    art = extract_article(HTML)
+    assert art.startswith("a much longer article")
+
+
+def test_decode_body_charset_generality():
+    # any Python-known charset from the Content-Type header works —
+    # reference handles arbitrary charsets via x/net (context.go:678-736)
+    s = "héllo wörld ¿qué?"
+    assert decode_body(s.encode("latin-1"), "text/html; charset=latin-1") == s
+    sj = "日本語のテキスト"
+    assert decode_body(sj.encode("shift_jis"), "text/html; charset=shift_jis") == sj
+    assert decode_body("中文".encode("gbk"), "text/html; charset=gbk") == "中文"
+    # unknown charset falls back to utf-8
+    assert decode_body("abc".encode(), "text/html; charset=bogus-charset") == "abc"
+
+
+def test_extract_rule_pure_applier():
+    er = ExtractRule(
+        rule="list",
+        item_pattern=r'<a href="(?P<href>[^"]*)">(?P<t>[^<]*)</a>',
+        fields=("href", "t"),
+    )
+    from pholcus_spark.oracle import _extract_items
+
+    page = {
+        "content_type": "text/html; charset=utf-8",
+        "body": b'<a href="/p/1">one &amp; two</a><a href="/p/2">three</a>',
+    }
+    items = _extract_items(page, er)
+    assert items == [
+        {"href": "/p/1", "t": "one & two"},
+        {"href": "/p/2", "t": "three"},
+    ]

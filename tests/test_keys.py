@@ -97,3 +97,35 @@ def test_spark_column_key_matches_python(spark):
         assert r.host == host_of(r.url)
         assert r.key == request_key(r.spider, r.rule, r.url, r.method)
         assert r.bucket == key_bucket(r.key, 64)
+
+
+def test_canonical_split_matches_udf_path(spark):
+    """The JVM fast path must emit exactly canonicalize_url_safe's result
+    for every URL shape — tricky ones must fall to the slow path."""
+    from pholcus_spark.engine import canonical_split
+    from pholcus_spark.keys import canonicalize_url_safe, host_of
+
+    urls = [
+        "http://h.test/p/0",                      # fast
+        "https://a-b.test/x/y.png",               # fast
+        "http://h.test/A%20B/UPPER",              # fast (path case kept)
+        "http://h.test",                          # no path → slow, adds /
+        "HTTP://H.Test/p/0",                      # uppercase → slow
+        "http://h.test:80/p/0",                   # default port → slow
+        "http://h.test:8080/p/0",                 # port kept → slow
+        "http://h.test/p?b=2&a=1",                # query sort → slow
+        "http://h.test/p#frag",                   # fragment → slow
+        "http://user@h.test/p",                   # userinfo → slow
+        "http://h.test/a b",                      # space → slow
+        "http://[::1",                            # malformed → NULL
+        "http://h.test:80x/",                     # bad port → NULL
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    out = {r.raw: (r.curl, r.host) for r in canonical_split(df, "raw").collect()}
+    assert len(out) == len(urls)
+    for u in urls:
+        expect = canonicalize_url_safe(u)
+        got_curl, got_host = out[u]
+        assert got_curl == expect, (u, got_curl, expect)
+        if expect is not None:
+            assert got_host == host_of(expect), u

@@ -1,0 +1,64 @@
+"""drive_forever / incremental seeding: seeding a non-empty catalog
+UNIONS into the frontier and preserves superstep ids, seq counter,
+totals, and failure history (matrix.go:40-46 failure inheritance;
+history.go:83-159 success inheritance)."""
+
+from pyspark.sql import functions as F
+
+from pholcus_spark import fixtures, testkit
+from pholcus_spark.engine import EngineConfig
+from pholcus_spark.spiderspec import SpiderSpec
+
+
+def test_seed_union_preserves_state_and_history(spark):
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=4, flaky_rate=0.0, fail_404_rate=0.2)
+    )
+    all_seeds = corpus.seeds
+    # a later poll delivers the same URL under a different rule — a NEW
+    # key (the rule is part of request identity, request.go:139-145)
+    new_seed = {**all_seeds[0], "rule": "detail"}
+    engines = []
+    run = testkit.run_engine(
+        spark, corpus, SpiderSpec("site"), EngineConfig(wave_window_ms=6000),
+        engine_out=engines,
+    )
+    try:
+        eng = engines[0]
+        s1 = dict(run.state)
+        assert s1["stopped"]
+        seen1 = {r.key for r in run.df("url_seen").select("key").collect()}
+        ff1 = run.df("failures_final")
+        n_ff1 = ff1.count() if ff1 is not None else 0
+
+        # poll cycle: new seed arrives → union, not reset
+        eng.seed([new_seed])
+        s2 = eng.catalog.state()
+        assert s2["superstep"] == s1["superstep"]  # not reset to 0
+        assert s2["next_seq"] == s1["next_seq"] + 1
+        assert s2["queued_count"] == 1
+        assert not s2["stopped"]
+        s3 = eng.run()
+        assert s3["stopped"]
+        assert s3["superstep"] > s1["superstep"]
+        # cumulative totals — first drain's work is preserved
+        assert s3["totals"]["fetched"] > s1["totals"]["fetched"]
+        seen2 = {r.key for r in run.df("url_seen").select("key").collect()}
+        assert seen1 < seen2
+        # permanent-failure memory survives the re-seed
+        ff2 = run.df("failures_final")
+        n_ff2 = ff2.count() if ff2 is not None else 0
+        assert n_ff2 >= n_ff1
+        # superstep ids in append-only tables never collide
+        mdf = run.df("metrics")
+        assert (
+            mdf.groupBy("superstep").count().where(F.col("count") > 1).count() == 0
+        )
+
+        # re-seeding an already-crawled seed is a deduped no-op
+        eng.seed([all_seeds[0]])
+        s4 = eng.catalog.state()
+        assert s4["queued_count"] == 0
+        assert s4["stopped"]
+    finally:
+        run.cleanup()
