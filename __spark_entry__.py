@@ -303,6 +303,20 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+def sim_knn_batch(spark, sf_dir):
+    """Batch k-NN: every 50th vector queries the corpus through the
+    bucket-partitioned LSH join (no per-query scan)."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.similarity import knn_batch_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn_batch_lsh(emb, qs, k=5, dim=EMB_DIM, num_planes=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -326,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
+        "sim_knn_batch": sim_knn_batch,
     }
 
 
@@ -366,6 +381,34 @@ WHERE e.vec_id <> 7
   AND (e.bucket = q.qbucket OR bit_count(xor(e.bucket, q.qbucket)) = 1)
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
+"""
+
+
+def _knn_batch_sql() -> str:
+    bucket = _bucket_sql(8)
+    dotq = _SQL_DOT.format(dim=EMB_DIM, a="e.embedding", b="p.qvec")
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id % 50 = 0
+), probes AS (
+  SELECT qid, qvec, qbucket AS bucket FROM q
+  UNION ALL
+  SELECT qid, qvec, xor(qbucket, CAST(1 << CAST(t.p AS INT) AS BIGINT))
+  FROM q, range(0, 8) AS t(p)
+), scored AS (
+  SELECT p.qid, e.vec_id, e.label,
+         round({dotq} / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='p.qvec')}), 4) AS cosine
+  FROM probes p JOIN b e USING (bucket)
+  WHERE e.vec_id <> p.qid
+)
+SELECT qid, vec_id, label, cosine, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+ORDER BY qid, rn
 """
 
 
@@ -635,6 +678,7 @@ ORDER BY cosine DESC, e.vec_id ASC
 LIMIT 10
 """,
         "sim_ann_lsh": _ann_lsh_sql(),
+        "sim_knn_batch": _knn_batch_sql(),
     }
 
 

@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_knn_batch",
 ]
 
 

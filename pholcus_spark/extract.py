@@ -31,7 +31,10 @@ from pyspark.sql.types import (
 
 from .keys import absolutize
 
-_CHARSET_RE = re.compile(r"charset=([\w-]+)", re.I)
+_CHARSET_RE = re.compile(r"charset=[\"']?([\w-]+)", re.I)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset=[\"']?([\w-]+)", re.I
+)
 _HREF_RE = re.compile(r"<a\s[^>]*href=\"([^\"]*)\"", re.I)
 _FIGURE_RE = re.compile(
     r"<figure><img\s+src=\"([^\"]*)\">\s*<p class=\"caption\">(.*?)</p></figure>",
@@ -48,12 +51,37 @@ FIGURES_TYPE = ArrayType(
 )
 
 
-def decode_body(body: bytes, content_type: str) -> str:
-    """Charset-sniffed decode (reference: `context.go:678-736`)."""
+def sniff_charset(body: bytes, content_type: str) -> str:
+    """Charset resolution order mirroring the reference
+    (`context.go:678-736`, x/net/html/charset.DetermineEncoding):
+    byte-order mark > Content-Type header param > ``<meta charset>`` /
+    ``<meta http-equiv>`` in the first 1024 bytes > utf-8 default.
+    Legacy GB aliases widen to gb18030 (strict superset)."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    charset = None
     m = _CHARSET_RE.search(content_type or "")
-    charset = (m.group(1) if m else "utf-8").lower()
+    if m:
+        charset = m.group(1)
+    else:
+        mm = _META_CHARSET_RE.search(body[:1024])
+        if mm:
+            charset = mm.group(1).decode("ascii", errors="replace")
+    charset = (charset or "utf-8").lower()
     if charset in ("gb2312", "gbk", "gb18030"):
         charset = "gb18030"
+    return charset
+
+
+def decode_body(body: bytes, content_type: str) -> str:
+    """Charset-sniffed decode (reference: `context.go:678-736`): any
+    charset the codec registry knows (big5, shift_jis, euc-kr,
+    iso-8859-*, koi8-r, utf-16, ...), utf-8 fallback on unknown
+    labels — never fails (errors='replace'), matching the reference's
+    drop-invalid-runes posture."""
+    charset = sniff_charset(body, content_type)
     try:
         return body.decode(charset, errors="replace")
     except LookupError:

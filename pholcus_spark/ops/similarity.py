@@ -85,6 +85,62 @@ def lsh_sign_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return bucket
 
 
+def knn_batch_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 32,
+    num_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Batch k-NN — the bucket-partitioned index path (the scale story
+    `ann_lsh_topk` lacks: that one scans the corpus per query).
+
+    `queries` is any DataFrame with (qid:long, qvec:array<float>). The
+    corpus is sign-LSH-bucketed once; each query explodes to its probe
+    buckets (own bucket + all 1-bit flips when multiprobe) and
+    equi-joins the corpus ON the bucket key — a plain shuffle join that
+    Catalyst/AQE handles (broadcast when queries are small, skew-split
+    when a bucket is hot), touching only candidate buckets instead of
+    Q full scans. Exact cosine re-rank + per-query top-k window.
+    Deterministic hyperplanes → exact DuckDB oracle despite 'ANN'.
+    """
+    from pyspark.sql.window import Window
+
+    corpus = embeddings.withColumn(
+        "bucket", lsh_sign_bucket(F.col("embedding"), dim, num_planes)
+    )
+    qb = queries.withColumn(
+        "qbucket", lsh_sign_bucket(F.col("qvec"), dim, num_planes)
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(num_planes)
+            ],
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    probed = qb.select(
+        "qid", "qvec", F.explode(probes).alias("bucket")
+    )
+    cand = probed.join(corpus, "bucket").where(F.col("vec_id") != F.col("qid"))
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        "label",
+        F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .orderBy("qid", "rn")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,

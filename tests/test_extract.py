@@ -48,6 +48,28 @@ def test_decode_body_charset_generality():
     assert decode_body("abc".encode(), "text/html; charset=bogus-charset") == "abc"
 
 
+def test_decode_body_bom_and_meta_sniff():
+    s = "héllo wörld"
+    # BOM wins over everything (utf-8-sig / utf-16 LE+BE)
+    assert decode_body(b"\xef\xbb\xbf" + s.encode("utf-8"), None) == s
+    assert decode_body(s.encode("utf-16"), "text/html") == s
+    assert decode_body(b"\xfe\xff" + s.encode("utf-16-be"), None) == s
+    # header absent -> <meta charset> sniff in the first 1 KiB
+    page = ('<html><head><meta charset="big5"></head><body>繁體中文</body>').encode(
+        "big5"
+    )
+    assert "繁體中文" in decode_body(page, "text/html")
+    # http-equiv form
+    page2 = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=euc-kr"></head><body>한국어</body>'
+    ).encode("euc-kr")
+    assert "한국어" in decode_body(page2, None)
+    # header (when present) beats the meta tag
+    page3 = '<meta charset="latin-1">中文'.encode("utf-8")
+    assert "中文" in decode_body(page3, "text/html; charset=utf-8")
+
+
 def test_extract_rule_pure_applier():
     er = ExtractRule(
         rule="list",
