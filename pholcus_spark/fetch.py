@@ -40,28 +40,40 @@ class FixtureFetcher:
     # engine falls back to a single full fetch.
     has_cheap_meta = True
 
-    def __init__(self, pages: DataFrame):
+    def __init__(self, pages: DataFrame, try_times: int = 1):
+        # try_times models the reference's in-fetch bounded retry
+        # (TryTimes, `surf.go:158-197`): one engine-level fetch of a row
+        # with `tries` prior fetches has consumed (tries+1)*try_times
+        # cumulative attempts; a page declaring `fail_attempts` failing
+        # attempts succeeds once the cumulative count exceeds it. The
+        # legacy `flaky` boolean is fail_attempts=1.
+        self.try_times = try_times
+        cols = ["status", "flaky", "content_type", "body"]
+        if "fail_attempts" in pages.columns:
+            cols.append("fail_attempts")
         # keep only fetch-relevant columns; canonical url join key
-        self.pages = pages.select(
-            F.col("url").alias("_page_url"),
-            "status",
-            "flaky",
-            "content_type",
-            "body",
-        )
+        self.pages = pages.select(F.col("url").alias("_page_url"), *cols)
+        if "fail_attempts" not in pages.columns:
+            self.pages = self.pages.withColumn(
+                "fail_attempts", F.lit(None).cast("int")
+            )
 
     def _join(self, wave: DataFrame, pages: DataFrame) -> DataFrame:
         joined = wave.join(
             pages, wave["url"] == pages["_page_url"], "left"
         ).drop("_page_url")
+        fail_n = F.coalesce(
+            F.col("fail_attempts"),
+            F.when(F.coalesce(F.col("flaky"), F.lit(False)), 1).otherwise(0),
+        )
         return (
             joined.withColumn("status", F.coalesce(F.col("status"), F.lit(599)))
             .withColumn(
                 "ok",
                 (F.col("status") < 400)
-                & ~(F.coalesce(F.col("flaky"), F.lit(False)) & (F.col("tries") == 0)),
+                & ((F.col("tries") + 1) * self.try_times > fail_n),
             )
-            .drop("flaky")
+            .drop("flaky", "fail_attempts")
         )
 
     def fetch(self, wave: DataFrame) -> DataFrame:

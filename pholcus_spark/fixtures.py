@@ -254,8 +254,8 @@ def generate(spec: SiteSpec, seed: int = SEED) -> Corpus:
 
 PAGES_DDL = (
     "url string, host string, depth int, status int, flaky boolean, "
-    "content_type string, body binary, out_links array<string>, "
-    "image_refs array<string>"
+    "fail_attempts int, content_type string, body binary, "
+    "out_links array<string>, image_refs array<string>"
 )
 IMAGES_DDL = (
     "image_id string, bytes binary, w int, h int, fmt string, "
@@ -272,7 +272,8 @@ def to_spark(spark, corpus: Corpus):
         [
             (
                 p["url"], p["host"], p["depth"], p["status"], p["flaky"],
-                p["content_type"], p["body"], p["out_links"], p["image_refs"],
+                p.get("fail_attempts"), p["content_type"], p["body"],
+                p["out_links"], p["image_refs"],
             )
             for p in corpus.pages
         ],

@@ -50,6 +50,9 @@ class OracleConfig:
     # the reference's per-spider avgRes slot cap (scheduler.go:92-99,
     # matrix.go:72-79). None = unlimited.
     per_spider_quota: int | None = None
+    # in-fetch bounded retry (reference TryTimes, surf.go:158-197): each
+    # engine-level fetch consumes try_times attempts; see FixtureFetcher.
+    try_times: int = 1
 
 
 @dataclasses.dataclass
@@ -244,10 +247,13 @@ def crawl(
                 }
             )
             page = pages_by_url.get(req.url)
+            fail_n = page.get("fail_attempts") if page else None
+            if fail_n is None and page:
+                fail_n = 1 if page.get("flaky") else 0
             ok = (
                 page is not None
                 and page["status"] < 400
-                and not (page.get("flaky") and req.tries == 0)
+                and (req.tries + 1) * config.try_times > fail_n
             )
             req.tries += 1
             if not req.reloadable:

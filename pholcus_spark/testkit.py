@@ -38,13 +38,14 @@ def run_engine(
     workdir: str | None = None,
     max_supersteps: int | None = None,
     engine_out: list | None = None,
+    try_times: int = 1,
 ) -> EngineRun:
     workdir = workdir or tempfile.mkdtemp(prefix="pholcus-engine-")
     pages, images, truth, seeds_df, robots = fixtures.to_spark(spark, corpus)
     catalog = SnapshotCatalog(workdir, spark)
     engine = CrawlEngine(
-        spark, catalog, FixtureFetcher(pages.persist()), spec, robots,
-        config or EngineConfig(),
+        spark, catalog, FixtureFetcher(pages.persist(), try_times=try_times),
+        spec, robots, config or EngineConfig(),
     )
     if engine_out is not None:
         engine_out.append(engine)

@@ -225,6 +225,45 @@ def test_per_spider_fair_share_conformance(spark):
     assert max(per_step_spider.values()) == 2  # the quota actually binds
 
 
+def test_try_times_in_fetch_retry_conformance(spark):
+    """In-fetch bounded retry (TryTimes=3, surf.go:158-197): a page
+    failing 2 attempts succeeds inside its first fetch (no requeue);
+    one failing 4 attempts needs the single matrix requeue (3+3
+    cumulative attempts); one failing 7 exhausts both fetches and lands
+    in the permanent failure store. Engine == oracle throughout."""
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    fail_map = {
+        "http://h000.test/p/1": 2,
+        "http://h000.test/p/2": 4,
+        "http://h000.test/p/3": 7,
+    }
+    for p in corpus.pages:
+        if p["url"] in fail_map:
+            p["fail_attempts"] = fail_map[p["url"]]
+    run = testkit.run_engine(
+        spark, corpus, SpiderSpec("site"),
+        EngineConfig(wave_window_ms=6000, commit_every=2),
+        try_times=3,
+    )
+    res = testkit.run_oracle(
+        corpus, SpiderSpec("site"),
+        OracleConfig(wave_window_ms=6000, try_times=3),
+    )
+    try:
+        check_conformance(run, res)
+    finally:
+        run.cleanup()
+    pulls = {}
+    for o in res.order:
+        pulls[o["url"]] = pulls.get(o["url"], 0) + 1
+    assert pulls["http://h000.test/p/1"] == 1  # retried inside the fetch
+    assert pulls["http://h000.test/p/2"] == 2  # needed the matrix requeue
+    assert pulls["http://h000.test/p/3"] == 2  # requeued once, then gave up
+    assert len(res.failed_final) == 1  # only the 7-attempt page is permanent
+
+
 def test_image_invariants_psnr_caption_phash(spark, t1_run):
     corpus, run, _res = t1_run
     from pholcus_spark import fixtures as fx

@@ -85,6 +85,7 @@ def prepare(workdir: str) -> None:
                     "depth": [0] * len(ids),
                     "status": [200] * len(ids),
                     "flaky": [False] * len(ids),
+                    "fail_attempts": pd.array([0] * len(ids), dtype="Int32"),
                     "content_type": ["image/png"] * len(ids),
                     "body": [blobs[i % POOL] for i in ids],
                     "out_links": [[] for _ in ids],
