@@ -230,6 +230,12 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(_load(spark, sf_dir, "documents"))
 
 
+def text_clean_html(spark, sf_dir):
+    from pholcus_spark.ops.text import clean_html_docs
+
+    return clean_html_docs(_load(spark, sf_dir, "documents"))
+
+
 def dedup_exact(spark, sf_dir):
     from pholcus_spark.ops.dedup import exact_duplicates
 
@@ -331,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "text_clean_html": text_clean_html,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -565,6 +572,26 @@ SELECT doc_id,
   md5({norm}) AS fp_md5,
   {_H.format(x=norm)} AS fp64
 FROM documents
+""",
+        # CleanHtml(depth=5) chain (common.go:18-41); [\S\s]+? spans and
+        # case-insensitive style/script match mirror the Spark chain in
+        # functions/html_clean.py exactly
+        "text_clean_html": r"""
+SELECT doc_id, md5(cleaned) AS clean_md5, length(cleaned) AS clean_len
+FROM (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            '<DIV id="c"><SCRIPT>track();</SCRIPT>' || text
+              || '<Style>.x{}</Style><P>tail</P></DIV>',
+            '<style[\S\s]+?</style>', '', 'gi'),
+          '<script[\S\s]+?</script>', '', 'gi'),
+        '<[\S\s]+?>', chr(10), 'g'),
+      '\s{2,}', chr(10), 'g') AS cleaned
+  FROM documents
+)
 """,
         "dedup_exact": f"""
 SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM (

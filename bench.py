@@ -34,6 +34,7 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "text_clean_html",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

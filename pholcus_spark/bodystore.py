@@ -1,0 +1,191 @@
+"""Python-native bucketed body store — keeps image/page bodies out of
+the JVM<->Python Arrow bridge entirely.
+
+Motivation (BENCH/BASELINE.md §3): the one layer of the validation
+superstep that does not scale linearly in pinned local mode is the
+JVM-side Arrow serialization of ~66 KB binary bodies into python-UDF
+batches (measured N->4N efficiency 0.55 vs 0.83-1.00 for every other
+layer). The store removes that layer: bodies rest in parquet
+directories bucketed by ``pmod(xxhash64(url), n_buckets)``, the Spark
+plan carries ONLY metadata rows, and each ``mapInPandas`` task reads
+its buckets' body files directly with pyarrow (memory-mapped, the same
+files a JVM scan would read) and runs the decode kernel in-task.
+Downstream results (and, optionally, full image rows including bytes)
+are written back as parquet *by the same task*, so body bytes never
+cross a process boundary — read(mmap) -> decode -> write, all inside
+one python worker.
+
+On a real cluster the store directory lives on the shared filesystem
+(S3/HDFS — pyarrow reads either), so the pattern holds at any executor
+count; bucketing by url hash gives uniform task-level parallelism
+independent of host skew. This mirrors the reference's split between
+its downloader (bodies) and scheduler (metadata) memory domains
+(`app/downloader/downloader_surfer.go:35-74` vs
+`app/scheduler/matrix.go:24-46`), realized as storage layout instead of
+goroutine ownership.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_col(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+class ParquetBodyStore:
+    """Bucketed (url -> body) parquet store read by python workers.
+
+    ``path`` holds one hive-partition directory per bucket:
+    ``{path}/body_bucket={k}/*.parquet`` with at least (url, body).
+    """
+
+    def __init__(self, path: str, n_buckets: int = 64):
+        self.path = path
+        self.n_buckets = n_buckets
+
+    # -- build -------------------------------------------------------------
+
+    @staticmethod
+    def write(pages: DataFrame, path: str, n_buckets: int = 64) -> "ParquetBodyStore":
+        """Materialize the store from a pages DataFrame (url, body, ...)."""
+        (
+            pages.withColumn("body_bucket", bucket_col(F.col("url"), n_buckets))
+            .repartition(n_buckets, "body_bucket")
+            .write.mode("overwrite")
+            .partitionBy("body_bucket")
+            .parquet(path)
+        )
+        return ParquetBodyStore(path, n_buckets)
+
+    # -- read+kernel -------------------------------------------------------
+
+    def _bucketed(self, meta: DataFrame, n_tasks: int) -> DataFrame:
+        """Bucket-tag and partition metadata so each task owns whole
+        buckets. Partition count is one-per-bucket, NOT n_tasks: hashing
+        B buckets into T≈B/4 partitions is a balls-in-bins draw whose
+        fullest bin (≈T·ln T collisions) becomes a straggler task that
+        caps scaling; B tasks over the cores lets the scheduler balance
+        dynamically and bounds any straggler at one bucket."""
+        del n_tasks  # partitioning is by bucket; cores only schedule
+        return (
+            meta.withColumn("_bb", bucket_col(F.col("url"), self.n_buckets))
+            .repartition(self.n_buckets, "_bb")
+            .sortWithinPartitions("_bb")
+        )
+
+    def map_bodies(
+        self,
+        meta: DataFrame,
+        kernel: Callable[[pd.DataFrame], pd.DataFrame],
+        out_schema: str,
+        n_tasks: int,
+    ) -> DataFrame:
+        """Run ``kernel`` over metadata batches with a ``body`` column
+        attached in-task (read via pyarrow from this store). ``meta``
+        must carry ``url``; rows are repartitioned by body bucket and
+        sorted so each task streams its buckets contiguously. The kernel
+        output (one pdf per input group) must match ``out_schema`` —
+        return metadata, not bodies, to keep the bridge body-free.
+        """
+        store, n_buckets = self.path, self.n_buckets
+        bucketed = self._bucketed(meta, n_tasks)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: dict[int, dict] = {}
+            for pdf in batches:
+                for bb, grp in pdf.groupby("_bb", sort=True):
+                    grp = grp.drop(columns=["_bb"]).reset_index(drop=True)
+                    bodies = _load_bucket(store, int(bb), cache)
+                    grp["body"] = [bodies.get(u) for u in grp["url"]]
+                    out = kernel(grp)
+                    if out is not None and len(out):
+                        yield out
+
+        return bucketed.mapInPandas(run, out_schema)
+
+    def sink_map_bodies(
+        self,
+        meta: DataFrame,
+        kernel: Callable[[pd.DataFrame], tuple[pd.DataFrame, "pd.DataFrame | None"]],
+        out_schema: str,
+        n_tasks: int,
+        sink_dir: str,
+        sink_tag: str,
+        sink_arrow_schema=None,
+    ) -> DataFrame:
+        """Like :meth:`map_bodies`, but the kernel returns
+        ``(manifest_pdf, sink_pdf)`` and ``sink_pdf`` (which may carry
+        body bytes) is written to ``{sink_dir}/part-{tag}-b{bucket}.parquet``
+        by the task itself — deterministic names, so task retries
+        overwrite instead of duplicating (idempotent, like a commit
+        -protocol file rename). Only the small manifest crosses back.
+        """
+        store, n_buckets = self.path, self.n_buckets
+        bucketed = self._bucketed(meta, n_tasks)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            def flush(bb: int, parts: list) -> None:
+                sink_pdf = pd.concat(parts, ignore_index=True)
+                # explicit arrow schema keeps the python-written files
+                # byte-type-identical to the Spark-written delta dirs
+                # (int32 vs inferred int64 would split the table schema)
+                tbl = pa.Table.from_pandas(
+                    sink_pdf, preserve_index=False, schema=sink_arrow_schema
+                )
+                tmp = os.path.join(sink_dir, f".part-{sink_tag}-b{bb:04d}.tmp")
+                dst = os.path.join(sink_dir, f"part-{sink_tag}-b{bb:04d}.parquet")
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, dst)
+
+            cache: dict[int, dict] = {}
+            cur_bb: int | None = None
+            parts: list = []
+            # buckets arrive sorted within the task, so one bucket's sink
+            # rows are buffered at a time and flushed on bucket change —
+            # task memory stays O(one bucket), not O(task share of corpus)
+            for pdf in batches:
+                for bb, grp in pdf.groupby("_bb", sort=True):
+                    bb = int(bb)
+                    if cur_bb is not None and bb != cur_bb and parts:
+                        flush(cur_bb, parts)
+                        parts = []
+                    cur_bb = bb
+                    grp = grp.drop(columns=["_bb"]).reset_index(drop=True)
+                    bodies = _load_bucket(store, bb, cache)
+                    grp["body"] = [bodies.get(u) for u in grp["url"]]
+                    manifest, sink = kernel(grp)
+                    if sink is not None and len(sink):
+                        parts.append(sink)
+                    if manifest is not None and len(manifest):
+                        yield manifest
+            if cur_bb is not None and parts:
+                flush(cur_bb, parts)
+
+        return bucketed.mapInPandas(run, out_schema)
+
+
+def _load_bucket(store: str, bucket: int, cache: dict[int, dict]) -> dict:
+    """url -> body dict for one bucket, memory-mapped pyarrow read;
+    single-slot cache (buckets arrive sorted within a task)."""
+    if bucket not in cache:
+        import pyarrow.parquet as pq
+
+        cache.clear()
+        t = pq.read_table(
+            f"{store}/body_bucket={bucket}", columns=["url", "body"],
+            memory_map=True,
+        )
+        cache[bucket] = dict(
+            zip(t.column("url").to_pylist(), t.column("body").to_pylist())
+        )
+    return cache[bucket]

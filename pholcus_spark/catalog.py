@@ -106,6 +106,7 @@ class SnapshotCatalog:
         appends: dict[str, DataFrame],
         rewrites: dict[str, DataFrame],
         state: dict[str, Any],
+        adopt: dict[str, list[str]] | None = None,
     ) -> dict:
         """Write data dirs, then atomically publish a new snapshot.
 
@@ -113,6 +114,10 @@ class SnapshotCatalog:
         ``rewrites``: tables fully replaced (frontier).
         ``state``: engine driver state carried in the manifest (superstep,
         next_seq, enqueued count, …) — the resume point.
+        ``adopt``: tables extended with delta dirs whose parquet files
+        were already written by executor-side python tasks (bodystore
+        sink) — the commit just publishes the paths, exactly an Iceberg
+        add-files commit. Until adopted, such dirs are invisible orphans.
         """
         prev = self.current()
         sid = (prev["snapshot_id"] + 1) if prev else 0
@@ -126,6 +131,12 @@ class SnapshotCatalog:
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
             entry = tables.setdefault(name, {"dirs": []})
             entry["dirs"] = entry["dirs"] + [rel]
+        for name, rels in (adopt or {}).items():
+            rels = [r for r in rels if os.path.isdir(os.path.join(self.root, r))]
+            if not rels:
+                continue
+            entry = tables.setdefault(name, {"dirs": []})
+            entry["dirs"] = entry["dirs"] + rels
         for name, df in rewrites.items():
             rel = f"{name}/v{sid:06d}"
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))

@@ -170,6 +170,12 @@ class EngineConfig:
     # overhead and small-file count down; scale with expected wave size
     append_partitions: int = 2
     frontier_partitions: int = 8
+    # python-side images sink: when the fetcher exposes a body store
+    # (StoreFetcher), decode+validate+write image rows inside the python
+    # task that reads the bytes — body bytes never cross the JVM<->Python
+    # Arrow bridge (the non-scaling layer in BENCH/BASELINE.md §3); the
+    # catalog adopts the task-written parquet files at commit.
+    python_image_sink: bool = False
 
 
 class CrawlEngine:
@@ -205,6 +211,10 @@ class CrawlEngine:
         self._state: dict | None = None
         self._pending: dict[str, list[DataFrame]] = {}
         self._pending_unpersist: list[DataFrame] = []
+        # python-sink staging: (manifest_df, rel_dir) pairs per table;
+        # manifests are forced (running the sink tasks) then the dirs
+        # are adopted by the same catalog commit
+        self._pending_adopt: dict[str, list[tuple[DataFrame, str]]] = {}
         self._steps_since_flush = 0
         self._frontier_dirty = False
 
@@ -535,10 +545,13 @@ class CrawlEngine:
             )
             items = items.unionByName(dsl_items)
 
-        image_ok = fetched_full.where(
+        use_pysink = self.config.python_image_sink and (
+            getattr(self.fetcher, "store", None) is not None
+        )
+        image_ok = (fetched if use_pysink else fetched_full).where(
             F.col("ok") & (F.col("rule") == self.spec.image_rule)
         )
-        images = (
+        images = None if use_pysink else (
             image_ok.withColumn(
                 "val", validate_image_udf("body", "content_type", "url")
             )
@@ -728,8 +741,28 @@ class CrawlEngine:
             )
         if n_items > 0:
             appends["items"] = items
-        if n_images > 0:
+        if n_images > 0 and not use_pysink:
             appends["images"] = images
+        elif n_images > 0:
+            from .validate import images_arrow_schema, make_image_sink_kernel
+
+            stage_rel = f"images/stage-{superstep:06d}"
+            stage_dir = os.path.join(self.catalog.root, stage_rel)
+            os.makedirs(stage_dir, exist_ok=True)
+            manifest = self.fetcher.store.sink_map_bodies(
+                image_ok.select(
+                    "url", "parent_url", "content_type", "temp"
+                ),
+                make_image_sink_kernel(superstep),
+                "image_id string, valid boolean",
+                n_tasks=self.config.append_partitions,
+                sink_dir=stage_dir,
+                sink_tag=f"s{superstep:06d}",
+                sink_arrow_schema=images_arrow_schema(),
+            )
+            self._pending_adopt.setdefault("images", []).append(
+                (manifest, stage_rel)
+            )
         if n_perm_failed > 0:
             appends["failures_final"] = perm_failed
         if self.config.record_order and wave_size > 0:
@@ -798,7 +831,15 @@ class CrawlEngine:
             if (self._frontier_dirty and self._frontier_df is not None)
             else {}
         )
-        self.catalog.commit(appends, rewrites, state)
+        adopt: dict[str, list[str]] = {}
+        for name, staged in self._pending_adopt.items():
+            for manifest, rel in staged:
+                # forcing the manifest runs the python sink tasks; the
+                # files land under rel before the commit publishes it
+                manifest.write.mode("overwrite").format("noop").save()
+                adopt.setdefault(name, []).append(rel)
+        self._pending_adopt = {}
+        self.catalog.commit(appends, rewrites, state, adopt=adopt)
         for df in self._pending_unpersist:
             df.unpersist()
         self._pending = {}

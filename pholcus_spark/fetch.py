@@ -48,7 +48,11 @@ class FixtureFetcher:
         # attempts succeeds once the cumulative count exceeds it. The
         # legacy `flaky` boolean is fail_attempts=1.
         self.try_times = try_times
-        cols = ["status", "flaky", "content_type", "body"]
+        cols = [
+            c
+            for c in ("status", "flaky", "content_type", "body")
+            if c in pages.columns  # StoreFetcher meta carries no body
+        ]
         if "fail_attempts" in pages.columns:
             cols.append("fail_attempts")
         # keep only fetch-relevant columns; canonical url join key
@@ -84,6 +88,41 @@ class FixtureFetcher:
         page cache prunes the body column, so this join moves KBs, not
         the corpus."""
         return self._join(wave, self.pages.drop("body"))
+
+
+class StoreFetcher(FixtureFetcher):
+    """FixtureFetcher over a :class:`~pholcus_spark.bodystore.ParquetBodyStore`:
+    the JVM plan joins waves against the store's metadata projection only
+    (body column pruned at the parquet scan); body-consuming stages pull
+    bytes python-side via ``store.map_bodies`` so bodies never cross the
+    JVM<->Python Arrow bridge (BENCH/BASELINE.md §3 — the 0.55-efficiency
+    serialization layer is removed from the plan entirely).
+    """
+
+    def __init__(self, spark, store, try_times: int = 1):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        self.store = store
+        meta = spark.read.parquet(store.path).drop("body", "body_bucket")
+        super().__init__(meta, try_times=try_times)
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        """Full fetch (bodies attached) — used only by branches that
+        genuinely need bytes JVM-side (HTML extract UDFs). The attach is
+        a python-side bucket read + yield, costing one Python->JVM body
+        crossing for those rows only."""
+        meta = self.fetch_meta(wave)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in meta.schema.fields
+        ) + ", body binary"
+
+        def attach(pdf):
+            out = pdf.copy()
+            return out
+
+        return self.store.map_bodies(
+            meta, attach, schema, n_tasks=self.store.n_buckets
+        )
 
 
 class HttpFetcher:  # pragma: no cover - requires aiohttp + network

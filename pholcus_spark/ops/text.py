@@ -133,3 +133,24 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         portable_hash64(norm).alias("fp64"),
     )
+
+
+def clean_html_docs(docs: DataFrame) -> DataFrame:
+    """Reference CleanHtml(depth=5) over a deterministic pseudo-HTML
+    wrap of each document (`app/spider/common/common.go:18-41`): strips
+    style/script blocks, replaces tags with newlines, collapses
+    whitespace runs — the whole chain is JVM regexp_replace (codegen),
+    no Python in the plan."""
+    from ..functions.html_clean import clean_html
+
+    raw = F.concat(
+        F.lit('<DIV id="c"><SCRIPT>track();</SCRIPT>'),
+        F.col("text"),
+        F.lit('<Style>.x{}</Style><P>tail</P></DIV>'),
+    )
+    cleaned = clean_html(raw, depth=5)
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )

@@ -28,6 +28,7 @@ class EngineRun:
 
     def cleanup(self):
         shutil.rmtree(self.workdir, ignore_errors=True)
+        shutil.rmtree(f"{self.workdir}-bodystore", ignore_errors=True)
 
 
 def run_engine(
@@ -39,13 +40,23 @@ def run_engine(
     max_supersteps: int | None = None,
     engine_out: list | None = None,
     try_times: int = 1,
+    body_store: bool = False,
 ) -> EngineRun:
     workdir = workdir or tempfile.mkdtemp(prefix="pholcus-engine-")
     pages, images, truth, seeds_df, robots = fixtures.to_spark(spark, corpus)
     catalog = SnapshotCatalog(workdir, spark)
+    if body_store:
+        from .bodystore import ParquetBodyStore
+        from .fetch import StoreFetcher
+
+        store = ParquetBodyStore.write(
+            pages, f"{workdir}-bodystore", n_buckets=16
+        )
+        fetcher = StoreFetcher(spark, store, try_times=try_times)
+    else:
+        fetcher = FixtureFetcher(pages.persist(), try_times=try_times)
     engine = CrawlEngine(
-        spark, catalog, FixtureFetcher(pages.persist(), try_times=try_times),
-        spec, robots, config or EngineConfig(),
+        spark, catalog, fetcher, spec, robots, config or EngineConfig(),
     )
     if engine_out is not None:
         engine_out.append(engine)

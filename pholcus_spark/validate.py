@@ -78,6 +78,87 @@ def validate_image_udf(
     return pd.DataFrame({"w": ws, "h": hs, "phash": phs, "ok": oks, "error": errs})
 
 
+IMAGES_ARROW_SCHEMA_FIELDS = [
+    ("image_id", "string"),
+    ("bytes", "binary"),
+    ("w", "int32"),
+    ("h", "int32"),
+    ("fmt", "string"),
+    ("caption", "string"),
+    ("phash", "int64"),
+    ("valid", "bool_"),
+    ("error", "string"),
+    ("url", "string"),
+    ("parent_url", "string"),
+    ("superstep", "int32"),
+]
+
+
+def images_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([(n, getattr(pa, t)()) for n, t in IMAGES_ARROW_SCHEMA_FIELDS])
+
+
+def make_image_sink_kernel(superstep: int):
+    """Body-store kernel for the python-side images sink: decodes and
+    validates in the same task that read the bytes, returns
+    ``(manifest_pdf, sink_pdf)`` where the sink carries the full images
+    -table row (bytes included) and the manifest only (image_id, valid).
+    Same per-row semantics as ``validate_image_udf`` + the engine's
+    images projection (engine.py images branch)."""
+    import re
+
+    id_re = re.compile(r"/img/(.+)\.(png|jpe?g)$")
+
+    def kernel(grp: pd.DataFrame):
+        ids, ws, hs, fmts, caps, phs, oks, errs = [], [], [], [], [], [], [], []
+        for body, ct, url, temp in zip(
+            grp["body"], grp["content_type"], grp["url"], grp["temp"]
+        ):
+            temp = temp or {}
+            iid = temp.get("image_id")
+            if not iid:
+                m = id_re.search(url or "")
+                iid = m.group(1) if m else ""
+            ids.append(iid)
+            fmts.append("jpeg" if "jpeg" in (ct or "") else "png")
+            caps.append(temp.get("caption") or "")
+            try:
+                px = decode_image(bytes(body), _fmt_of(ct, url))
+                ws.append(int(px.shape[1]))
+                hs.append(int(px.shape[0]))
+                phs.append(phash64(px))
+                oks.append(True)
+                errs.append(None)
+            except NotImplementedError as e:
+                ws.append(None), hs.append(None), phs.append(None)
+                oks.append(False), errs.append(f"stub:{e}")
+            except Exception as e:
+                ws.append(None), hs.append(None), phs.append(None)
+                oks.append(False), errs.append(str(e))
+        sink = pd.DataFrame(
+            {
+                "image_id": ids,
+                "bytes": [bytes(b) if b is not None else None for b in grp["body"]],
+                "w": pd.array(ws, dtype="Int32"),
+                "h": pd.array(hs, dtype="Int32"),
+                "fmt": fmts,
+                "caption": caps,
+                "phash": pd.array(phs, dtype="Int64"),
+                "valid": oks,
+                "error": errs,
+                "url": grp["url"],
+                "parent_url": grp["parent_url"],
+                "superstep": pd.array([superstep] * len(grp), dtype="Int32"),
+            }
+        )
+        manifest = pd.DataFrame({"image_id": ids, "valid": oks})
+        return manifest, sink
+
+    return kernel
+
+
 @pandas_udf(DoubleType())
 def psnr_vs_truth_udf(
     bodies: pd.Series, fmts: pd.Series, orig_pngs: pd.Series

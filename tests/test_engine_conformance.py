@@ -16,7 +16,8 @@ from pholcus_spark.spiderspec import ExtractRule, LinkRule, SpiderSpec
 
 
 def run_pair(
-    spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None
+    spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None,
+    body_store=False,
 ):
     run = testkit.run_engine(
         spark, corpus, spec,
@@ -31,7 +32,9 @@ def run_pair(
             bloom_rebuild_min=20,
             commit_every=2,
             per_spider_quota=per_spider_quota,
+            python_image_sink=body_store,
         ),
+        body_store=body_store,
     )
     res = testkit.run_oracle(
         corpus,
@@ -70,13 +73,15 @@ def check_conformance(run, res):
 
 
 def assert_conformance(
-    spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None
+    spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None,
+    body_store=False,
 ):
     run, res = run_pair(
         spark, corpus, spec,
         wave_window_ms=wave_window_ms,
         bloom=bloom,
         per_spider_quota=per_spider_quota,
+        body_store=body_store,
     )
     try:
         check_conformance(run, res)
@@ -295,3 +300,31 @@ def test_image_invariants_psnr_caption_phash(spark, t1_run):
             assert 40.0 <= r.psnr < 1e9, (r.image_id, r.psnr)
         else:
             assert r.bytes_eq and r.psnr == pytest.approx(1e9), r.image_id
+
+
+def test_body_store_python_sink_conformance(spark):
+    """StoreFetcher + python_image_sink: bodies are read from the
+    bucketed body store by python tasks and the images table is written
+    by those same tasks (catalog adopts the files at commit). Full
+    conformance vs the oracle must hold, and the adopted images table
+    must be byte-identical to the fixture blobs — the python-written
+    parquet is the same table, not a near-copy."""
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=2, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    run, res = run_pair(spark, corpus, SpiderSpec("site"), body_store=True)
+    try:
+        check_conformance(run, res)
+        # re-open the committed catalog: adopted dirs must read back as
+        # one schema-consistent table with valid rows and real bytes
+        out = run.df("images")
+        assert out is not None and out.count() == len(res.images)
+        assert out.where(~F.col("valid")).count() == 0
+        from pholcus_spark import fixtures as fx
+
+        _, images_fixture, _, _, _ = fx.to_spark(spark, corpus)
+        joined = out.alias("o").join(images_fixture.alias("f"), "image_id")
+        assert joined.where(F.col("o.bytes") != F.col("f.bytes")).count() == 0
+        assert joined.where(F.col("o.phash") != F.col("f.phash")).count() == 0
+    finally:
+        run.cleanup()

@@ -87,3 +87,38 @@ def test_extract_rule_pure_applier():
         {"href": "/p/1", "t": "one & two"},
         {"href": "/p/2", "t": "three"},
     ]
+
+
+def test_clean_html_depth_chain(spark):
+    """functions/html_clean vs the reference CleanHtml chain
+    (common.go:18-41): depth levels accumulate, and the (?i) JVM chain
+    matches the lowercase-tags + case-sensitive reference composition."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.functions.html_clean import (
+        clean_html,
+        deprive,
+        deprive2,
+        lowercase_tags_udf,
+    )
+
+    raw = (
+        '<DIV id="x">keep-A<SCRIPT>drop_js()</SCRIPT>'
+        "<Style>.drop_css{}</Style><P>keep-B</P>   tail</DIV>"
+    )
+    df = spark.createDataFrame([(raw,)], "html string")
+    out = df.select(
+        clean_html("html", 5).alias("c5"),
+        clean_html("html", 3).alias("c3"),
+        deprive(F.lit("a b\tc\nd")).alias("d1"),
+        deprive2(F.lit(r"a\nb c\td")).alias("d2"),
+        clean_html(lowercase_tags_udf("html"), 5).alias("c5_lower"),
+    ).first()
+    assert out.c5 == "\nkeep-A\nkeep-B\ntail\n"
+    assert "drop_js" not in out.c3 and ".drop_css" not in out.c3
+    assert "<DIV" in out.c3  # depth 3 keeps tags
+    assert out.d1 == "abcd"
+    assert out.d2 == "abcd"
+    # reference composition (tags lowercased first) yields same text
+    assert out.c5_lower == out.c5

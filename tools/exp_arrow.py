@@ -48,7 +48,19 @@ VARIANTS: dict[str, dict] = {
             "spark.driver.extraJavaOptions": "-XX:+UseG1GC -XX:G1HeapRegionSize=32m",
         },
     },
+    # Python-native body read: the JVM plan carries ONLY metadata rows
+    # (url, bucket); each mapInPandas task reads its buckets' body
+    # parquet directly with pyarrow (mmap from the same files Spark
+    # would scan) and runs the decode+phash kernel in-task. Bodies never
+    # cross the JVM<->Python Arrow bridge in either direction.
+    "pybody": {"cache": False, "conf": {}, "pybody": True},
+    # same, plus sinking the full image rows (bytes included) to parquet
+    # from the Python task — models the images-table write staying
+    # python-side too (no JVM body write either)
+    "pybody_sink": {"cache": False, "conf": {}, "pybody": True, "sink": True},
 }
+
+N_BUCKETS = 64
 
 
 def prepare() -> None:
@@ -87,8 +99,83 @@ def prepare() -> None:
         .write.mode("overwrite")
         .parquet(f"{FIXDIR}/pages")
     )
+    # bucketed body store for the pybody variants: one directory per
+    # pmod(xxhash64(url), N_BUCKETS), readable with plain pyarrow
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{FIXDIR}/pages")
+        .withColumn("body_bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)))
+        .repartition(N_BUCKETS, "body_bucket")
+        .write.mode("overwrite")
+        .partitionBy("body_bucket")
+        .parquet(f"{FIXDIR}/pages_bucketed")
+    )
     open(f"{FIXDIR}/_SUCCESS_MARK", "w").close()
     spark.stop()
+
+
+def pybody_run(spark, cpus: int, sink: bool) -> None:
+    """Meta-only plan + in-task pyarrow body read + in-task kernel
+    (+ optional in-task parquet sink of the full image rows) — via the
+    production ParquetBodyStore path."""
+    import shutil
+
+    from pholcus_spark.bodystore import ParquetBodyStore
+
+    store = ParquetBodyStore(f"{FIXDIR}/pages_bucketed", N_BUCKETS)
+    sinkdir = f"/dev/shm/exp-arrow-sink-{cpus}"
+    shutil.rmtree(sinkdir, ignore_errors=True)
+    meta = spark.read.parquet(store.path).select("url", "content_type")
+
+    def validate_kernel(grp):
+        import pandas as pd
+
+        from pholcus_spark.imaging import decode_image, phash64
+
+        phs, oks = [], []
+        for b in grp["body"]:
+            try:
+                px = decode_image(b, "png")
+                phs.append(phash64(px))
+                oks.append(True)
+            except Exception:
+                phs.append(None)
+                oks.append(False)
+        return pd.DataFrame({"url": grp["url"], "phash": phs, "ok": oks})
+
+    if sink:
+        os.makedirs(sinkdir, exist_ok=True)
+
+        def sink_kernel(grp):
+            import pandas as pd
+
+            out = validate_kernel(grp)
+            sink_pdf = pd.DataFrame(
+                {
+                    "url": grp["url"],
+                    "bytes": grp["body"],
+                    "phash": out["phash"],
+                    "ok": out["ok"],
+                }
+            )
+            return out, sink_pdf
+
+        df = store.sink_map_bodies(
+            meta, sink_kernel, "url string, phash long, ok boolean",
+            n_tasks=cpus, sink_dir=sinkdir, sink_tag="exp",
+        )
+    else:
+        df = store.map_bodies(
+            meta, validate_kernel, "url string, phash long, ok boolean",
+            n_tasks=cpus,
+        )
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    shutil.rmtree(sinkdir, ignore_errors=True)
+    print(json.dumps({"cpus": cpus, "seconds": round(dt, 2),
+                      "rows_per_sec": round(N_IMAGES / dt, 1)}))
 
 
 def timed_run(cpus: int, variant: str) -> None:
@@ -103,6 +190,10 @@ def timed_run(cpus: int, variant: str) -> None:
         extra_conf={"spark.local.dir": "/dev/shm/spark-local", **spec["conf"]},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if spec.get("pybody"):
+        pybody_run(spark, cpus, sink=bool(spec.get("sink")))
+        spark.stop()
+        return
     pages = spark.read.parquet(f"{FIXDIR}/pages").repartition(cpus * 4, "url")
     if spec["cache"]:
         pages = pages.persist()
