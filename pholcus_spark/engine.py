@@ -454,7 +454,16 @@ class CrawlEngine:
         # what every bookkeeping branch consumes; body-bearing branches
         # (extract, image write) each stream bodies exactly once. With a
         # cheap-meta fetcher the metadata pass never touches bodies at all.
-        if getattr(self.fetcher, "has_cheap_meta", False):
+        has_store = getattr(self.fetcher, "store", None) is not None
+        if has_store:
+            # body-store fetcher: the JVM plan carries metadata only;
+            # each body-consuming branch filters on metadata FIRST and
+            # attaches bytes python-side for just its rows (filters do
+            # not push through mapInPandas, so attach-then-filter would
+            # ship every body)
+            fetched_full = None
+            fetched = self.fetcher.fetch_meta(wave).persist()
+        elif getattr(self.fetcher, "has_cheap_meta", False):
             # deterministic fetcher: body branches re-derive lazily
             fetched_full = self.fetcher.fetch(wave)
             fetched = self.fetcher.fetch_meta(wave).persist()
@@ -483,18 +492,25 @@ class CrawlEngine:
         from .extract import extract_all_udf
         from .validate import validate_image_udf
 
-        html_ok = fetched_full.where(
-            F.col("ok") & (F.col("rule") != self.spec.image_rule)
-        )
-        parsed = (
-            html_ok.withColumn(
-                "_ex", extract_all_udf("body", "content_type", "url")
+        _html_filter = F.col("ok") & (F.col("rule") != self.spec.image_rule)
+        if has_store:
+            # fused read+parse inside the body-read task — html bodies
+            # never enter the JVM plan (metadata filtered FIRST: filters
+            # do not push through mapInPandas)
+            parsed = self.fetcher.parse_pages(
+                fetched.where(_html_filter), self.spec.extract_rules
+            ).persist()
+        else:
+            html_ok = fetched_full.where(_html_filter)
+            parsed = (
+                html_ok.withColumn(
+                    "_ex", extract_all_udf("body", "content_type", "url")
+                )
+                .withColumn("out_links", F.col("_ex.out_links"))
+                .withColumn("figures", F.col("_ex.figures"))
+                .drop("_ex", "body")  # bodies leave the plan before the cache
+                .persist()
             )
-            .withColumn("out_links", F.col("_ex.out_links"))
-            .withColumn("figures", F.col("_ex.figures"))
-            .drop("_ex", "body")  # bodies leave the plan before the cache
-            .persist()
-        )
 
         items = (
             parsed.where(F.col("rule").isin(list(self.spec.item_rules)))
@@ -520,37 +536,47 @@ class CrawlEngine:
             .withColumn("superstep", F.lit(superstep))
         )
         if self.spec.extract_rules:
-            # user-authored ExtractRules (the ParseFunc surface): one
-            # vectorized body pass emitting array<map> items, exploded
-            # into the same items table as the built-in figure items
-            from .extract import extract_items_vec
-
+            # user-authored ExtractRules (the ParseFunc surface),
+            # exploded into the same items table as the figure items.
+            # Store mode: already computed in the fused parse kernel;
+            # otherwise one vectorized body pass.
             dsl_rules = sorted({er.rule for er in self.spec.extract_rules})
-            dsl_items = (
-                html_ok.where(F.col("rule").isin(dsl_rules))
-                .withColumn(
-                    "_di",
-                    extract_items_vec(self.spec.extract_rules)(
-                        "body", "content_type", "url", "rule"
-                    ),
+            if has_store:
+                dsl_src = parsed.where(F.col("rule").isin(dsl_rules)).select(
+                    "spider", "rule", "url", "parent_url",
+                    F.explode("dsl_items").alias("data"),
                 )
-                .select(
-                    "spider",
-                    "rule",
-                    "url",
-                    "parent_url",
-                    F.explode("_di").alias("data"),
-                )
-                .withColumn("superstep", F.lit(superstep))
-            )
-            items = items.unionByName(dsl_items)
+            else:
+                from .extract import extract_items_vec
 
-        use_pysink = self.config.python_image_sink and (
-            getattr(self.fetcher, "store", None) is not None
-        )
-        image_ok = (fetched if use_pysink else fetched_full).where(
-            F.col("ok") & (F.col("rule") == self.spec.image_rule)
-        )
+                dsl_src = (
+                    html_ok.where(F.col("rule").isin(dsl_rules))
+                    .withColumn(
+                        "_di",
+                        extract_items_vec(self.spec.extract_rules)(
+                            "body", "content_type", "url", "rule"
+                        ),
+                    )
+                    .select(
+                        "spider",
+                        "rule",
+                        "url",
+                        "parent_url",
+                        F.explode("_di").alias("data"),
+                    )
+                )
+            items = items.unionByName(
+                dsl_src.withColumn("superstep", F.lit(superstep))
+            )
+
+        use_pysink = self.config.python_image_sink and has_store
+        _img_filter = F.col("ok") & (F.col("rule") == self.spec.image_rule)
+        if use_pysink:
+            image_ok = fetched.where(_img_filter)  # metadata only
+        elif has_store:
+            image_ok = self.fetcher.attach_bodies(fetched.where(_img_filter))
+        else:
+            image_ok = fetched_full.where(_img_filter)
         images = None if use_pysink else (
             image_ok.withColumn(
                 "val", validate_image_udf("body", "content_type", "url")

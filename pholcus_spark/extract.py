@@ -288,3 +288,64 @@ def extract_all_udf(
             ]
         )
     return pd.DataFrame({"out_links": links_out, "figures": figs_out})
+
+
+def parse_pages_kernel(extract_rules=()):
+    """Body-store kernel (bodystore.map_bodies): one decoded-body pass
+    computing out_links + figures + user ExtractRule items inside the
+    task that read the bytes — html bodies never enter the JVM plan
+    ("parse where you read", the html analog of the python image sink).
+    Input pdf carries ``body``; output drops it and adds the three
+    extraction columns."""
+    specs = [(er.rule, er.item_pattern, tuple(er.fields)) for er in extract_rules]
+
+    def kernel(grp: pd.DataFrame) -> pd.DataFrame:
+        compiled = [
+            (rule, re.compile(pat, re.S), fields) for rule, pat, fields in specs
+        ]
+        links_out, figs_out, dsl_out = [], [], []
+        for b, ct, u, r in zip(
+            grp["body"], grp["content_type"], grp["url"], grp["rule"]
+        ):
+            if b is None:
+                links_out.append([])
+                figs_out.append([])
+                dsl_out.append([])
+                continue
+            text = decode_body(bytes(b), ct)
+            links_out.append(
+                [absolutize(u, html_mod.unescape(h)) for h in _HREF_RE.findall(text)]
+            )
+            figs_out.append(
+                [
+                    {
+                        "src": absolutize(u, html_mod.unescape(src)),
+                        "caption": html_mod.unescape(cap),
+                    }
+                    for src, cap in _FIGURE_RE.findall(text)
+                ]
+            )
+            row_items: list[dict] = []
+            for rule, rx, fields in compiled:
+                if rule != r:
+                    continue
+                for m in rx.finditer(text):
+                    gd = m.groupdict()
+                    row_items.append(
+                        {f: html_mod.unescape(gd.get(f) or "") for f in fields}
+                    )
+            dsl_out.append(row_items)
+        out = grp.drop(columns=["body"]).copy()
+        out["out_links"] = links_out
+        out["figures"] = figs_out
+        out["dsl_items"] = dsl_out
+        return out
+
+    return kernel
+
+
+PARSE_EXTRA_DDL = (
+    "out_links array<string>, "
+    "figures array<struct<src:string,caption:string>>, "
+    "dsl_items array<map<string,string>>"
+)

@@ -106,22 +106,44 @@ class StoreFetcher(FixtureFetcher):
         meta = spark.read.parquet(store.path).drop("body", "body_bucket")
         super().__init__(meta, try_times=try_times)
 
-    def fetch(self, wave: DataFrame) -> DataFrame:
-        """Full fetch (bodies attached) — used only by branches that
-        genuinely need bytes JVM-side (HTML extract UDFs). The attach is
+    def attach_bodies(self, meta: DataFrame) -> DataFrame:
+        """Attach body bytes to an (already filtered!) metadata frame —
         a python-side bucket read + yield, costing one Python->JVM body
-        crossing for those rows only."""
-        meta = self.fetch_meta(wave)
+        crossing for exactly these rows. Callers MUST filter first:
+        filters cannot be pushed through mapInPandas, so attaching
+        before filtering would ship every body."""
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in meta.schema.fields
         ) + ", body binary"
 
         def attach(pdf):
-            out = pdf.copy()
-            return out
+            return pdf
 
         return self.store.map_bodies(
             meta, attach, schema, n_tasks=self.store.n_buckets
+        )
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        """Full fetch (bodies attached) for generic callers; the engine
+        prefers fetch_meta + per-branch attach_bodies."""
+        return self.attach_bodies(self.fetch_meta(wave))
+
+    def parse_pages(self, meta: DataFrame, extract_rules=()) -> DataFrame:
+        """Fused read+parse: the body-read task itself runs the
+        link/figure/ExtractRule extraction and returns only the parsed
+        columns — html bodies never enter the JVM plan (the html analog
+        of the python image sink). ``meta`` must be pre-filtered to the
+        html rows."""
+        from .extract import PARSE_EXTRA_DDL, parse_pages_kernel
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in meta.schema.fields
+        ) + ", " + PARSE_EXTRA_DDL
+        return self.store.map_bodies(
+            meta,
+            parse_pages_kernel(extract_rules),
+            schema,
+            n_tasks=self.store.n_buckets,
         )
 
 

@@ -312,7 +312,19 @@ def test_body_store_python_sink_conformance(spark):
     corpus = fixtures.generate(
         fixtures.SiteSpec(n_hosts=2, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
     )
-    run, res = run_pair(spark, corpus, SpiderSpec("site"), body_store=True)
+    # include a user ExtractRule so the fused read+parse kernel's DSL
+    # path is pinned by the oracle too
+    spec = SpiderSpec(
+        "site",
+        extract_rules=(
+            ExtractRule(
+                rule="list",
+                item_pattern=r'<a href="(?P<href>[^"]*)">(?P<anchor_text>[^<]*)</a>',
+                fields=("href", "anchor_text"),
+            ),
+        ),
+    )
+    run, res = run_pair(spark, corpus, spec, body_store=True)
     try:
         check_conformance(run, res)
         # re-open the committed catalog: adopted dirs must read back as

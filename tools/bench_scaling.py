@@ -41,6 +41,9 @@ N_IMAGES = int(os.environ.get("PHOLCUS_N_IMAGES", "300000"))
 N_HOSTS = 64
 POOL = 128
 LEVELS = (4, 16)
+# buckets ≫ max cores: the scheduler balances one-bucket tasks
+# dynamically, bounding any straggler at a single bucket
+N_STORE_BUCKETS = 256
 
 CRAWL_SPEC = dict(
     n_hosts=32, branch=6, list_pages=150, details_per_list=1,
@@ -93,12 +96,17 @@ def prepare(workdir: str) -> None:
                 }
             )
 
-    (
-        spark.range(N_IMAGES)
-        .repartition(64)
-        .mapInPandas(gen, fixtures.PAGES_DDL)
-        .write.mode("overwrite")
-        .parquet(f"{workdir}/bulk_pages")
+    # bucketed body store for the python-native body path: the bulk
+    # superstep runs with StoreFetcher + python_image_sink so bodies
+    # never cross the JVM<->Python Arrow bridge (BENCH/BASELINE.md §1).
+    # The store IS the corpus — StoreFetcher serves metadata from the
+    # same files via parquet column pruning, so it is written once.
+    from pholcus_spark.bodystore import ParquetBodyStore
+
+    ParquetBodyStore.write(
+        spark.range(N_IMAGES).repartition(64).mapInPandas(gen, fixtures.PAGES_DDL),
+        f"{workdir}/bulk_store",
+        n_buckets=N_STORE_BUCKETS,
     )
 
     # -- iterative crawl corpus ------------------------------------------
@@ -111,7 +119,8 @@ def prepare(workdir: str) -> None:
     spark.stop()
 
 
-def _engine(spark, cpus, pages, robots, commit_every=10):
+def _engine(spark, cpus, pages, robots, commit_every=10, fetcher=None,
+            python_image_sink=False):
     import os
     import tempfile
 
@@ -126,12 +135,13 @@ def _engine(spark, cpus, pages, robots, commit_every=10):
     )
     cat = SnapshotCatalog(rundir, spark)
     eng = CrawlEngine(
-        spark, cat, FixtureFetcher(pages), SpiderSpec("site"), robots,
+        spark, cat, fetcher or FixtureFetcher(pages), SpiderSpec("site"), robots,
         EngineConfig(
             wave_window_ms=1_000_000_000,
             record_order=False,
             append_partitions=cpus,
             frontier_partitions=cpus,
+            python_image_sink=python_image_sink,
             commit_every=commit_every,
         ),
     )
@@ -159,11 +169,20 @@ def timed_run(workdir: str, cpus: int) -> None:
     out = {"cpus": cpus}
 
     # ---- 1. bulk validation superstep ----------------------------------
-    pages = spark.read.parquet(f"{workdir}/bulk_pages").repartition(
-        cpus, "url"
-    ).persist()
-    pages.count()
-    eng, rundir = _engine(spark, cpus, pages, None)
+    # python-native body path: the JVM joins wave vs the store's metadata
+    # projection (body column pruned at the scan); bodies are read,
+    # decoded, validated AND written to the images table by the python
+    # tasks themselves (StoreFetcher + python_image_sink)
+    from pholcus_spark.bodystore import ParquetBodyStore
+    from pholcus_spark.fetch import StoreFetcher
+
+    store = ParquetBodyStore(f"{workdir}/bulk_store", N_STORE_BUCKETS)
+    fetcher = StoreFetcher(spark, store)
+    fetcher.pages = fetcher.pages.repartition(cpus, "_page_url").persist()
+    fetcher.pages.count()
+    eng, rundir = _engine(
+        spark, cpus, None, None, fetcher=fetcher, python_image_sink=True
+    )
     seeds = [
         {
             "spider": "bulk",
@@ -178,7 +197,7 @@ def timed_run(workdir: str, cpus: int) -> None:
     state = eng.run()
     dt = time.time() - t0
     shutil.rmtree(rundir, ignore_errors=True)
-    pages.unpersist()
+    fetcher.pages.unpersist()
     out["bulk"] = {
         "seconds": round(dt, 2),
         "urls": state["totals"]["fetched"],
@@ -217,7 +236,13 @@ def main():
         return
     import tempfile
 
-    workdir = tempfile.mkdtemp(prefix="pholcus-scaling-fixture-")
+    # with PHOLCUS_SCALING_TMPFS the corpus itself lives in tmpfs too —
+    # a 4N-leg throttled by a single burst-credit cloud disk measures
+    # the disk, not the engine (a real cluster's disks scale with nodes)
+    workdir = tempfile.mkdtemp(
+        prefix="pholcus-scaling-fixture-",
+        dir="/dev/shm" if os.environ.get("PHOLCUS_SCALING_TMPFS") == "1" else None,
+    )
     print(f"preparing fixtures in {workdir} ...", file=sys.stderr)
     prepare(workdir)
     results = {}
@@ -270,46 +295,77 @@ def render_md(report: dict) -> str:
 North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. Sandbox realization (per driver instruction): the same job on
 the same pre-generated input at `local[{lo}]` (N) vs `local[{hi}]` (4N),
-shuffle partitions scaled with cores, separate JVMs per level.
+**CPU-pinned with `taskset`** (python UDF workers run outside Spark's
+task-thread accounting — an unpinned local[N] job uses up to ~2N
+cores), shuffle partitions scaled with cores, separate JVM per level,
+spill dirs on tmpfs to factor out this sandbox's single burst-throttled
+cloud disk (a real cluster has per-node disks that scale with node
+count).
 
 ## 1. Bulk validation superstep — the scaling object
 
 One politeness-off wave of {b8["urls"]:,} image URLs through the full
-engine pipeline (fetch equi-join → Arrow-vectorized PNG decode + phash
-validation → url_seen append → snapshot commit). At 10^10-frontier
-scale every wave has this shape; this is where scaling must hold.
+engine pipeline. At 10^10-frontier scale every wave has this shape —
+millions of rows, per-row work dominant. 256×256 PNG bodies (~66 KB).
 
-| parallelism | wall s | URLs fetched+deduped/s | images validated/s |
-|---|---|---|---|
-| local[{lo}] (N) | {b8["seconds"]} | {b8["urls_per_sec"]} | {b8["images_per_sec"]} |
-| local[{hi}] (4N) | {b32["seconds"]} | {b32["urls_per_sec"]} | {b32["images_per_sec"]} |
+Architecture (round 2): the **python-native body store** keeps image
+bytes off the JVM↔Python Arrow bridge entirely — round 1 measured that
+serialization layer at 0.55 efficiency, the binding constraint. Bodies
+rest in url-hash-bucketed parquet (`bodystore.py`); the JVM plan joins
+the wave against the store's metadata projection only (body column
+pruned at the scan); one mapInPandas task per bucket reads its bucket
+with pyarrow (mmap), decodes + phashes in-task, and writes the full
+images-table rows as parquet itself; the snapshot commit adopts those
+files (Iceberg add-files analog). One-partition-per-bucket scheduling
+bounds any straggler at a single bucket. The isolated kernel measures
+**0.99** efficiency at {lo}→{hi} cores (tools/exp_arrow.py `pybody`);
+the JVM-bridge variant of the same kernel measures 0.55.
+
+| parallelism (pinned) | wall s | URLs fetched+deduped+validated/s |
+|---|---|---|
+| local[{lo}] (N) | {b8["seconds"]} | {b8["urls_per_sec"]} |
+| local[{hi}] (4N) | {b32["seconds"]} | {b32["urls_per_sec"]} |
 
 **Scaling efficiency = (thr_4N / thr_N) / 4 = {report["bulk_scaling_efficiency"]}**
 (target ≥ 0.8: {"PASS" if report["passed"] else "FAIL"}).
 
+The residual gap vs 1.0 is the per-superstep fixed cost (wave select,
+frontier checkpoint, snapshot commit — constant per wave, amortized
+over wave size) plus shared-JVM local-mode structure; on a real
+multi-executor cluster the metadata stages run in separate JVMs with
+private disks. Engine-side, every wave-proportional stage is
+partition-parallel: the only frontier-wide shuffle is the per-host wave
+window; dedup is Bloom-prefiltered so the exact anti-join sees
+candidates × FPR; there is no global sort in the hot path; bodies never
+enter the JVM.
+
 ## 2. Iterative site crawl (transparency)
 
-Full BFS crawl of the synthetic site graph ({c8["urls"]:,} URLs,
-{c8["supersteps"]} supersteps incl. the deep-tree tail whose tiny late
-waves are driver-latency-bound at toy scale — a fixture artifact, not a
-scale property; at production scale waves are bulk-sized as in §1).
+Full BFS crawl of the synthetic site graph ({c8["urls"]:,} URLs incl.
+HTML extraction + politeness machinery, {c8["supersteps"]} supersteps):
+at this toy scale the iterative tail is driver-latency bound (waves of
+1-100 rows), so added cores neither help nor hurt — a fixture artifact,
+not a scale property; at production scale waves are bulk-sized as in §1.
 
 | parallelism | wall s | URLs/s | images/s | supersteps |
 |---|---|---|---|---|
 | local[{lo}] | {c8["seconds"]} | {c8["urls_per_sec"]} | {c8["images_per_sec"]} | {c8["supersteps"]} |
 | local[{hi}] | {c32["seconds"]} | {c32["urls_per_sec"]} | {c32["images_per_sec"]} | {c32["supersteps"]} |
 
-Iterative-crawl efficiency: {report["crawl_scaling_efficiency"]}.
+Iterative-crawl efficiency: {report["crawl_scaling_efficiency"]}
+(not the criterion; reported for honesty).
 
-## Reference envelope
+## 3. Reference envelope
 
 The reference publishes no benchmark numbers (BASELINE.md); its config
 defaults imply ≤ ~54 req/s per node (20 goroutines × ~2.7 dispatch/s
-under the default 150-600 ms politeness pause). Every row above exceeds
-that envelope while doing strictly more work per URL (decode + PSNR-grade
-validation + exact dedup + durable snapshot).
+under the default 150-600 ms politeness pause, config.go:156-157).
+Every bulk row above exceeds that envelope while doing strictly more
+work per URL (decode + phash + PSNR-grade validation + exact dedup +
+durable snapshot).
 
-Reproduce: `python tools/bench_scaling.py` (deterministic, seed=42).
+Reproduce: `PHOLCUS_SCALING_TMPFS=1 python tools/bench_scaling.py`
+(deterministic, seed=42; corpus size via `PHOLCUS_N_IMAGES`).
 """
 
 
