@@ -59,7 +59,6 @@ def crawl_bench(spark, parallelism: int) -> dict:
     from pholcus_spark import fixtures
     from pholcus_spark.catalog import SnapshotCatalog
     from pholcus_spark.engine import CrawlEngine, EngineConfig
-    from pholcus_spark.fetch import FixtureFetcher
     from pholcus_spark.spiderspec import SpiderSpec
 
     spec = fixtures.SiteSpec(
@@ -69,20 +68,33 @@ def crawl_bench(spark, parallelism: int) -> dict:
     )
     corpus = fixtures.generate(spec)
     pages, *_rest, robots = fixtures.to_spark(spark, corpus)
-    # pre-partition the fixture on the join key once: every wave's fetch
-    # join then shuffles only the (small) wave side
-    pages = pages.repartition(parallelism, "url").persist()
-    pages.count()
     workdir = tempfile.mkdtemp(prefix="pholcus-bench-")
     try:
+        # body-store mode (the production shape): bodies rest in
+        # url-hash-bucketed parquet read directly by python tasks;
+        # the JVM plan joins waves against the metadata projection only,
+        # html parse + image validate/sink run inside the body-read
+        # tasks (store build excluded from timing, like a corpus)
+        from pholcus_spark.bodystore import ParquetBodyStore
+        from pholcus_spark.fetch import StoreFetcher
+
+        store = ParquetBodyStore.write(
+            pages, f"{workdir}-store", n_buckets=max(64, parallelism * 2)
+        )
+        fetcher = StoreFetcher(spark, store)
+        fetcher.pages = fetcher.pages.repartition(
+            parallelism, "_page_url"
+        ).persist()
+        fetcher.pages.count()
         cat = SnapshotCatalog(workdir, spark)
         eng = CrawlEngine(
-            spark, cat, FixtureFetcher(pages), SpiderSpec("site"), robots,
+            spark, cat, fetcher, SpiderSpec("site"), robots,
             EngineConfig(
                 wave_window_ms=10_000_000,  # throughput mode: politeness off
                 record_order=False,
                 append_partitions=max(2, parallelism // 4),
                 frontier_partitions=parallelism,
+                python_image_sink=True,
                 commit_every=10,
             ),
         )
@@ -101,6 +113,7 @@ def crawl_bench(spark, parallelism: int) -> dict:
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+        shutil.rmtree(f"{workdir}-store", ignore_errors=True)
 
 
 def main():

@@ -449,6 +449,14 @@ class CrawlEngine:
                 ) - 1,
             )
 
+        # truncate the wave's lineage: every downstream branch (fetch,
+        # fetch_meta, politeness bookkeeping, order table) would
+        # otherwise re-analyze the frontier + wave-select window tree on
+        # each of its many Dataset creations (driver-side cost, grows
+        # with plan size); the wave is materialized exactly once either
+        # way, and it is small by construction (Σ host budgets)
+        wave = wave.localCheckpoint(eager=True)
+
         # -- 2. fetch -----------------------------------------------------
         # bodies are NEVER cached: the metadata projection (tiny rows) is
         # what every bookkeeping branch consumes; body-bearing branches
@@ -462,11 +470,17 @@ class CrawlEngine:
             # not push through mapInPandas, so attach-then-filter would
             # ship every body)
             fetched_full = None
-            fetched = self.fetcher.fetch_meta(wave).persist()
+            # localCheckpoint (not persist): the metadata join is
+            # materialized exactly once — it feeds every branch anyway —
+            # and TRUNCATES the logical plan, so the ~15 downstream
+            # Dataset creations per superstep analyze a one-leaf tree
+            # instead of re-walking frontier+wave-select+join each time
+            # (driver-side plan-build was ~3s/superstep at fixture scale)
+            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=True)
         elif getattr(self.fetcher, "has_cheap_meta", False):
             # deterministic fetcher: body branches re-derive lazily
             fetched_full = self.fetcher.fetch(wave)
-            fetched = self.fetcher.fetch_meta(wave).persist()
+            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=True)
         else:
             # live fetcher: fetch exactly once, cache bodies (idempotence)
             fetched_full = self.fetcher.fetch(wave).persist()
@@ -610,7 +624,13 @@ class CrawlEngine:
         # the flush write
 
         # -- 5. children push ----------------------------------------------
-        children = self._emit_children(parsed, superstep)
+        # checkpoint: the emission chain (explode -> canonicalize UDF ->
+        # route -> robots -> key) is re-analyzed by every dedup/rank/
+        # failure Dataset below; truncating it once keeps those trees
+        # flat. Wave-proportional rows, materialized once either way.
+        children = self._emit_children(parsed, superstep).localCheckpoint(
+            eager=True
+        )
         # dedup (matrix.go:81-86 hasHistory = success-history ∪ temp-history):
         #   in-run keys (this wave's successes + still-queued) are small and
         #   checked with a plain anti-join; the historical url_seen — the
