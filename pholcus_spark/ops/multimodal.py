@@ -35,11 +35,13 @@ def image_stats(images: DataFrame) -> DataFrame:
                 "image_id", "w", "h", "fmt", "mean_r", "mean_g", "mean_b",
                 "phash", "ok", "error",
             )}
-            for _, row in pdf.iterrows():
-                out["image_id"].append(row["image_id"])
-                out["fmt"].append(row["fmt"])
+            # zip over column arrays — iterrows() builds a Series per
+            # row (~3-10x python overhead at 100M-image scale)
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                out["image_id"].append(iid)
+                out["fmt"].append(fmt)
                 try:
-                    px = decode_image(bytes(row["bytes"]), row["fmt"])
+                    px = decode_image(bytes(data), fmt)
                     means = px.reshape(-1, 3).mean(axis=0)
                     out["w"].append(int(px.shape[1]))
                     out["h"].append(int(px.shape[0]))
@@ -71,8 +73,8 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, datas, ws, hs, fmts = [], [], [], [], []
-            for _, row in pdf.iterrows():
-                px = decode_image(bytes(row["bytes"]), row["fmt"])
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(data), fmt)
                 yi = (np.arange(target_h) * px.shape[0] // target_h).clip(
                     0, px.shape[0] - 1
                 )
@@ -80,7 +82,7 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     0, px.shape[1] - 1
                 )
                 resized = px[yi][:, xi]
-                ids.append(row["image_id"])
+                ids.append(iid)
                 datas.append(encode_png(resized))
                 ws.append(target_w)
                 hs.append(target_h)
@@ -107,9 +109,9 @@ def audio_byte_features(media: DataFrame, id_col: str = "media_id") -> DataFrame
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ns, ents, rmss = [], [], [], []
-            for _, row in pdf.iterrows():
-                raw = np.frombuffer(bytes(row["bytes"]), dtype=np.uint8)
-                ids.append(row["media_id"])
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                raw = np.frombuffer(bytes(data), dtype=np.uint8)
+                ids.append(mid)
                 ns.append(int(raw.size))
                 counts = np.bincount(raw, minlength=256).astype(np.float64)
                 p = counts / max(raw.size, 1)

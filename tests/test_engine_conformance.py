@@ -4,7 +4,16 @@ final URL-seen membership, the politeness-budgeted pull schedule
 (superstep, wave_pos), item rows, fetched+validated image rows, and the
 permanent-failure set — plus the north-rule image invariants
 (PSNR ≥ 40 dB for lossy rows, bit-exact for lossless, caption + phash
-equality)."""
+equality).
+
+All scenario engine runs are independent (own workdir + catalog), so a
+module-scoped pool drives them CONCURRENTLY on the shared SparkSession
+(engine driver loops are job-latency-bound; Spark schedules concurrent
+jobs from multiple threads) — the suite pays ~max(scenario) wall time
+instead of Σ(scenario).
+"""
+
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 from pyspark.sql import functions as F
@@ -17,7 +26,7 @@ from pholcus_spark.spiderspec import ExtractRule, LinkRule, SpiderSpec
 
 def run_pair(
     spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None,
-    body_store=False,
+    body_store=False, try_times=1,
 ):
     run = testkit.run_engine(
         spark, corpus, spec,
@@ -35,12 +44,15 @@ def run_pair(
             python_image_sink=body_store,
         ),
         body_store=body_store,
+        try_times=try_times,
     )
     res = testkit.run_oracle(
         corpus,
         spec,
         OracleConfig(
-            wave_window_ms=wave_window_ms, per_spider_quota=per_spider_quota
+            wave_window_ms=wave_window_ms,
+            per_spider_quota=per_spider_quota,
+            try_times=try_times,
         ),
     )
     return run, res
@@ -72,59 +84,156 @@ def check_conformance(run, res):
     assert mdf.agg(F.sum("wave_size")).first()[0] == len(res.order)
 
 
-def assert_conformance(
-    spark, corpus, spec, wave_window_ms=6000, bloom=True, per_spider_quota=None,
-    body_store=False,
-):
-    run, res = run_pair(
-        spark, corpus, spec,
-        wave_window_ms=wave_window_ms,
-        bloom=bloom,
-        per_spider_quota=per_spider_quota,
-        body_store=body_store,
+# ---------------------------------------------------------------------------
+# scenario pool
+# ---------------------------------------------------------------------------
+
+_DSL_RULE = ExtractRule(
+    rule="list",
+    item_pattern=r'<a href="(?P<href>[^"]*)">(?P<anchor_text>[^<]*)</a>',
+    fields=("href", "anchor_text"),
+)
+
+
+def _build_scenarios() -> dict[str, dict]:
+    """name -> run_pair kwargs (corpus generation is cheap and serial)."""
+    clean = dict(flaky_rate=0.0, fail_404_rate=0.0)
+    scenarios: dict[str, dict] = {}
+
+    scenarios["t1"] = dict(
+        corpus=fixtures.generate(fixtures.t1_spec()), spec=SpiderSpec("site")
     )
-    try:
-        check_conformance(run, res)
-    finally:
-        run.cleanup()
-    return run, res
+    scenarios["nobloom"] = dict(
+        corpus=fixtures.generate(fixtures.SiteSpec(n_hosts=2, list_pages=7)),
+        spec=SpiderSpec("site"),
+        bloom=False,
+    )
+    scenarios["politeness"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(
+                n_hosts=2, list_pages=5, details_per_list=1, images_per_detail=1,
+                crawl_delay_ms={"h000.test": 750, "h001.test": 1500}, **clean,
+            )
+        ),
+        spec=SpiderSpec("site"),
+        wave_window_ms=1500,
+    )
+    scenarios["limit"] = dict(
+        corpus=fixtures.generate(fixtures.t1_spec()),
+        spec=SpiderSpec("site", limit=25),
+    )
+    scenarios["robots"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(
+                n_hosts=2, list_pages=7,
+                robots_disallow={"h000.test": ["/d/"], "h001.test": ["/p/3"]},
+                **clean,
+            )
+        ),
+        spec=SpiderSpec("site"),
+    )
+    scenarios["reloadable"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(n_hosts=1, list_pages=7, **clean)
+        ),
+        spec=SpiderSpec(
+            "site", reloadable_urls=frozenset(["http://h000.test/p/0"])
+        ),
+    )
+    scenarios["dsl"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
+        ),
+        spec=SpiderSpec("site", extract_rules=(_DSL_RULE,)),
+    )
+    scenarios["post"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
+        ),
+        spec=SpiderSpec(
+            "site",
+            link_rules=(
+                LinkRule("/p/", "list", 0),
+                LinkRule("/d/", "detail", 1, method="POST", post_data="view=full"),
+                LinkRule("/img/", "image", 2),
+            ),
+        ),
+    )
+    fair_corpus = fixtures.generate(
+        fixtures.SiteSpec(
+            n_hosts=2, list_pages=4, details_per_list=1, images_per_detail=1,
+            **clean,
+        )
+    )
+    fair_corpus.seeds = [
+        {**s, "spider": f"s{i}"} for i, s in enumerate(fair_corpus.seeds)
+    ]
+    scenarios["fair_share"] = dict(
+        corpus=fair_corpus, spec=SpiderSpec("site"), per_spider_quota=2
+    )
+    tt_corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=5, **clean)
+    )
+    fail_map = {
+        "http://h000.test/p/1": 2,
+        "http://h000.test/p/2": 4,
+        "http://h000.test/p/3": 7,
+    }
+    for p in tt_corpus.pages:
+        if p["url"] in fail_map:
+            p["fail_attempts"] = fail_map[p["url"]]
+    scenarios["try_times"] = dict(
+        corpus=tt_corpus, spec=SpiderSpec("site"), try_times=3
+    )
+    scenarios["body_store"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
+        ),
+        # include a user ExtractRule so the fused read+parse kernel's
+        # DSL path is pinned by the oracle too
+        spec=SpiderSpec("site", extract_rules=(_DSL_RULE,)),
+        body_store=True,
+    )
+    return scenarios
 
 
 @pytest.fixture(scope="module")
-def t1_run(spark):
-    """One shared t1 engine+oracle run — consumed by the full-conformance
-    check AND the image-invariant check (an engine run is the expensive
-    unit; sharing it halves the suite's t1 cost)."""
-    corpus = fixtures.generate(fixtures.t1_spec())
-    run, res = run_pair(spark, corpus, SpiderSpec("site"))
-    yield corpus, run, res
-    run.cleanup()
+def runs(spark):
+    scenarios = _build_scenarios()
+
+    def drive(item):
+        name, kw = item
+        corpus = kw.pop("corpus")
+        spec = kw.pop("spec")
+        run, res = run_pair(spark, corpus, spec, **kw)
+        return name, (corpus, run, res)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        out = dict(ex.map(drive, scenarios.items()))
+    yield out
+    for _corpus, run, _res in out.values():
+        run.cleanup()
 
 
-def test_t1_full_conformance(t1_run):
-    _, run, res = t1_run
+# ---------------------------------------------------------------------------
+# assertions (one test per scenario, same coverage as before)
+# ---------------------------------------------------------------------------
+
+
+def test_t1_full_conformance(runs):
+    _, run, res = runs["t1"]
     check_conformance(run, res)
 
 
-def test_t1_conformance_without_bloom(spark):
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(n_hosts=2, list_pages=7)
-    )
-    assert_conformance(spark, corpus, SpiderSpec("site"), bloom=False)
+def test_t1_conformance_without_bloom(runs):
+    _, run, res = runs["nobloom"]
+    check_conformance(run, res)
 
 
-def test_politeness_budget_conformance(spark):
-    # strict budgets: hot-ish small graph, delay 750ms, window 1500ms → 2/host
-    spec = fixtures.SiteSpec(
-        n_hosts=2, list_pages=5, details_per_list=1, images_per_detail=1,
-        crawl_delay_ms={"h000.test": 750, "h001.test": 1500},
-        flaky_rate=0.0, fail_404_rate=0.0,
-    )
-    corpus = fixtures.generate(spec)
-    run, res = assert_conformance(
-        spark, corpus, SpiderSpec("site"), wave_window_ms=1500
-    )
-    # budget actually binds: no superstep fetched more than 2 per h000 / 1 per h001
+def test_politeness_budget_conformance(runs):
+    # strict budgets: delay 750ms/1500ms, window 1500ms → 2/host resp. 1/host
+    _, run, res = runs["politeness"]
+    check_conformance(run, res)
     per_step_host = {}
     for o in res.order:
         host = o["url"].split("/")[2]
@@ -135,92 +244,55 @@ def test_politeness_budget_conformance(spark):
     )
 
 
-def test_limit_guard_conformance(spark):
-    corpus = fixtures.generate(fixtures.t1_spec())
-    assert_conformance(spark, corpus, SpiderSpec("site", limit=25))
+def test_limit_guard_conformance(runs):
+    _, run, res = runs["limit"]
+    check_conformance(run, res)
 
 
-def test_robots_disallow_conformance(spark):
-    spec_site = fixtures.SiteSpec(
-        n_hosts=2, list_pages=7,
-        robots_disallow={"h000.test": ["/d/"], "h001.test": ["/p/3"]},
-        flaky_rate=0.0, fail_404_rate=0.0,
+def test_robots_disallow_conformance(runs):
+    _, run, res = runs["robots"]
+    check_conformance(run, res)
+    assert all(
+        "/d/" not in o["url"] or not o["url"].startswith("http://h000")
+        for o in res.order
     )
-    corpus = fixtures.generate(spec_site)
-    run, res = assert_conformance(spark, corpus, SpiderSpec("site"))
-    assert all("/d/" not in o["url"] or not o["url"].startswith("http://h000") for o in res.order)
     assert res.dropped_robots > 0
 
 
-def test_reloadable_conformance(spark):
-    # make the home page reloadable: it is re-linked from every list page
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(n_hosts=1, list_pages=7, flaky_rate=0.0, fail_404_rate=0.0)
-    )
-    spec = SpiderSpec("site", reloadable_urls=frozenset(["http://h000.test/p/0"]))
-    run, res = assert_conformance(spark, corpus, spec)
+def test_reloadable_conformance(runs):
+    # the home page is reloadable: re-linked from every list page
+    _, run, res = runs["reloadable"]
+    check_conformance(run, res)
     fetches = [o for o in res.order if o["url"] == "http://h000.test/p/0"]
     assert len(fetches) > 1  # dedup opt-out exercised
 
 
-def test_extract_rule_dsl_conformance(spark):
+def test_extract_rule_dsl_conformance(runs):
     """A user-authored spider shape (the ParseFunc surface): anchors on
     list pages become (href, anchor_text) items — a shape the built-in
     figure extraction never emits. Engine items == oracle items over
     the full data map."""
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(n_hosts=2, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
-    )
-    spec = SpiderSpec(
-        "site",
-        extract_rules=(
-            ExtractRule(
-                rule="list",
-                item_pattern=r'<a href="(?P<href>[^"]*)">(?P<anchor_text>[^<]*)</a>',
-                fields=("href", "anchor_text"),
-            ),
-        ),
-    )
-    run, res = assert_conformance(spark, corpus, spec)
+    _, run, res = runs["dsl"]
+    check_conformance(run, res)
     dsl_items = [i for i in res.items if "href" in i["data"]]
     assert len(dsl_items) > 0
     assert any(i["data"]["anchor_text"].startswith("detail") for i in dsl_items)
 
 
-def test_post_method_conformance(spark):
+def test_post_method_conformance(runs):
     """POST routing: detail pages fetched via POST — the method is part
     of the dedup key (request.go:139-145) and rides the frontier."""
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(n_hosts=2, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
-    )
-    spec = SpiderSpec(
-        "site",
-        link_rules=(
-            LinkRule("/p/", "list", 0),
-            LinkRule("/d/", "detail", 1, method="POST", post_data="view=full"),
-            LinkRule("/img/", "image", 2),
-        ),
-    )
-    run, res = assert_conformance(spark, corpus, spec)
+    _, run, res = runs["post"]
+    check_conformance(run, res)
     assert any("/d/" in o["url"] for o in res.order)
 
 
-def test_per_spider_fair_share_conformance(spark):
+def test_per_spider_fair_share_conformance(runs):
     """Two spiders sharing the engine: the per-spider wave quota binds
     and the schedule still matches the oracle exactly
     (scheduler.go:92-99 avgRes fair share)."""
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(
-            n_hosts=2, list_pages=4, details_per_list=1, images_per_detail=1,
-            flaky_rate=0.0, fail_404_rate=0.0,
-        )
-    )
-    corpus.seeds = [
-        {**s, "spider": f"s{i}"} for i, s in enumerate(corpus.seeds)
-    ]
-    run, res = assert_conformance(
-        spark, corpus, SpiderSpec("site"), per_spider_quota=2
-    )
+    _, run, res = runs["fair_share"]
+    check_conformance(run, res)
     per_step_spider = {}
     for o in res.order:
         k = (o["superstep"], o["spider"])
@@ -230,36 +302,14 @@ def test_per_spider_fair_share_conformance(spark):
     assert max(per_step_spider.values()) == 2  # the quota actually binds
 
 
-def test_try_times_in_fetch_retry_conformance(spark):
+def test_try_times_in_fetch_retry_conformance(runs):
     """In-fetch bounded retry (TryTimes=3, surf.go:158-197): a page
     failing 2 attempts succeeds inside its first fetch (no requeue);
     one failing 4 attempts needs the single matrix requeue (3+3
     cumulative attempts); one failing 7 exhausts both fetches and lands
     in the permanent failure store. Engine == oracle throughout."""
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(n_hosts=1, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
-    )
-    fail_map = {
-        "http://h000.test/p/1": 2,
-        "http://h000.test/p/2": 4,
-        "http://h000.test/p/3": 7,
-    }
-    for p in corpus.pages:
-        if p["url"] in fail_map:
-            p["fail_attempts"] = fail_map[p["url"]]
-    run = testkit.run_engine(
-        spark, corpus, SpiderSpec("site"),
-        EngineConfig(wave_window_ms=6000, commit_every=2),
-        try_times=3,
-    )
-    res = testkit.run_oracle(
-        corpus, SpiderSpec("site"),
-        OracleConfig(wave_window_ms=6000, try_times=3),
-    )
-    try:
-        check_conformance(run, res)
-    finally:
-        run.cleanup()
+    _, run, res = runs["try_times"]
+    check_conformance(run, res)
     pulls = {}
     for o in res.order:
         pulls[o["url"]] = pulls.get(o["url"], 0) + 1
@@ -269,8 +319,8 @@ def test_try_times_in_fetch_retry_conformance(spark):
     assert len(res.failed_final) == 1  # only the 7-attempt page is permanent
 
 
-def test_image_invariants_psnr_caption_phash(spark, t1_run):
-    corpus, run, _res = t1_run
+def test_image_invariants_psnr_caption_phash(spark, runs):
+    corpus, run, _res = runs["t1"]
     from pholcus_spark import fixtures as fx
     from pholcus_spark.validate import psnr_vs_truth_udf
 
@@ -302,41 +352,23 @@ def test_image_invariants_psnr_caption_phash(spark, t1_run):
             assert r.bytes_eq and r.psnr == pytest.approx(1e9), r.image_id
 
 
-def test_body_store_python_sink_conformance(spark):
+def test_body_store_python_sink_conformance(spark, runs):
     """StoreFetcher + python_image_sink: bodies are read from the
     bucketed body store by python tasks and the images table is written
     by those same tasks (catalog adopts the files at commit). Full
     conformance vs the oracle must hold, and the adopted images table
     must be byte-identical to the fixture blobs — the python-written
     parquet is the same table, not a near-copy."""
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(n_hosts=2, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
-    )
-    # include a user ExtractRule so the fused read+parse kernel's DSL
-    # path is pinned by the oracle too
-    spec = SpiderSpec(
-        "site",
-        extract_rules=(
-            ExtractRule(
-                rule="list",
-                item_pattern=r'<a href="(?P<href>[^"]*)">(?P<anchor_text>[^<]*)</a>',
-                fields=("href", "anchor_text"),
-            ),
-        ),
-    )
-    run, res = run_pair(spark, corpus, spec, body_store=True)
-    try:
-        check_conformance(run, res)
-        # re-open the committed catalog: adopted dirs must read back as
-        # one schema-consistent table with valid rows and real bytes
-        out = run.df("images")
-        assert out is not None and out.count() == len(res.images)
-        assert out.where(~F.col("valid")).count() == 0
-        from pholcus_spark import fixtures as fx
+    corpus, run, res = runs["body_store"]
+    check_conformance(run, res)
+    # re-open the committed catalog: adopted dirs must read back as
+    # one schema-consistent table with valid rows and real bytes
+    out = run.df("images")
+    assert out is not None and out.count() == len(res.images)
+    assert out.where(~F.col("valid")).count() == 0
+    from pholcus_spark import fixtures as fx
 
-        _, images_fixture, _, _, _ = fx.to_spark(spark, corpus)
-        joined = out.alias("o").join(images_fixture.alias("f"), "image_id")
-        assert joined.where(F.col("o.bytes") != F.col("f.bytes")).count() == 0
-        assert joined.where(F.col("o.phash") != F.col("f.phash")).count() == 0
-    finally:
-        run.cleanup()
+    _, images_fixture, _, _, _ = fx.to_spark(spark, corpus)
+    joined = out.alias("o").join(images_fixture.alias("f"), "image_id")
+    assert joined.where(F.col("o.bytes") != F.col("f.bytes")).count() == 0
+    assert joined.where(F.col("o.phash") != F.col("f.phash")).count() == 0

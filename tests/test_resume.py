@@ -2,52 +2,29 @@
 catalog snapshot must produce byte-identical final results to an
 uninterrupted run (north rule: resumable from snapshot checkpoints;
 reference analog: success/failure history inheritance,
-app/aid/history/history.go:83-159)."""
+app/aid/history/history.go:83-159).
+
+The engine runs live in the shared conftest `equiv_runs` pool (driven
+concurrently, one uninterrupted baseline anchoring every equivalence
+assertion)."""
 
 import shutil
 import tempfile
 
 from pholcus_spark import fixtures, testkit
 from pholcus_spark.catalog import SnapshotCatalog
-from pholcus_spark.engine import EngineConfig
 from pholcus_spark.spiderspec import SpiderSpec
 
 
-def collect_outputs(run):
-    seen = {r.key for r in run.df("url_seen").select("key").collect()}
-    order = testkit.order_tuples_engine(run)
-    items = testkit.items_set_engine(run)
-    images = {(r.image_id, r.caption, bytes(r.bytes), r.phash) for r in run.df("images").collect()}
-    return seen, order, items, images
-
-
-def test_resume_midrun_equivalence(spark):
-    corpus = fixtures.generate(
-        fixtures.SiteSpec(n_hosts=2, list_pages=7, flaky_rate=0.1)
-    )
-    spec = SpiderSpec("site")
-    cfg = EngineConfig(wave_window_ms=3000)
-
-    full = testkit.run_engine(spark, corpus, spec, cfg)
-    try:
-        expected = collect_outputs(full)
-    finally:
-        full.cleanup()
-
-    workdir = tempfile.mkdtemp(prefix="pholcus-resume-")
-    try:
-        # phase 1: stop after 3 supersteps (simulated kill)
-        part = testkit.run_engine(
-            spark, corpus, spec, cfg, workdir=workdir, max_supersteps=3
-        )
-        assert part.state["superstep"] == 3
-        assert not part.state["stopped"]
-        # phase 2: brand-new engine + catalog objects over the same root
-        resumed = testkit.run_engine(spark, corpus, spec, cfg, workdir=workdir)
-        assert resumed.state["stopped"]
-        assert collect_outputs(resumed) == expected
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+def test_resume_midrun_equivalence(equiv_runs):
+    chain = equiv_runs["midrun_resume"]
+    # phase 1 stopped mid-crawl (simulated kill) ...
+    assert chain["part_state"]["superstep"] == 3
+    assert not chain["part_state"]["stopped"]
+    # ... phase 2 resumed with brand-new engine+catalog objects and
+    # finished byte-identical to the uninterrupted baseline
+    assert chain["resumed_state"]["stopped"]
+    assert chain["outputs"] == equiv_runs["baseline"]["outputs"]
 
 
 def test_snapshot_history_and_time_travel(spark):
