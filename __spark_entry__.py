@@ -236,6 +236,24 @@ def text_clean_html(spark, sf_dir):
     return clean_html_docs(_load(spark, sf_dir, "documents"))
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON parse-helper surface (SURVEY §2.5: the reference's
+    ctx JSON helpers): the events.props JSON string is parsed JVM-side
+    with from_json (JsonToStructs, codegen) — no Python in the plan —
+    then aggregated per event type."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).cast("long").alias("n_high"),
+            _dec_sum(F.col("value").cast("decimal(18,4)"), "sum_value"),
+        )
+    )
+
+
 def dedup_exact(spark, sf_dir):
     from pholcus_spark.ops.dedup import exact_duplicates
 
@@ -338,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "text_clean_html": text_clean_html,
+        "q_json_extract": q_json_extract,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -592,6 +611,15 @@ FROM (
       '\s{2,}', chr(10), 'g') AS cleaned
   FROM documents
 )
+""",
+        "q_json_extract": r"""
+SELECT event_type,
+  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+  CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+             THEN 1 END) AS BIGINT) AS n_high,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY event_type
 """,
         "dedup_exact": f"""
 SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM (

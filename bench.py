@@ -35,6 +35,7 @@ HEADLINE = [
     "text_lang_id",
     "text_fingerprint",
     "text_clean_html",
+    "q_json_extract",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -74,14 +75,22 @@ def crawl_bench(spark, parallelism: int) -> dict:
         # url-hash-bucketed parquet read directly by python tasks;
         # the JVM plan joins waves against the metadata projection only,
         # html parse + image validate/sink run inside the body-read
-        # tasks (store build excluded from timing, like a corpus)
-        from pholcus_spark.bodystore import ParquetBodyStore
-        from pholcus_spark.fetch import StoreFetcher
+        # tasks (store build excluded from timing, like a corpus).
+        # PHOLCUS_BENCH_STORE=0 switches to the in-memory FixtureFetcher
+        # (body bytes through the JVM plan) for A/B comparison.
+        use_store = os.environ.get("PHOLCUS_BENCH_STORE", "1") != "0"
+        if use_store:
+            from pholcus_spark.bodystore import ParquetBodyStore
+            from pholcus_spark.fetch import StoreFetcher
 
-        store = ParquetBodyStore.write(
-            pages, f"{workdir}-store", n_buckets=max(64, parallelism * 2)
-        )
-        fetcher = StoreFetcher(spark, store)
+            store = ParquetBodyStore.write(
+                pages, f"{workdir}-store", n_buckets=max(64, parallelism * 2)
+            )
+            fetcher = StoreFetcher(spark, store)
+        else:
+            from pholcus_spark.fetch import FixtureFetcher
+
+            fetcher = FixtureFetcher(pages)
         fetcher.pages = fetcher.pages.repartition(
             parallelism, "_page_url"
         ).persist()
@@ -94,7 +103,7 @@ def crawl_bench(spark, parallelism: int) -> dict:
                 record_order=False,
                 append_partitions=max(2, parallelism // 4),
                 frontier_partitions=parallelism,
-                python_image_sink=True,
+                python_image_sink=use_store,
                 commit_every=10,
             ),
         )

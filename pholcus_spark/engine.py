@@ -87,16 +87,16 @@ def canonical_split(df: DataFrame, src_col: str) -> DataFrame:
     for already-canonical URLs, vectorized UDF for the rest; rows whose
     URL is malformed canonicalize to NULL curl (caller filters)."""
     fast_cond = F.col(src_col).rlike(_FAST_CANON_RE)
-    fast = (
-        df.where(fast_cond)
-        .withColumn("curl", F.col(src_col))
-        .withColumn("host", F.regexp_extract(F.col(src_col), _FAST_HOST_RE, 1))
+    fast = df.where(fast_cond).withColumns(
+        {
+            "curl": F.col(src_col),
+            "host": F.regexp_extract(F.col(src_col), _FAST_HOST_RE, 1),
+        }
     )
     slow = (
         df.where(fast_cond.isNull() | ~fast_cond)
         .withColumn("_ch", canon_host_udf(src_col))
-        .withColumn("curl", F.col("_ch.curl"))
-        .withColumn("host", F.col("_ch.host"))
+        .withColumns({"curl": F.col("_ch.curl"), "host": F.col("_ch.host")})
         .drop("_ch")
     )
     return fast.unionByName(slow)
@@ -412,10 +412,12 @@ class CrawlEngine:
         by_host = Window.partitionBy("host").orderBy(
             F.desc("priority"), F.asc("seq")
         )
-        ranked = (
-            queued.join(F.broadcast(self.robots.select("host", "crawl_delay_ms")), "host", "left")
-            .withColumn("_budget", budget)
-            .withColumn("_host_rank", F.row_number().over(by_host))
+        ranked = queued.join(
+            F.broadcast(self.robots.select("host", "crawl_delay_ms")),
+            "host",
+            "left",
+        ).withColumns(
+            {"_budget": budget, "_host_rank": F.row_number().over(by_host)}
         )
         wave = ranked.where(F.col("_host_rank") <= F.col("_budget")).drop(
             "crawl_delay_ms", "_budget", "_host_rank"
@@ -455,7 +457,7 @@ class CrawlEngine:
         # each of its many Dataset creations (driver-side cost, grows
         # with plan size); the wave is materialized exactly once either
         # way, and it is small by construction (Σ host budgets)
-        wave = wave.localCheckpoint(eager=True)
+        wave = wave.localCheckpoint(eager=False)
 
         # -- 2. fetch -----------------------------------------------------
         # bodies are NEVER cached: the metadata projection (tiny rows) is
@@ -476,11 +478,11 @@ class CrawlEngine:
             # Dataset creations per superstep analyze a one-leaf tree
             # instead of re-walking frontier+wave-select+join each time
             # (driver-side plan-build was ~3s/superstep at fixture scale)
-            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=True)
+            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=False)
         elif getattr(self.fetcher, "has_cheap_meta", False):
             # deterministic fetcher: body branches re-derive lazily
             fetched_full = self.fetcher.fetch(wave)
-            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=True)
+            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=False)
         else:
             # live fetcher: fetch exactly once, cache bodies (idempotence)
             fetched_full = self.fetcher.fetch(wave).persist()
@@ -629,7 +631,7 @@ class CrawlEngine:
         # failure Dataset below; truncating it once keeps those trees
         # flat. Wave-proportional rows, materialized once either way.
         children = self._emit_children(parsed, superstep).localCheckpoint(
-            eager=True
+            eager=False
         )
         # dedup (matrix.go:81-86 hasHistory = success-history ∪ temp-history):
         #   in-run keys (this wave's successes + still-queued) are small and
@@ -943,13 +945,14 @@ class CrawlEngine:
             prio_col = F.when(cond, F.lit(lr.priority)).otherwise(prio_col)
             method_col = F.when(cond, F.lit(lr.method)).otherwise(method_col)
             post_col = F.when(cond, F.lit(lr.post_data)).otherwise(post_col)
-        links = (
-            links.withColumn("rule", rule_col)
-            .withColumn("priority", prio_col)
-            .withColumn("method", method_col)
-            .withColumn("post_data", post_col)
-            .where(F.col("rule").isNotNull())
-        )
+        links = links.withColumns(
+            {
+                "rule": rule_col,
+                "priority": prio_col,
+                "method": method_col,
+                "post_data": post_col,
+            }
+        ).where(F.col("rule").isNotNull())
         # robots disallow filter (north-rule extension): broadcast dim join
         links = (
             links.join(
@@ -1008,29 +1011,29 @@ class CrawlEngine:
         # a map<string,string> column on the frontier row; the figure
         # carry (caption/image_id for image children) populates it here,
         # and any future rule-authored carry lands in the same map
-        links = links.withColumn(
-            "temp",
-            F.map_filter(
-                F.create_map(
-                    F.lit("caption"), F.col("caption"),
-                    F.lit("image_id"), F.col("image_id"),
-                ),
-                lambda k, v: v.isNotNull(),
-            ),
-        ).drop("caption", "image_id")
         reload_list = list(spec.reloadable_urls)
-        links = links.withColumn(
-            "reloadable",
-            F.col("curl").isin(reload_list) if reload_list else F.lit(False),
-        )
         # method is part of the identity key: the same URL under GET and
         # POST is two frontier entries (request.go:139-145)
-        links = links.withColumn(
-            "key",
-            request_key_col(
-                F.col("spider"), F.col("rule"), F.col("curl"), F.col("method")
-            ),
-        ).withColumn("depth", F.col("depth") + 1)
+        links = links.withColumns(
+            {
+                "temp": F.map_filter(
+                    F.create_map(
+                        F.lit("caption"), F.col("caption"),
+                        F.lit("image_id"), F.col("image_id"),
+                    ),
+                    lambda k, v: v.isNotNull(),
+                ),
+                "reloadable": (
+                    F.col("curl").isin(reload_list)
+                    if reload_list
+                    else F.lit(False)
+                ),
+                "key": request_key_col(
+                    F.col("spider"), F.col("rule"), F.col("curl"), F.col("method")
+                ),
+                "depth": F.col("depth") + 1,
+            }
+        ).drop("caption", "image_id")
         return links
 
     def _seen_dirs(self) -> list[str]:

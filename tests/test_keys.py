@@ -129,3 +129,26 @@ def test_canonical_split_matches_udf_path(spark):
         assert got_curl == expect, (u, got_curl, expect)
         if expect is not None:
             assert got_host == host_of(expect), u
+
+
+def test_canonicalize_never_raises_fuzz():
+    """Property: canonicalize_url_safe never raises on arbitrary text
+    (crawled hrefs are untrusted; the reference drops unparseable URLs,
+    common.go:178-196), and is idempotent on its own output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pholcus_spark.keys import canonicalize_url_safe
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(max_size=80))
+    def prop(s):
+        out = canonicalize_url_safe("http://" + s)
+        if out is not None:
+            again = canonicalize_url_safe(out)
+            assert again == out, (s, out, again)
+        assert canonicalize_url_safe(s) is None or isinstance(
+            canonicalize_url_safe(s), str
+        )
+
+    prop()
