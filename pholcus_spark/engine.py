@@ -102,6 +102,14 @@ def canonical_split(df: DataFrame, src_col: str) -> DataFrame:
     return fast.unionByName(slow)
 
 
+def _dlt():
+    """DownloadTime provenance (DataCell, `app/pipeline/collector/data/
+    data.go:9-13`): wall-clock fetch time as the reference's formatted
+    string. Provenance only — never part of a conformance or oracle
+    comparison (it is the one intentionally non-deterministic column)."""
+    return F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+
+
 def dense_push_rank(df: DataFrame, partitions: int) -> DataFrame:
     """Dense global rank over push order (p_prio desc, p_seq asc,
     ordinal asc) WITHOUT a single-partition exchange.
@@ -549,7 +557,7 @@ class CrawlEngine:
                     F.col("fig.caption"),
                 ).alias("data"),
             )
-            .withColumn("superstep", F.lit(superstep))
+            .withColumns({"superstep": F.lit(superstep), "download_time": _dlt()})
         )
         if self.spec.extract_rules:
             # user-authored ExtractRules (the ParseFunc surface),
@@ -561,7 +569,7 @@ class CrawlEngine:
                 dsl_src = parsed.where(F.col("rule").isin(dsl_rules)).select(
                     "spider", "rule", "url", "parent_url",
                     F.explode("dsl_items").alias("data"),
-                )
+                )  # download_time/superstep added with the figure items below
             else:
                 from .extract import extract_items_vec
 
@@ -582,7 +590,9 @@ class CrawlEngine:
                     )
                 )
             items = items.unionByName(
-                dsl_src.withColumn("superstep", F.lit(superstep))
+                dsl_src.withColumns(
+                    {"superstep": F.lit(superstep), "download_time": _dlt()}
+                )
             )
 
         use_pysink = self.config.python_image_sink and has_store
@@ -617,7 +627,7 @@ class CrawlEngine:
                 F.col("url"),
                 F.col("parent_url"),
             )
-            .withColumn("superstep", F.lit(superstep))
+            .withColumns({"superstep": F.lit(superstep), "download_time": _dlt()})
         )
         items = items.persist()
         # images is intentionally NOT persisted and NOT counted via its own

@@ -91,6 +91,7 @@ IMAGES_ARROW_SCHEMA_FIELDS = [
     ("url", "string"),
     ("parent_url", "string"),
     ("superstep", "int32"),
+    ("download_time", "string"),
 ]
 
 
@@ -108,10 +109,15 @@ def make_image_sink_kernel(superstep: int):
     Same per-row semantics as ``validate_image_udf`` + the engine's
     images projection (engine.py images branch)."""
     import re
+    import time as _time
 
     id_re = re.compile(r"/img/(.+)\.(png|jpe?g)$")
 
     def kernel(grp: pd.DataFrame):
+        # DownloadTime provenance (data.go:9-13) — same format as the
+        # engine's _dlt(); intentionally non-deterministic, never
+        # compared by conformance/oracle
+        dlt = _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime())  # session tz=UTC
         ids, ws, hs, fmts, caps, phs, oks, errs = [], [], [], [], [], [], [], []
         for body, ct, url, temp in zip(
             grp["body"], grp["content_type"], grp["url"], grp["temp"]
@@ -151,6 +157,7 @@ def make_image_sink_kernel(superstep: int):
                 "url": grp["url"],
                 "parent_url": grp["parent_url"],
                 "superstep": pd.array([superstep] * len(grp), dtype="Int32"),
+                "download_time": [dlt] * len(grp),
             }
         )
         manifest = pd.DataFrame({"image_id": ids, "valid": oks})
