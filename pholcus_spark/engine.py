@@ -243,9 +243,7 @@ class CrawlEngine:
         superstep ids in the append-only tables). Seed lists are
         driver-scale by definition — the row build is plain Python.
         """
-        state0 = self._state_ref() if self.catalog.state() is not None else None
-        if state0 is not None:
-            self._flush(state0)  # durable base for the merge
+        state0 = self._seed_prelude()
         robots_rows = {r["host"]: r.asDict() for r in self.robots.collect()}
         seen_keys: set[str] = set()
         rows = []
@@ -269,6 +267,93 @@ class CrawlEngine:
                     )
                 )
         new_df = self.spark.createDataFrame(rows, FRONTIER_DDL)
+        self._merge_new_frontier(new_df, state0)
+
+    def seed_range(
+        self,
+        url_format: str,
+        start: int,
+        stop: int,
+        rule: str,
+        spider: str,
+        priority: int = 0,
+    ) -> None:
+        """Aid-loop page-range seeding (the reference's AidFunc loop,
+        `spider.go:57`, e.g. `sample/static_rules/qq_avatar/avatar.go:40-59`:
+        Root asks an aid rule to enqueue index_0..index_n URLs from a
+        template) as a DISTRIBUTED source: ``spark.range(start, stop)``
+        + ``format_string`` generate the URLs executor-side, so a
+        10^10-entry range seeds the frontier without ever materializing
+        a driver-side list (the reference's for-loop, and our ``seed()``,
+        are driver-bound by construction). ``url_format`` is a
+        printf-style template receiving the index, e.g.
+        ``"http://h.test/page/%d"``.
+        """
+        state0 = self._seed_prelude()
+        reload_list = list(self.spec.reloadable_urls)
+        gen = (
+            self.spark.range(start, stop)
+            .select(
+                F.format_string(url_format, F.col("id")).alias("raw_url"),
+                (F.col("id") - F.lit(start)).alias("_ord"),
+            )
+        )
+        gen = canonical_split(gen, "raw_url").where(F.col("curl").isNotNull())
+        # robots disallow (same broadcast-dim filter as the push path)
+        gen = (
+            gen.join(
+                F.broadcast(self.robots.select("host", "disallow_prefixes")),
+                "host",
+                "left",
+            )
+            .withColumn("_path", F.parse_url(F.col("curl"), F.lit("PATH")))
+            .where(
+                F.col("disallow_prefixes").isNull()
+                | ~F.exists(
+                    "disallow_prefixes",
+                    lambda p: F.col("_path").startswith(p),
+                )
+            )
+        )
+        new_df = gen.select(
+            request_key_col(
+                F.lit(spider), F.lit(rule), F.col("curl"), F.lit("GET")
+            ).alias("key"),
+            F.lit(spider).alias("spider"),
+            F.lit(rule).alias("rule"),
+            F.col("curl").alias("url"),
+            F.col("host"),
+            F.lit("GET").alias("method"),
+            F.lit("").alias("post_data"),
+            F.lit(priority).alias("priority"),
+            F.col("_ord").cast("long").alias("seq"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).alias("tries"),
+            F.lit(False).alias("retried"),
+            (
+                F.col("curl").isin(reload_list) if reload_list else F.lit(False)
+            ).alias("reloadable"),
+            F.create_map().cast("map<string,string>").alias("temp"),
+            F.lit("queued").alias("state"),
+        )
+        # in-batch dedup (first occurrence wins, like seed()'s seen_keys)
+        # — colliding template indices canonicalize to one key
+        _kw = Window.partitionBy("key").orderBy(F.asc("seq"))
+        new_df = (
+            new_df.withColumn("_krn", F.row_number().over(_kw))
+            .where(F.col("reloadable") | (F.col("_krn") == 1))
+            .drop("_krn")
+        )
+        self._merge_new_frontier(new_df, state0)
+
+    def _seed_prelude(self):
+        state0 = self._state_ref() if self.catalog.state() is not None else None
+        if state0 is not None:
+            self._flush(state0)  # durable base for the merge
+        return state0
+
+    def _merge_new_frontier(self, new_df: DataFrame, state0) -> None:
         # push dedup (hasHistory = success ∪ temp history): inherited
         # url_seen (SuccessInherit) and still-queued frontier keys
         seen = self.catalog.read("url_seen")

@@ -372,3 +372,57 @@ def test_body_store_python_sink_conformance(spark, runs):
     joined = out.alias("o").join(images_fixture.alias("f"), "image_id")
     assert joined.where(F.col("o.bytes") != F.col("f.bytes")).count() == 0
     assert joined.where(F.col("o.phash") != F.col("f.phash")).count() == 0
+
+
+def test_seed_range_distributed_aid_loop(spark):
+    """Aid-loop page-range seeding (spider.go AidFunc loop): a
+    spark.range-generated seed frame must crawl identically to the same
+    seeds pushed as an explicit list (which the oracle models)."""
+    import shutil
+    import tempfile
+
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine
+    from pholcus_spark.fetch import FixtureFetcher
+
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=5, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    pages, _i, _t, _s, robots = fixtures.to_spark(spark, corpus)
+    spec = SpiderSpec("site")
+    workdir = tempfile.mkdtemp(prefix="pholcus-range-")
+    try:
+        eng = CrawlEngine(
+            spark, SnapshotCatalog(workdir, spark), FixtureFetcher(pages),
+            spec, robots,
+            EngineConfig(wave_window_ms=6000, commit_every=2),
+        )
+        eng.seed_range("http://h000.test/p/%d", 0, 3, "list", "site")
+        eng.run()
+        run = testkit.EngineRun(
+            catalog=eng.catalog, state=eng._state, workdir=workdir
+        )
+        res = testkit.run_oracle(
+            _corpus_with_seeds(
+                corpus,
+                [
+                    {"spider": "site", "url": f"http://h000.test/p/{i}",
+                     "rule": "list", "priority": 0}
+                    for i in range(3)
+                ],
+            ),
+            spec,
+            OracleConfig(wave_window_ms=6000),
+        )
+        check_conformance(run, res)
+        assert len(res.seen) > 3  # the range actually expanded the crawl
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _corpus_with_seeds(corpus, seeds):
+    import copy
+
+    c = copy.copy(corpus)
+    c.seeds = seeds
+    return c
