@@ -327,6 +327,19 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+def dedup_components(spark, sf_dir):
+    """Near-dup clustering: connected components (iterative min-label
+    propagation — one shuffle per round) over the MinHash/LSH candidate
+    pairs; each doc maps to its cluster's canonical (min) doc id.
+    The oracle computes the same components with a DuckDB recursive-CTE
+    transitive closure (tractable at gate scale)."""
+    from pholcus_spark.ops.dedup import connected_components, minhash_lsh_candidates
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=3)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def sim_knn_batch(spark, sf_dir):
     """Batch k-NN: every 50th vector queries the corpus through the
     bucket-partitioned LSH join (no per-query scan)."""
@@ -362,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_components": dedup_components,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_cosine_topk": sim_cosine_topk,
@@ -655,6 +669,40 @@ bs AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bs a JOIN bs b USING (band, bsig)
 WHERE a.doc_id < b.doc_id
+""",
+        # components oracle: the same LSH pair CTE, then a recursive-CTE
+        # transitive closure with min-reachable as the canonical label
+        # (closure is Σ|component|² rows — tractable at gate scale; the
+        # Spark side uses iterative min-label propagation instead)
+        "dedup_components": f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+mh AS (
+  SELECT doc_id, j, min({h_shingle}) AS minhash
+  FROM sh, range(0, 16) r(j)
+  GROUP BY doc_id, j
+),
+bs AS (
+  SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
+    md5(string_agg(CAST(j AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bsig
+  FROM mh GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bs a JOIN bs b USING (band, bsig)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(v, u) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+)
+SELECT v AS doc_id, min(u) AS canonical_doc_id
+FROM reach GROUP BY v ORDER BY doc_id
 """,
         "dedup_simhash": f"""
 WITH toks AS (

@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_components",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "sim_cosine_topk",

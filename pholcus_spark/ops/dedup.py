@@ -320,3 +320,66 @@ def embedding_neardup_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the clustering
+    step a dedup pipeline runs after candidate verification (keep one
+    canonical doc per cluster, drop the rest).
+
+    Min-label propagation: every vertex starts labeled with itself; each
+    iteration takes the min of its own and its neighbors' labels (one
+    join + one min-aggregate = one shuffle), stopping at fixpoint.
+    Deterministic (min is order-free). Iterations are bounded by the
+    cluster diameter — near-dup clusters are shallow, so this converges
+    in a handful of rounds even at corpus scale; per-iteration
+    ``localCheckpoint`` truncates lineage so the plan stays flat. (The
+    large-star/small-star variant drops into the same loop shape if
+    pathological chain-diameter graphs ever appear.)
+
+    Returns (doc_id, canonical_doc_id = min doc id of the component)
+    for every vertex that appears in ``pairs``.
+    """
+    half = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["v"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["v"] == nbr["a"], "left")
+            .select(
+                labels["v"].alias("v"),
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("canonical_doc_id")
+    )

@@ -195,3 +195,18 @@ def test_text_ops_shapes(spark, docs):
     assert li[0] == "en"  # 'the' markers
     fp = {r.doc_id: r.fp_md5 for r in text.fingerprint(docs).collect()}
     assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
+def test_connected_components_clusters(spark):
+    """Min-label CC on a known graph: two chains + a singleton-free
+    isolated pair — every vertex maps to its component's min id, and
+    convergence beats the iteration cap (diameter-bound)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.canonical_doc_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
