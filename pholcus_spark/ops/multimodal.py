@@ -150,3 +150,49 @@ def video_frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
     return media.select("media_id", "bytes").mapInPandas(
         run, "media_id string, frame_idx int, frame_png binary"
     )
+
+
+def phash_neardup_pairs(
+    images: DataFrame, max_hamming: int = 4, id_col: str = "image_id"
+) -> DataFrame:
+    """Image near-duplicate pairs over the 64-bit perceptual hash
+    column the crawl engine already computes per image (the image
+    analog of simhash_neardup_pairs): pigeonhole banding — ≤k differing
+    bits over k+1 bands guarantees one identical band — prunes
+    candidates, then an exact ``bit_count`` popcount verifies. Every
+    expression is a JVM built-in; at corpus scale the band-bucket
+    self-join is O(near-dups), never all-pairs."""
+    from pyspark.sql import functions as F
+
+    bands = max_hamming + 1
+    # ceil so the bands PARTITION all 64 bits (floor would leave the top
+    # bits uncovered and break the pigeonhole guarantee); the mask after
+    # the arithmetic shift keeps sign-extension out of the last band
+    band_bits = -(-64 // bands)
+    banded = images.select(
+        F.col(id_col).alias("iid"),
+        F.col("phash"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"shiftright(phash, band * {band_bits}) & {(1 << band_bits) - 1}"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.iid") < F.col("b.iid"))
+        .select(
+            F.col("a.iid").alias("id_a"),
+            F.col("b.iid").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -210,3 +210,33 @@ def test_connected_components_clusters(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_phash_neardup_pairs(spark):
+    """Pigeonhole banding over 64-bit phash: all pairs within the
+    Hamming bound are found (incl. differences isolated in the TOP bits,
+    which a floor-divided band split would miss), none beyond it."""
+    from pholcus_spark.ops.multimodal import phash_neardup_pairs
+
+    def s64(x):  # wrap to signed 64-bit (phash is a Spark long)
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("a", s64(base)),
+        ("b", s64(base ^ 0b11)),                 # hamming 2 vs a
+        ("c", s64(base ^ (1 << 63) ^ (1 << 62))),  # hamming 2, top bits only
+        ("d", s64(base ^ 0x00FF00FF00FF00FF)),   # far away
+        ("e", s64(base ^ (1 << 13) ^ (1 << 26) ^ (1 << 39) ^ (1 << 52))),  # h=4, one per band
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(df, max_hamming=4).collect()
+    }
+    assert got[("a", "b")] == 2
+    assert got[("a", "c")] == 2
+    assert got[("a", "e")] == 4
+    assert ("b", "c") in got  # hamming 4 via both
+    assert all("d" not in p for p in got)
