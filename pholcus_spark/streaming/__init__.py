@@ -32,3 +32,43 @@ def drive_forever(engine, seed_poll, interval_s: float = 5.0, max_cycles=None):
         if max_cycles is not None and cycles >= max_cycles:
             return
         time.sleep(interval_s)
+
+
+def stream_table(spark, catalog_root: str, table: str, schema: str):
+    """Structured-Streaming view over a catalog table's append deltas:
+    each committed delta dir's parquet files are new micro-batch input
+    (`readStream` file source discovers them as the crawl appends), so
+    downstream monitoring — rolling fetch rates, per-host error
+    windows, live dedup ratios — runs as a standard streaming query
+    against the crawl while it executes. The engine itself stays
+    batch-iterative (deterministic superstep commits ARE the exactly-
+    once source); this is the consumer-side streaming surface.
+
+    Use ``trigger(availableNow=True)`` to drain everything committed so
+    far, or a processing-time trigger to follow a live crawl.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{catalog_root}/{table}/*")
+    )
+
+
+def metrics_rate_stream(spark, catalog_root: str):
+    """Rolling crawl throughput from the metrics table as a streaming
+    aggregation (fetched/failed per superstep window)."""
+    from pyspark.sql import functions as F
+
+    m = stream_table(
+        spark, catalog_root, "metrics",
+        "superstep int, wave_size long, fetched long, failed long, "
+        "failed_final long, items long, images long, children long, "
+        "seconds double",
+    )
+    return m.groupBy(
+        (F.col("superstep") / 5).cast("int").alias("window5")
+    ).agg(
+        F.sum("fetched").alias("fetched"),
+        F.sum("failed").alias("failed"),
+        F.sum("seconds").alias("seconds"),
+    )

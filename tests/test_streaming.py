@@ -62,3 +62,35 @@ def test_seed_union_preserves_state_and_history(spark):
         assert s4["stopped"]
     finally:
         run.cleanup()
+
+
+def test_stream_table_follows_catalog_appends(spark, tmp_path):
+    """Structured Streaming over the catalog's append deltas: an
+    availableNow drain sees exactly the committed metrics rows, and a
+    second drain after more commits sees only/all the new total."""
+    from pholcus_spark.streaming import metrics_rate_stream
+
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=4, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    engines = []
+    run = testkit.run_engine(
+        spark, corpus, SpiderSpec("site"), EngineConfig(wave_window_ms=6000),
+        engine_out=engines,
+    )
+    try:
+        agg = metrics_rate_stream(spark, run.workdir)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("mrates")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT sum(fetched) FROM mrates"
+        ).first()[0]
+        assert got == run.state["totals"]["fetched"]
+    finally:
+        run.cleanup()
