@@ -1,0 +1,137 @@
+"""robots.txt parsing → the engine's robots dim table.
+
+[NORTH-RULE EXTENSION] The reference has no robots support (SURVEY.md:
+zero hits for "robots" in the Go sources); BASELINE.json mandates
+robots.txt + per-host crawl-delay enforcement. The ENGINE enforces a
+``(host, disallow_prefixes, crawl_delay_ms)`` dim (broadcast-joined at
+push + budget time); this module BUILDS that dim from fetched
+``/robots.txt`` bodies, so a production crawl bootstraps politeness
+from the sites themselves:
+
+    robots_pages = fetch host roots + "/robots.txt" (any fetcher)
+    robots_dim   = robots_dim_from_pages(robots_pages)
+    CrawlEngine(spark, cat, fetcher, spec, robots_dim, cfg)
+
+Parsing follows the de-facto standard (google robots.txt spec subset):
+User-agent grouping with longest-agent-match selection, Disallow
+prefixes (empty Disallow = allow all), Crawl-delay seconds (fractional
+allowed), comments stripped, matching case-insensitive on field names.
+Allow lines and wildcards are intentionally out of scope — the engine's
+filter is prefix-based (SURVEY §2.3), and a conservative prefix subset
+never crawls MORE than the full spec allows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def parse_robots(text: str, agent: str = "pholcus") -> dict:
+    """Parse one robots.txt body for ``agent``. Returns
+    ``{"disallow_prefixes": [...], "crawl_delay_ms": int | None}``.
+
+    Group selection: the group whose User-agent token is the longest
+    (case-insensitive) substring match of ``agent`` wins; ``*`` is the
+    fallback group. Records are separated by User-agent lines; multiple
+    consecutive User-agent lines share one group.
+    """
+    groups: dict[str, dict] = {}
+    current: list[str] = []
+    expecting_agents = True
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not expecting_agents:
+                current = []
+            expecting_agents = True
+            token = value.lower()
+            current.append(token)
+            groups.setdefault(token, {"disallow": [], "delay": None})
+        elif field in ("disallow", "crawl-delay"):
+            expecting_agents = False
+            for token in current:
+                g = groups[token]
+                if field == "disallow":
+                    if value:
+                        g["disallow"].append(value)
+                else:
+                    try:
+                        g["delay"] = float(value)
+                    except ValueError:
+                        pass
+        # other fields (Allow, Sitemap, ...) are ignored
+    agent_l = agent.lower()
+    best = None
+    for token in groups:
+        if token != "*" and token in agent_l:
+            if best is None or len(token) > len(best):
+                best = token
+    if best is None and "*" in groups:
+        best = "*"
+    if best is None:
+        return {"disallow_prefixes": [], "crawl_delay_ms": None}
+    g = groups[best]
+    return {
+        "disallow_prefixes": list(g["disallow"]),
+        "crawl_delay_ms": int(g["delay"] * 1000) if g["delay"] is not None else None,
+    }
+
+
+_ROBOTS_TYPE = StructType(
+    [
+        StructField("disallow_prefixes", ArrayType(StringType())),
+        StructField("crawl_delay_ms", LongType()),
+    ]
+)
+
+
+def robots_dim_from_pages(
+    pages: DataFrame,
+    agent: str = "pholcus",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Build the engine's robots dim from fetched robots.txt rows
+    (one row per host: host + raw body bytes/text). Parsing runs as an
+    Arrow-batched pandas UDF; output schema matches CrawlEngine's
+    robots parameter exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_ROBOTS_TYPE)
+    def parse_udf(bodies: pd.Series) -> pd.DataFrame:
+        outs = [
+            parse_robots(
+                b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray))
+                else (b or ""),
+                agent,
+            )
+            for b in bodies
+        ]
+        return pd.DataFrame(
+            {
+                "disallow_prefixes": [o["disallow_prefixes"] for o in outs],
+                "crawl_delay_ms": [o["crawl_delay_ms"] for o in outs],
+            }
+        )
+
+    return pages.select(
+        F.col(host_col).alias("host"), parse_udf(F.col(body_col)).alias("_r")
+    ).select(
+        "host",
+        F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("_r.crawl_delay_ms").alias("crawl_delay_ms"),
+    )
