@@ -151,10 +151,14 @@ _BLOCK_SPLIT_RE = re.compile(r"</?(?:p|div|article|section|br)[^>]*>", re.I)
 
 
 def clean_html(text: str, depth: int = 5) -> str:
-    """Progressive HTML cleaning, cumulative by depth
-    (`common.go:19-101` semantics): 1 = drop doctype, 2 = + comments,
-    3 = + script/style blocks, 4 = + all tags (entity-unescaped),
-    5 = + whitespace collapse."""
+    """Progressive HTML cleaning, cumulative by depth — an EXTENDED
+    ladder (superset of the reference's: also strips doctype and
+    comments, which `common.go:18-41` never does): 1 = drop doctype,
+    2 = + comments, 3 = + script/style blocks, 4 = + all tags
+    (entity-unescaped), 5 = + whitespace collapse. The exact
+    reference-parity CleanHtml chain (JVM-side, same depth meanings as
+    common.go) lives in ``functions/html_clean.py``; this python form
+    feeds :func:`extract_article`."""
     if text is None:
         return None
     out = text
