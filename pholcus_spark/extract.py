@@ -209,6 +209,67 @@ def extract_article_udf(texts: pd.Series) -> pd.Series:
 ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
 
 
+def compile_rule_specs(extract_rules) -> list[tuple]:
+    """ExtractRules → plain (rule, kind, compiled-or-path, fields)
+    tuples that ship in UDF closures."""
+    out = []
+    for er in extract_rules:
+        kind = getattr(er, "kind", "regex")
+        key = (
+            re.compile(er.item_pattern, re.S) if kind == "regex"
+            else er.item_pattern
+        )
+        out.append((er.rule, kind, key, tuple(er.fields)))
+    return out
+
+
+def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
+    """One compiled rule over one decoded page → item dicts.
+
+    regex: each match emits one item, named groups → fields
+    (HTML-unescaped). json: ``key`` is the dot-path to the items array
+    (``""`` = root); each element's ``fields`` are pulled by key,
+    non-strings JSON-stringified (reference sinks' stringification,
+    ``output_csv.go:56-60``). Malformed JSON / missing path → no items
+    (the reference rule's Unmarshal-err branch logs and emits nothing).
+    """
+    if kind == "json":
+        import json as json_mod
+
+        try:
+            node = json_mod.loads(text)
+        except ValueError:
+            return []
+        for part in [p for p in key.split(".") if p]:
+            if not isinstance(node, dict) or part not in node:
+                return []
+            node = node[part]
+        if not isinstance(node, list):
+            return []
+        items = []
+        for el in node:
+            if not isinstance(el, dict):
+                continue
+            row = {}
+            for f in fields:
+                v = el.get(f)
+                if v is None:
+                    row[f] = ""
+                elif isinstance(v, str):
+                    row[f] = v
+                else:
+                    row[f] = json_mod.dumps(v, separators=(",", ":"))
+            items.append(row)
+        return items
+    return [
+        {
+            f: html_mod.unescape(m.groupdict().get(f) or "")
+            for f in fields
+        }
+        for m in key.finditer(text)
+    ]
+
+
 def extract_items_vec(
     extract_rules,
 ):
@@ -216,11 +277,14 @@ def extract_items_vec(
     ParseFunc/goquery replacement, ``spider.go:48-58``): returns a
     pandas UDF (body, content_type, url, rule) → array<map> of items.
 
-    The rules are captured as plain (rule, pattern, fields) tuples so
-    the closure ships to executors; patterns compile once per task.
-    One decoded-body pass per row regardless of rule count.
+    The rules are captured as plain tuples so the closure ships to
+    executors; regex patterns compile once per task. One decoded-body
+    pass per row regardless of rule count.
     """
-    specs = [(er.rule, er.item_pattern, tuple(er.fields)) for er in extract_rules]
+    specs = [
+        (er.rule, getattr(er, "kind", "regex"), er.item_pattern, tuple(er.fields))
+        for er in extract_rules
+    ]
 
     @pandas_udf(ITEMS_TYPE)
     def _udf(
@@ -230,26 +294,20 @@ def extract_items_vec(
         rules: pd.Series,
     ) -> pd.Series:
         compiled = [
-            (rule, re.compile(pat, re.S), fields) for rule, pat, fields in specs
+            (rule, kind, re.compile(pat, re.S) if kind == "regex" else pat, fields)
+            for rule, kind, pat, fields in specs
         ]
         out = []
         for b, ct, _u, r in zip(bodies, content_types, base_urls, rules):
             row_items: list[dict] = []
             if b is not None:
                 text = None
-                for rule, rx, fields in compiled:
+                for rule, kind, key, fields in compiled:
                     if rule != r:
                         continue
                     if text is None:
                         text = decode_body(b, ct)
-                    for m in rx.finditer(text):
-                        gd = m.groupdict()
-                        row_items.append(
-                            {
-                                f: html_mod.unescape(gd.get(f) or "")
-                                for f in fields
-                            }
-                        )
+                    row_items.extend(apply_rule_spec(text, kind, key, fields))
             out.append(row_items)
         return pd.Series(out)
 
@@ -301,11 +359,15 @@ def parse_pages_kernel(extract_rules=()):
     ("parse where you read", the html analog of the python image sink).
     Input pdf carries ``body``; output drops it and adds the three
     extraction columns."""
-    specs = [(er.rule, er.item_pattern, tuple(er.fields)) for er in extract_rules]
+    specs = [
+        (er.rule, getattr(er, "kind", "regex"), er.item_pattern, tuple(er.fields))
+        for er in extract_rules
+    ]
 
     def kernel(grp: pd.DataFrame) -> pd.DataFrame:
         compiled = [
-            (rule, re.compile(pat, re.S), fields) for rule, pat, fields in specs
+            (rule, kind, re.compile(pat, re.S) if kind == "regex" else pat, fields)
+            for rule, kind, pat, fields in specs
         ]
         links_out, figs_out, dsl_out = [], [], []
         for b, ct, u, r in zip(
@@ -330,14 +392,10 @@ def parse_pages_kernel(extract_rules=()):
                 ]
             )
             row_items: list[dict] = []
-            for rule, rx, fields in compiled:
+            for rule, kind, key, fields in compiled:
                 if rule != r:
                     continue
-                for m in rx.finditer(text):
-                    gd = m.groupdict()
-                    row_items.append(
-                        {f: html_mod.unescape(gd.get(f) or "") for f in fields}
-                    )
+                row_items.extend(apply_rule_spec(text, kind, key, fields))
             dsl_out.append(row_items)
         out = grp.drop(columns=["body"]).copy()
         out["out_links"] = links_out

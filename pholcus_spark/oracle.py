@@ -102,6 +102,37 @@ def _extract_items(page: dict, er) -> list[dict]:
         text = (page.get("body") or b"").decode(charset, errors="replace")
     except LookupError:
         text = (page.get("body") or b"").decode("utf-8", errors="replace")
+    if getattr(er, "kind", "regex") == "json":
+        # independent re-implementation of the json kind (dot-path to
+        # the items array; non-string field values JSON-stringified)
+        import json as json_mod
+
+        try:
+            node = json_mod.loads(text)
+        except ValueError:
+            return []
+        for part in [p for p in er.item_pattern.split(".") if p]:
+            if not isinstance(node, dict) or part not in node:
+                return []
+            node = node[part]
+        if not isinstance(node, list):
+            return []
+        out = []
+        for el in node:
+            if isinstance(el, dict):
+                out.append(
+                    {
+                        f: (
+                            el[f]
+                            if isinstance(el.get(f), str)
+                            else ""
+                            if el.get(f) is None
+                            else json_mod.dumps(el[f], separators=(",", ":"))
+                        )
+                        for f in er.fields
+                    }
+                )
+        return out
     out = []
     for match in re_mod.finditer(er.item_pattern, text, re_mod.S):
         gd = match.groupdict()

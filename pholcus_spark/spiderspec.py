@@ -35,17 +35,28 @@ class ExtractRule:
     selectors (``spider.go:48-58``; ``context.go:214-242`` Output field
     mapping; goquery ``property.go`` Attr/Text).
 
-    Each regex match of ``item_pattern`` over the decoded page emits one
-    item; **named capture groups** become the item's fields (values are
-    HTML-unescaped). ``fields`` is the rule's ordered ItemFields schema
+    ``kind="regex"`` (default): each regex match of ``item_pattern``
+    over the decoded page emits one item; **named capture groups**
+    become the item's fields (values are HTML-unescaped).
+
+    ``kind="json"``: the page is a JSON document (API responses — many
+    reference rules json.Unmarshal page bodies, e.g. ``taobao.go:127``);
+    ``item_pattern`` is the dot-path to the items ARRAY (``""`` = the
+    root array, ``"data.items"`` = nested) and each element contributes
+    one item whose ``fields`` are pulled by key (non-string values
+    JSON-stringified, matching the reference sinks' stringification,
+    ``output_csv.go:56-60``).
+
+    ``fields`` is the rule's ordered ItemFields schema
     (``spider.go:53-58``) — sinks emit columns in exactly this order
     (``output_csv.go:46-50``), followed by the default provenance
     columns (``context.go:236-240``).
     """
 
     rule: str  # parse-rule name this extraction applies to
-    item_pattern: str  # regex; one match = one item; named groups = fields
-    fields: tuple[str, ...]  # ordered ItemFields (must name capture groups)
+    item_pattern: str  # regex (kind=regex) | dot-path to array (kind=json)
+    fields: tuple[str, ...]  # ordered ItemFields
+    kind: str = "regex"  # "regex" | "json"
 
 
 @dataclasses.dataclass(frozen=True)

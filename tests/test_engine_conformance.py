@@ -426,3 +426,72 @@ def _corpus_with_seeds(corpus, seeds):
     c = copy.copy(corpus)
     c.seeds = seeds
     return c
+
+
+def test_json_extract_rule_conformance(spark):
+    """kind='json' ExtractRule (API-page crawling — reference rules
+    json.Unmarshal page bodies, taobao.go:127): a JSON endpoint added
+    to the corpus yields items via the dot-path rule, identically in
+    engine and oracle (incl. non-string stringification)."""
+    import json
+
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=3, flaky_rate=0.0, fail_404_rate=0.0)
+    )
+    api_body = json.dumps(
+        {
+            "data": {
+                "items": [
+                    {"sku": "A-1", "price": 12.5, "tags": ["x", "y"]},
+                    {"sku": "B-2", "price": 3},
+                    {"sku": "C-3"},
+                ]
+            }
+        }
+    ).encode()
+    corpus.pages.append(
+        {
+            "url": "http://h000.test/api/items",
+            "host": "h000.test",
+            "depth": 0,
+            "status": 200,
+            "flaky": False,
+            "fail_attempts": 0,
+            "content_type": "application/json",
+            "body": api_body,
+            "out_links": [],
+            "image_refs": [],
+        }
+    )
+    corpus.seeds = corpus.seeds + [
+        {"spider": "site", "url": "http://h000.test/api/items",
+         "rule": "api", "priority": 0}
+    ]
+    spec = SpiderSpec(
+        "site",
+        link_rules=(
+            LinkRule("/p/", "list", 0),
+            LinkRule("/d/", "detail", 1),
+            LinkRule("/img/", "image", 2),
+            LinkRule("/api/", "api", 0),
+        ),
+        extract_rules=(
+            ExtractRule(
+                rule="api",
+                item_pattern="data.items",
+                fields=("sku", "price", "tags"),
+                kind="json",
+            ),
+        ),
+    )
+    run, res = run_pair(spark, corpus, spec)
+    try:
+        check_conformance(run, res)
+    finally:
+        run.cleanup()
+    api_items = [i for i in res.items if "sku" in i["data"]]
+    assert {i["data"]["sku"] for i in api_items} == {"A-1", "B-2", "C-3"}
+    by_sku = {i["data"]["sku"]: i["data"] for i in api_items}
+    assert by_sku["A-1"]["price"] == "12.5"
+    assert by_sku["A-1"]["tags"] == '["x","y"]'
+    assert by_sku["C-3"]["price"] == ""
