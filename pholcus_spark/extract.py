@@ -209,18 +209,22 @@ def extract_article_udf(texts: pd.Series) -> pd.Series:
 ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
 
 
-def compile_rule_specs(extract_rules) -> list[tuple]:
-    """ExtractRules → plain (rule, kind, compiled-or-path, fields)
-    tuples that ship in UDF closures."""
-    out = []
-    for er in extract_rules:
-        kind = getattr(er, "kind", "regex")
-        key = (
-            re.compile(er.item_pattern, re.S) if kind == "regex"
-            else er.item_pattern
-        )
-        out.append((er.rule, kind, key, tuple(er.fields)))
-    return out
+def rule_spec_tuples(extract_rules) -> list[tuple]:
+    """ExtractRules → plain picklable (rule, kind, pattern, fields)
+    tuples for UDF closures (compile regexes task-side with
+    :func:`compile_rule_specs`)."""
+    return [
+        (er.rule, getattr(er, "kind", "regex"), er.item_pattern, tuple(er.fields))
+        for er in extract_rules
+    ]
+
+
+def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
+    """Task-side: compile the regex kinds once per task."""
+    return [
+        (rule, kind, re.compile(pat, re.S) if kind == "regex" else pat, fields)
+        for rule, kind, pat, fields in specs
+    ]
 
 
 def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
@@ -281,10 +285,7 @@ def extract_items_vec(
     executors; regex patterns compile once per task. One decoded-body
     pass per row regardless of rule count.
     """
-    specs = [
-        (er.rule, getattr(er, "kind", "regex"), er.item_pattern, tuple(er.fields))
-        for er in extract_rules
-    ]
+    specs = rule_spec_tuples(extract_rules)
 
     @pandas_udf(ITEMS_TYPE)
     def _udf(
@@ -293,10 +294,7 @@ def extract_items_vec(
         base_urls: pd.Series,
         rules: pd.Series,
     ) -> pd.Series:
-        compiled = [
-            (rule, kind, re.compile(pat, re.S) if kind == "regex" else pat, fields)
-            for rule, kind, pat, fields in specs
-        ]
+        compiled = compile_rule_specs(specs)
         out = []
         for b, ct, _u, r in zip(bodies, content_types, base_urls, rules):
             row_items: list[dict] = []
@@ -359,16 +357,10 @@ def parse_pages_kernel(extract_rules=()):
     ("parse where you read", the html analog of the python image sink).
     Input pdf carries ``body``; output drops it and adds the three
     extraction columns."""
-    specs = [
-        (er.rule, getattr(er, "kind", "regex"), er.item_pattern, tuple(er.fields))
-        for er in extract_rules
-    ]
+    specs = rule_spec_tuples(extract_rules)
 
     def kernel(grp: pd.DataFrame) -> pd.DataFrame:
-        compiled = [
-            (rule, kind, re.compile(pat, re.S) if kind == "regex" else pat, fields)
-            for rule, kind, pat, fields in specs
-        ]
+        compiled = compile_rule_specs(specs)
         links_out, figs_out, dsl_out = [], [], []
         for b, ct, u, r in zip(
             grp["body"], grp["content_type"], grp["url"], grp["rule"]
