@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # resolves pandas-UDF type hints under future-annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -254,6 +255,64 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_css_extract(spark, sf_dir):
+    """CSS-selector ExtractRule surface (SURVEY §2.6: the goquery
+    Find/Attr/Text form every reference rule is written in,
+    `common/goquery/traversal.go:23-402`): each document is rendered
+    into a small HTML card JVM-side, then the kind="css" rule pulls the
+    head span text, tail span text, and a data- attribute back out via
+    one Arrow-batched pandas UDF. The oracle reconstructs the expected
+    values from the raw text columns with DuckDB list ops — the HTML
+    never exists on the oracle side, so a css parsing/projection bug
+    cannot cancel out."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pholcus_spark.extract import (
+        apply_rule_spec,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.spiderspec import ExtractRule
+
+    er = ExtractRule(
+        rule="doc", kind="css", item_pattern="div.doc",
+        fields=("head", "tail", "nc"),
+        field_css=(
+            ("head", "span.head@text"),
+            ("tail", "span.tail@text"),
+            ("nc", "@data-n"),
+        ),
+    )
+    specs = rule_spec_tuples([er])
+
+    @pandas_udf("head string, tail string, nc string")
+    def _css(htmls: pd.Series) -> pd.DataFrame:
+        _r, kind, key, fields, _lf = compile_rule_specs(specs)[0]
+        rows = [apply_rule_spec(h, kind, key, fields)[0] for h in htmls]
+        return pd.DataFrame(rows, columns=["head", "tail", "nc"])
+
+    docs = _load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    head = F.array_join(F.slice(w, 1, 5), " ")
+    tail = F.array_join(F.expr("slice(split(text, ' '), 6, greatest(size(split(text, ' ')) - 5, 0))"), " ")
+    html = F.concat(
+        F.lit('<html><body><div class="doc" data-n="'),
+        F.col("n_chars").cast("string"),
+        F.lit('"><span class="head">'), head,
+        F.lit('</span><span class="tail">'), tail,
+        F.lit("</span></div></body></html>"),
+    )
+    return (
+        docs.withColumn("_x", _css(html))
+        .select(
+            "doc_id",
+            F.col("_x.head").alias("head"),
+            F.col("_x.tail").alias("tail"),
+            F.col("_x.nc").alias("nc"),
+        )
+    )
+
+
 def dedup_exact(spark, sf_dir):
     from pholcus_spark.ops.dedup import exact_duplicates
 
@@ -370,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_clean_html": text_clean_html,
         "q_json_extract": q_json_extract,
+        "q_css_extract": q_css_extract,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -634,6 +694,15 @@ SELECT event_type,
   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY event_type
+""",
+        "q_css_extract": r"""
+SELECT doc_id,
+  array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS head,
+  array_to_string(
+    list_slice(string_split(text, ' '), 6, len(string_split(text, ' '))),
+    ' ') AS tail,
+  CAST(n_chars AS VARCHAR) AS nc
+FROM documents
 """,
         "dedup_exact": f"""
 SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM (

@@ -36,13 +36,17 @@ HEADLINE = [
     "text_fingerprint",
     "text_clean_html",
     "q_json_extract",
+    "q_css_extract",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_components",
-    "dedup_embedding",
+    # dedup_embedding (the deliberate all-pairs exact-oracle twin of
+    # dedup_embedding_lsh) stays a CORRECTNESS gate but is excluded
+    # here: a headline bench entry must model the scale path, and the
+    # LSH twin below carries it (round-2 verdict item 6)
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "sim_ann_lsh",
@@ -142,14 +146,29 @@ def main():
     # warm up the JVM + parquet footers once (excluded from timings)
     force(qs["q_dedup_anti_join"](spark, sf_dir))
 
+    # median-of-REPS per query: single samples on a shared box cannot
+    # distinguish noise from regression (round-2 verdict item 6 — the
+    # crawl number alone varied 95-155 s run-to-run unpinned)
+    reps = max(1, int(os.environ.get("PHOLCUS_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            samples.append(round(time.time() - t0, 3))
+        samples.sort()
+        timings[name] = samples[len(samples) // 2]
+        spread[name] = [samples[0], samples[-1]]
 
-    crawl = crawl_bench(spark, cpus)
+    crawl_runs = [crawl_bench(spark, cpus) for _ in range(reps)]
+    crawl_runs.sort(key=lambda c: c["seconds"])
+    crawl = crawl_runs[len(crawl_runs) // 2]  # median by wall time
     timings["crawl_pipeline"] = crawl["seconds"]
+    spread["crawl_pipeline"] = [
+        crawl_runs[0]["seconds"], crawl_runs[-1]["seconds"]
+    ]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -159,8 +178,13 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread_min_max": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
+                "crawl_urls_per_sec_all_runs": [
+                    c["urls_per_sec"] for c in crawl_runs
+                ],
                 "cpus": cpus,
             }
         )

@@ -1,0 +1,279 @@
+"""Minimal CSS-selector engine over a stdlib-parsed DOM — the
+``kind="css"`` ExtractRule backend.
+
+Reference surface: goquery's ``Find/Attr/Text``
+(``common/goquery/traversal.go:23-402``, ``common/goquery/property.go``),
+the form every reference sample rule is written in — e.g.
+``sample/static_rules/qq_avatar/avatar.go:92-93``
+``query.Find("#dv_an span img")`` then ``.Attr("src")``.
+
+Supported selector subset (what the reference samples actually use):
+
+- type selectors (``img``), universal (``*``)
+- ``#id``, ``.class`` (multiple), ``[attr]``, ``[attr=value]``
+  (quoted or bare), compounds thereof (``span.name[data-x=1]``)
+- descendant combinator (whitespace) and child combinator (``>``)
+- selector groups (``a, b`` — union, document order, deduped)
+
+Projections mirror goquery: :func:`node_text` concatenates every
+descendant text node (``property.go`` ``Text()``); :func:`node_attr`
+returns an attribute or ``None`` (``Attr()``).
+
+Parsing is tolerant of real-world tag soup the same way x/net/html is:
+unknown/unclosed tags never raise; a mismatched end tag pops to the
+nearest matching open element or is ignored. This module is pure
+Python with zero Spark imports — it runs inside Arrow-batched pandas
+UDFs (extract.py), never as a per-row Python UDF in a Spark plan.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+__all__ = [
+    "HtmlNode",
+    "parse_html",
+    "compile_selector",
+    "select",
+    "node_text",
+    "node_attr",
+]
+
+# HTML void elements: never pushed onto the open-element stack
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class HtmlNode:
+    """One element: tag, attrs (first occurrence wins, lowercased
+    names), and children (HtmlNode | str text chunks) in document
+    order."""
+
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "HtmlNode | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []
+        self.parent = parent
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"<{self.tag} {self.attrs!r} kids={len(self.children)}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = HtmlNode("#root", {}, None)
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        amap: dict[str, str] = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in amap:
+                amap[k] = v if v is not None else ""
+        node = HtmlNode(tag.lower(), amap, self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag.lower() not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        # <img ... /> — explicit self-close: element, never pushed
+        amap: dict[str, str] = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in amap:
+                amap[k] = v if v is not None else ""
+        self.stack[-1].children.append(HtmlNode(tag.lower(), amap, self.stack[-1]))
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        # pop to the nearest matching open element; ignore strays
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(text: str) -> HtmlNode:
+    """Parse (possibly malformed) HTML into an element tree; returns
+    the synthetic ``#root`` node."""
+    b = _TreeBuilder()
+    b.feed(text)
+    b.close()
+    return b.root
+
+
+# ---------------------------------------------------------------------------
+# selector compile + match
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*|\*)
+  | \#(?P<id>[\w-]+)
+  | \.(?P<cls>[\w-]+)
+  | \[(?P<attr>[\w-]+)(?:=(?P<q>["']?)(?P<val>[^\]"']*)(?P=q))?\]
+    """,
+    re.X,
+)
+
+
+class _Simple:
+    __slots__ = ("tag", "id", "classes", "attrs")
+
+    def __init__(self, tag, id_, classes, attrs):
+        self.tag = tag  # None = any
+        self.id = id_
+        self.classes = classes  # list[str]
+        self.attrs = attrs  # list[(name, value|None)]
+
+    def matches(self, node: HtmlNode) -> bool:
+        if node.tag.startswith("#"):
+            return False
+        if self.tag is not None and self.tag != "*" and node.tag != self.tag:
+            return False
+        if self.id is not None and node.attrs.get("id") != self.id:
+            return False
+        if self.classes:
+            have = (node.attrs.get("class") or "").split()
+            if any(c not in have for c in self.classes):
+                return False
+        for name, val in self.attrs:
+            if name not in node.attrs:
+                return False
+            if val is not None and node.attrs.get(name) != val:
+                return False
+        return True
+
+
+def _compile_compound(tok: str) -> _Simple:
+    tag = None
+    id_ = None
+    classes: list[str] = []
+    attrs: list[tuple[str, str | None]] = []
+    pos = 0
+    while pos < len(tok):
+        m = _TOKEN_RE.match(tok, pos)
+        if m is None:
+            raise ValueError(f"unsupported selector syntax at {tok[pos:]!r}")
+        if m.group("tag"):
+            tag = m.group("tag").lower()
+        elif m.group("id"):
+            id_ = m.group("id")
+        elif m.group("cls"):
+            classes.append(m.group("cls"))
+        elif m.group("attr"):
+            # q participates iff an =value clause was present
+            val = m.group("val") if m.group("q") is not None else None
+            attrs.append((m.group("attr").lower(), val))
+        pos = m.end()
+    return _Simple(tag, id_, classes, attrs)
+
+
+def compile_selector(selector: str) -> list[list[tuple[str, _Simple]]]:
+    """``"a > b c, d"`` → list of chains; each chain is
+    ``[(combinator, simple), ...]`` with combinator ``" "`` (descendant)
+    or ``">"`` (child); the first step's combinator is descendant
+    (goquery ``Find`` matches descendants of the context node)."""
+    chains = []
+    for part in selector.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        # normalize child combinator spacing, then split on whitespace
+        toks = re.split(r"\s+", part.replace(">", " > "))
+        chain: list[tuple[str, _Simple]] = []
+        comb = " "
+        for t in toks:
+            if not t:
+                continue
+            if t == ">":
+                comb = ">"
+                continue
+            chain.append((comb, _compile_compound(t)))
+            comb = " "
+        if comb == ">":
+            raise ValueError(f"dangling '>' in selector {selector!r}")
+        if chain:
+            chains.append(chain)
+    if not chains:
+        raise ValueError(f"empty selector {selector!r}")
+    return chains
+
+
+def _chain_matches(node: HtmlNode, chain, last: int) -> bool:
+    """Right-to-left match of chain[:last+1] ending at `node`.
+
+    Like cascadia (goquery's matcher): ancestor steps are unscoped —
+    they may match elements ABOVE the Find context; only the final
+    element is constrained to be a context descendant (by select()'s
+    traversal)."""
+    comb, simple = chain[last]
+    if not simple.matches(node):
+        return False
+    if last == 0:
+        return True
+    if comb == ">":
+        p = node.parent
+        return p is not None and _chain_matches(p, chain, last - 1)
+    anc = node.parent
+    while anc is not None:
+        if _chain_matches(anc, chain, last - 1):
+            return True
+        anc = anc.parent
+    return False
+
+
+def select(context: HtmlNode, compiled) -> list[HtmlNode]:
+    """All strict descendants of `context` matching the compiled
+    selector, in document order (goquery ``Find`` semantics). Accepts a
+    selector string or the result of :func:`compile_selector`."""
+    if isinstance(compiled, str):
+        compiled = compile_selector(compiled)
+    out: list[HtmlNode] = []
+    stack = [iter(context.children)]
+    while stack:
+        try:
+            child = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        if isinstance(child, HtmlNode):
+            if any(
+                _chain_matches(child, chain, len(chain) - 1)
+                for chain in compiled
+            ):
+                out.append(child)
+            stack.append(iter(child.children))
+    return out
+
+
+def node_text(node: HtmlNode) -> str:
+    """Concatenated text of all descendant text nodes, document order
+    (goquery ``Text()``)."""
+    parts: list[str] = []
+    stack = [iter(node.children)]
+    while stack:
+        try:
+            child = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        if isinstance(child, str):
+            parts.append(child)
+        else:
+            stack.append(iter(child.children))
+    return "".join(parts)
+
+
+def node_attr(node: HtmlNode, name: str) -> str | None:
+    """Attribute value or None (goquery ``Attr()``)."""
+    return node.attrs.get(name.lower())

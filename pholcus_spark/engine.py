@@ -110,24 +110,28 @@ def _dlt():
     return F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
 
 
-def dense_push_rank(df: DataFrame, partitions: int) -> DataFrame:
-    """Dense global rank over push order (p_prio desc, p_seq asc,
-    ordinal asc) WITHOUT a single-partition exchange.
+def two_phase_rank(df: DataFrame, order: list, partitions: int, out_col: str) -> DataFrame:
+    """Global ``row_number`` over `order` WITHOUT a single-partition
+    exchange.
 
     Two-phase: range-repartition on the sort key, rank locally inside
     each range partition, then add the cumulative row count of the
     preceding partitions via a broadcast join (the cumulative window
-    runs over ≤ `partitions` rows — trivially small). The sort key is
-    unique per row (ordinal disambiguates siblings), so the assembled
-    rank is independent of where the sampled range boundaries fall —
-    deterministic, and identical to the single-window rank.
+    runs over ≤ `partitions` rows — trivially small). The sort key must
+    be unique per row, so the assembled rank is identical to the
+    single-window rank regardless of where the range boundaries fall.
 
-    The caller must persist `df` first: the range exchange samples its
-    input and the partition-count pass scans it again.
+    The ranged frame is localCheckpointed: ``repartitionByRange``
+    SAMPLES its input with a fresh random seed per execution, so the
+    rank subtree and the partition-count subtree MUST read one
+    materialized partitioning — two independent executions can draw
+    different boundaries and mis-assemble the global rank (caught by
+    tests/test_plans.py::test_two_phase_rank_matches_global_window).
     """
-    order = [F.desc("p_prio"), F.asc("p_seq"), F.asc("ordinal")]
-    ranged = df.repartitionByRange(partitions, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(partitions, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local = Window.partitionBy("_pid").orderBy(*order)
     ranked = ranged.withColumn("_lrank", F.row_number().over(local))
@@ -138,9 +142,18 @@ def dense_push_rank(df: DataFrame, partitions: int) -> DataFrame:
     ).select("_pid", "_poff")
     return (
         ranked.join(F.broadcast(offsets), "_pid")
-        .withColumn("_push_rank", (F.col("_poff") + F.col("_lrank")).cast("int"))
+        .withColumn(out_col, F.col("_poff") + F.col("_lrank"))
         .drop("_pid", "_lrank", "_poff")
     )
+
+
+def dense_push_rank(df: DataFrame, partitions: int) -> DataFrame:
+    """Dense global rank over push order (p_prio desc, p_seq asc,
+    ordinal asc) via :func:`two_phase_rank` — ordinal disambiguates
+    siblings, making the sort key unique per row."""
+    order = [F.desc("p_prio"), F.asc("p_seq"), F.asc("ordinal")]
+    ranked = two_phase_rank(df, order, partitions, "_push_rank")
+    return ranked.withColumn("_push_rank", F.col("_push_rank").cast("int"))
 
 
 @dataclasses.dataclass
@@ -244,21 +257,14 @@ class CrawlEngine:
         driver-scale by definition — the row build is plain Python.
         """
         state0 = self._seed_prelude()
-        robots_rows = {r["host"]: r.asDict() for r in self.robots.collect()}
-        seen_keys: set[str] = set()
         rows = []
         for s in seeds:
             for k in parse_keyins(s.get("keyin", "") or "") or [""]:
                 spider = fanout_spider_name(s["spider"], k)
                 url = canonicalize_url(apply_keyin(s["url"], k))
                 host = host_of(url)
-                if not self._robots_allow_py(robots_rows.get(host), url):
-                    continue
                 key = request_key(spider, s["rule"], url)
                 reloadable = url in self.spec.reloadable_urls
-                if not reloadable and key in seen_keys:
-                    continue
-                seen_keys.add(key)
                 rows.append(
                     (
                         key, spider, s["rule"], url, host, "GET", "",
@@ -267,7 +273,44 @@ class CrawlEngine:
                     )
                 )
         new_df = self.spark.createDataFrame(rows, FRONTIER_DDL)
+        # robots disallow via the broadcast dim (shared with seed_range /
+        # push path) — never a driver-side collect() of the robots table,
+        # which at web scale is a millions-of-hosts dim
+        new_df = self._robots_disallow_filter(new_df, "url")
+        # in-batch dedup AFTER the robots filter (a blocked row must not
+        # shadow an allowed duplicate); first occurrence wins, reloadable
+        # rows always pass but still claim their key for later dups
+        _kw = Window.partitionBy("key").orderBy(F.asc("seq"))
+        new_df = (
+            new_df.withColumn("_krn", F.row_number().over(_kw))
+            .where(F.col("reloadable") | (F.col("_krn") == 1))
+            .drop("_krn")
+        )
         self._merge_new_frontier(new_df, state0)
+
+    def _robots_disallow_filter(self, df: DataFrame, url_col: str) -> DataFrame:
+        """Drop rows whose URL path matches a robots disallow prefix for
+        its host (broadcast-dim equi-join; `df` must carry a `host`
+        column)."""
+        return (
+            df.join(
+                F.broadcast(self.robots.select("host", "disallow_prefixes")),
+                "host",
+                "left",
+            )
+            .withColumn(
+                "_path",
+                F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
+            )
+            .where(
+                F.col("disallow_prefixes").isNull()
+                | ~F.exists(
+                    "disallow_prefixes",
+                    lambda p: F.col("_path").startswith(p),
+                )
+            )
+            .drop("_path", "disallow_prefixes")
+        )
 
     def seed_range(
         self,
@@ -300,21 +343,7 @@ class CrawlEngine:
         )
         gen = canonical_split(gen, "raw_url").where(F.col("curl").isNotNull())
         # robots disallow (same broadcast-dim filter as the push path)
-        gen = (
-            gen.join(
-                F.broadcast(self.robots.select("host", "disallow_prefixes")),
-                "host",
-                "left",
-            )
-            .withColumn("_path", F.parse_url(F.col("curl"), F.lit("PATH")))
-            .where(
-                F.col("disallow_prefixes").isNull()
-                | ~F.exists(
-                    "disallow_prefixes",
-                    lambda p: F.col("_path").startswith(p),
-                )
-            )
-        )
+        gen = self._robots_disallow_filter(gen, "curl")
         new_df = gen.select(
             request_key_col(
                 F.lit(spider), F.lit(rule), F.col("curl"), F.lit("GET")
@@ -385,9 +414,13 @@ class CrawlEngine:
             else (-limit if limit is not None else None)
         )
         # limit guard: accepted (non-dup) seeds consume the remaining
-        # budget in seed order (matrix.go:59-61,97 — dups never increment)
-        new_df = new_df.withColumn(
-            "_rn", F.row_number().over(Window.orderBy("seq"))
+        # budget in seed order (matrix.go:59-61,97 — dups never increment).
+        # seq is unique within the batch (seed() ordinal / seed_range _ord),
+        # so the two-phase rank avoids funnelling a 10^10-entry seed_range
+        # through one task the way a global Window.orderBy would.
+        pre = new_df.persist()  # the range rank samples + rescans its input
+        new_df = two_phase_rank(
+            pre, [F.asc("seq")], max(1, self.config.frontier_partitions), "_rn"
         )
         if max_page is not None:
             new_df = new_df.where(F.col("_rn") <= max(0, -max_page))
@@ -399,6 +432,7 @@ class CrawlEngine:
             .persist()
         )
         n_new = new_df.count()
+        pre.unpersist()
         if state0 is None:
             state = {
                 "superstep": 0,
@@ -430,17 +464,6 @@ class CrawlEngine:
             self._frontier_df = frontier
             self._frontier_dirty = False
         new_df.unpersist()
-
-    @staticmethod
-    def _robots_allow_py(robot_row: dict | None, url: str) -> bool:
-        if not robot_row:
-            return True
-        from urllib.parse import urlsplit
-
-        path = urlsplit(url).path
-        return not any(
-            path.startswith(p) for p in (robot_row.get("disallow_prefixes") or [])
-        )
 
     # ------------------------------------------------------------------
     # superstep loop
@@ -598,7 +621,7 @@ class CrawlEngine:
         failed_repeat = failed_ranked.where(F.col("_frank") > 1).drop("_frank")
 
         # -- 3/4. extract + emit -------------------------------------------
-        from .extract import extract_all_udf
+        from .extract import extract_all_vec
         from .validate import validate_image_udf
 
         _html_filter = F.col("ok") & (F.col("rule") != self.spec.image_rule)
@@ -613,10 +636,19 @@ class CrawlEngine:
             html_ok = fetched_full.where(_html_filter)
             parsed = (
                 html_ok.withColumn(
-                    "_ex", extract_all_udf("body", "content_type", "url")
+                    "_ex",
+                    extract_all_vec(self.spec.extract_rules)(
+                        "body", "content_type", "url", "rule"
+                    ),
                 )
-                .withColumn("out_links", F.col("_ex.out_links"))
-                .withColumn("figures", F.col("_ex.figures"))
+                .withColumns(
+                    {
+                        "out_links": F.col("_ex.out_links"),
+                        "figures": F.col("_ex.figures"),
+                        "dsl_items": F.col("_ex.dsl_items"),
+                        "dsl_links": F.col("_ex.dsl_links"),
+                    }
+                )
                 .drop("_ex", "body")  # bodies leave the plan before the cache
                 .persist()
             )
@@ -650,30 +682,12 @@ class CrawlEngine:
             # Store mode: already computed in the fused parse kernel;
             # otherwise one vectorized body pass.
             dsl_rules = sorted({er.rule for er in self.spec.extract_rules})
-            if has_store:
-                dsl_src = parsed.where(F.col("rule").isin(dsl_rules)).select(
-                    "spider", "rule", "url", "parent_url",
-                    F.explode("dsl_items").alias("data"),
-                )  # download_time/superstep added with the figure items below
-            else:
-                from .extract import extract_items_vec
-
-                dsl_src = (
-                    html_ok.where(F.col("rule").isin(dsl_rules))
-                    .withColumn(
-                        "_di",
-                        extract_items_vec(self.spec.extract_rules)(
-                            "body", "content_type", "url", "rule"
-                        ),
-                    )
-                    .select(
-                        "spider",
-                        "rule",
-                        "url",
-                        "parent_url",
-                        F.explode("_di").alias("data"),
-                    )
-                )
+            # both modes: the fused parse already computed dsl_items in
+            # the same body pass as links/figures
+            dsl_src = parsed.where(F.col("rule").isin(dsl_rules)).select(
+                "spider", "rule", "url", "parent_url",
+                F.explode("dsl_items").alias("data"),
+            )  # download_time/superstep added with the figure items below
             items = items.unionByName(
                 dsl_src.withColumns(
                     {"superstep": F.lit(superstep), "download_time": _dlt()}
@@ -1017,6 +1031,12 @@ class CrawlEngine:
                 F.concat(
                     F.col("out_links"),
                     F.transform(F.col("figures"), lambda f: f["src"]),
+                    # link_fields-emitted children (ctx.AddQueue from
+                    # rule data, avatar.go:95-101) — last in push order
+                    F.coalesce(
+                        F.col("dsl_links"),
+                        F.array().cast("array<string>"),
+                    ),
                 )
             ).alias("ordinal", "raw_link"),
         )
@@ -1255,13 +1275,18 @@ class CrawlEngine:
         # one requeue per key (the failure store is key-addressed,
         # matrix.go:160-168): keep the earliest failure if duplicates slip in
         per_key = Window.partitionBy("key").orderBy(F.asc("seq"))
-        cand = (
+        cand_pre = (
             cand.withColumn("_krn", F.row_number().over(per_key))
             .where(F.col("_krn") == 1)
             .drop("_krn")
+            .persist()  # two_phase_rank samples + rescans its input
         )
-        order = Window.orderBy("seq")
-        cand = cand.withColumn("_rank", F.row_number().over(order))
+        # seq is unique after the per-key dedup, so the distributed rank
+        # is deterministic (failures can be O(frontier) on a bad day —
+        # never a single-partition window here)
+        cand = two_phase_rank(
+            cand_pre, [F.asc("seq")], max(1, self.config.frontier_partitions), "_rank"
+        )
         if state["max_page"] is not None:
             cand = cand.where(F.col("_rank") <= max(0, -state["max_page"]))
         requeued = cand.select(
@@ -1294,3 +1319,4 @@ class CrawlEngine:
         self._frontier_df = new_frontier
         self._frontier_dirty = False
         requeued.unpersist()
+        cand_pre.unpersist()

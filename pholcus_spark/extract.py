@@ -210,21 +210,53 @@ ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
 
 
 def rule_spec_tuples(extract_rules) -> list[tuple]:
-    """ExtractRules → plain picklable (rule, kind, pattern, fields)
-    tuples for UDF closures (compile regexes task-side with
-    :func:`compile_rule_specs`)."""
+    """ExtractRules → plain picklable (rule, kind, pattern, fields,
+    field_css, link_fields) tuples for UDF closures (compile
+    regexes/selectors task-side with :func:`compile_rule_specs`)."""
     return [
-        (er.rule, getattr(er, "kind", "regex"), er.item_pattern, tuple(er.fields))
+        (
+            er.rule,
+            getattr(er, "kind", "regex"),
+            er.item_pattern,
+            tuple(er.fields),
+            tuple(getattr(er, "field_css", ()) or ()),
+            tuple(getattr(er, "link_fields", ()) or ()),
+        )
         for er in extract_rules
     ]
 
 
+def _compile_css_spec(pat: str, fields: tuple, field_css: tuple):
+    """(container-chains, [(field, sub-chains|None, projection)]) —
+    sub-chains None means project from the container element itself."""
+    from . import css as css_mod
+
+    container = css_mod.compile_selector(pat)
+    projections = []
+    fc = dict(field_css)
+    for f in fields:
+        spec = fc.get(f, "@text")
+        sub, _, proj = spec.rpartition("@")
+        sub = sub.strip()
+        projections.append(
+            (f, css_mod.compile_selector(sub) if sub else None, proj or "text")
+        )
+    return container, projections
+
+
 def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
-    """Task-side: compile the regex kinds once per task."""
-    return [
-        (rule, kind, re.compile(pat, re.S) if kind == "regex" else pat, fields)
-        for rule, kind, pat, fields in specs
-    ]
+    """Task-side: compile the regex/css kinds once per task. Output
+    tuples: (rule, kind, compiled-key, fields, link_fields)."""
+    out = []
+    for rule, kind, pat, fields, field_css, link_fields in specs:
+        if kind == "regex":
+            key = re.compile(pat, re.S)
+        elif kind == "css":
+            key = _compile_css_spec(pat, fields, field_css)
+        else:
+            key = pat
+        out.append((rule, kind, key, fields, link_fields))
+    return out
 
 
 def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
@@ -236,7 +268,33 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
     non-strings JSON-stringified (reference sinks' stringification,
     ``output_csv.go:56-60``). Malformed JSON / missing path → no items
     (the reference rule's Unmarshal-err branch logs and emits nothing).
+    css: ``key`` is the compiled (container, projections) pair — one
+    item per container match, fields via sub-selector Find + Text/Attr
+    (goquery surface; missing sub-match or attribute → '' like the
+    reference's ``Attr`` default, ``property.go``).
     """
+    if kind == "css":
+        from . import css as css_mod
+
+        container, projections = key
+        root = css_mod.parse_html(text)
+        items = []
+        for node in css_mod.select(root, container):
+            row = {}
+            for f, sub, proj in projections:
+                if sub is None:
+                    target = node
+                else:
+                    found = css_mod.select(node, sub)
+                    target = found[0] if found else None
+                if target is None:
+                    row[f] = ""
+                elif proj == "text":
+                    row[f] = css_mod.node_text(target)
+                else:
+                    row[f] = css_mod.node_attr(target, proj) or ""
+            items.append(row)
+        return items
     if kind == "json":
         import json as json_mod
 
@@ -300,7 +358,7 @@ def extract_items_vec(
             row_items: list[dict] = []
             if b is not None:
                 text = None
-                for rule, kind, key, fields in compiled:
+                for rule, kind, key, fields, _lf in compiled:
                     if rule != r:
                         continue
                     if text is None:
@@ -318,6 +376,88 @@ EXTRACT_ALL_TYPE = StructType(
         StructField("figures", FIGURES_TYPE),
     ]
 )
+
+EXTRACT_FULL_TYPE = StructType(
+    [
+        StructField("out_links", ArrayType(StringType())),
+        StructField("figures", FIGURES_TYPE),
+        StructField("dsl_items", ArrayType(MapType(StringType(), StringType()))),
+        StructField("dsl_links", ArrayType(StringType())),
+    ]
+)
+
+
+def extract_all_vec(extract_rules=()):
+    """The fully-fused page parse: links + figures + user ExtractRule
+    items + rule-emitted links (``link_fields`` — ctx.AddQueue from
+    rule data, avatar.go:95-101) in ONE decoded-body pass and one
+    Python stage. This is the engine's hot-path UDF; dsl_links are
+    absolutized here and appended after anchors + figure srcs in push
+    order (the oracle mirrors that ordering independently)."""
+    specs = rule_spec_tuples(extract_rules)
+
+    @pandas_udf(EXTRACT_FULL_TYPE)
+    def _udf(
+        bodies: pd.Series,
+        content_types: pd.Series,
+        base_urls: pd.Series,
+        rules: pd.Series,
+    ) -> pd.DataFrame:
+        compiled = compile_rule_specs(specs)
+        links_out, figs_out, dsl_out, dlinks_out = [], [], [], []
+        for b, ct, u, r in zip(bodies, content_types, base_urls, rules):
+            if b is None:
+                links_out.append([])
+                figs_out.append([])
+                dsl_out.append([])
+                dlinks_out.append([])
+                continue
+            text = decode_body(b, ct)
+            links_out.append(
+                [absolutize(u, html_mod.unescape(h)) for h in _HREF_RE.findall(text)]
+            )
+            figs_out.append(
+                [
+                    {
+                        "src": absolutize(u, html_mod.unescape(src)),
+                        "caption": html_mod.unescape(cap),
+                    }
+                    for src, cap in _FIGURE_RE.findall(text)
+                ]
+            )
+            row_items, row_links = _apply_rules_for(compiled, text, r, u)
+            dsl_out.append(row_items)
+            dlinks_out.append(row_links)
+        return pd.DataFrame(
+            {
+                "out_links": links_out,
+                "figures": figs_out,
+                "dsl_items": dsl_out,
+                "dsl_links": dlinks_out,
+            }
+        )
+
+    return _udf
+
+
+def _apply_rules_for(compiled, text: str, rule: str, base_url: str):
+    """All compiled ExtractRules matching `rule` over one decoded page:
+    (items, link_fields-emitted links in item order)."""
+    row_items: list[dict] = []
+    row_links: list[str] = []
+    for r, kind, key, fields, link_fields in compiled:
+        if r != rule:
+            continue
+        items = apply_rule_spec(text, kind, key, fields)
+        row_items.extend(items)
+        # per-item then per-field, like the reference's AddQueue inside
+        # the selection Each loop
+        for it in items:
+            for lf in link_fields:
+                v = it.get(lf)
+                if v:
+                    row_links.append(absolutize(base_url, v))
+    return row_items, row_links
 
 
 @pandas_udf(EXTRACT_ALL_TYPE)
@@ -361,7 +501,7 @@ def parse_pages_kernel(extract_rules=()):
 
     def kernel(grp: pd.DataFrame) -> pd.DataFrame:
         compiled = compile_rule_specs(specs)
-        links_out, figs_out, dsl_out = [], [], []
+        links_out, figs_out, dsl_out, dlinks_out = [], [], [], []
         for b, ct, u, r in zip(
             grp["body"], grp["content_type"], grp["url"], grp["rule"]
         ):
@@ -369,6 +509,7 @@ def parse_pages_kernel(extract_rules=()):
                 links_out.append([])
                 figs_out.append([])
                 dsl_out.append([])
+                dlinks_out.append([])
                 continue
             text = decode_body(bytes(b), ct)
             links_out.append(
@@ -383,16 +524,14 @@ def parse_pages_kernel(extract_rules=()):
                     for src, cap in _FIGURE_RE.findall(text)
                 ]
             )
-            row_items: list[dict] = []
-            for rule, kind, key, fields in compiled:
-                if rule != r:
-                    continue
-                row_items.extend(apply_rule_spec(text, kind, key, fields))
+            row_items, row_links = _apply_rules_for(compiled, text, r, u)
             dsl_out.append(row_items)
+            dlinks_out.append(row_links)
         out = grp.drop(columns=["body"]).copy()
         out["out_links"] = links_out
         out["figures"] = figs_out
         out["dsl_items"] = dsl_out
+        out["dsl_links"] = dlinks_out
         return out
 
     return kernel
@@ -401,5 +540,6 @@ def parse_pages_kernel(extract_rules=()):
 PARSE_EXTRA_DDL = (
     "out_links array<string>, "
     "figures array<struct<src:string,caption:string>>, "
-    "dsl_items array<map<string,string>>"
+    "dsl_items array<map<string,string>>, "
+    "dsl_links array<string>"
 )

@@ -183,9 +183,27 @@ class HttpFetcher:  # pragma: no cover - requires aiohttp + network
         try_times = self.try_times
         retry_pause_s = self.retry_pause_s
         redirect_times = self.redirect_times
-        schema = wave.schema.add("status", "int").add("content_type", "string").add(
-            "body", "binary"
-        ).add("ok", "boolean")
+        from pyspark.sql.types import (
+            BinaryType,
+            BooleanType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        # never StructType.add on wave.schema: it mutates the frame's
+        # CACHED schema in place and pyspark 4 then resolves the
+        # phantom columns against the child plan
+        schema = StructType(
+            list(wave.schema.fields)
+            + [
+                StructField("status", IntegerType()),
+                StructField("content_type", StringType()),
+                StructField("body", BinaryType()),
+                StructField("ok", BooleanType()),
+            ]
+        )
 
         def run(batches):
             import aiohttp
@@ -196,14 +214,18 @@ class HttpFetcher:  # pragma: no cover - requires aiohttp + network
                 tmo = aiohttp.ClientTimeout(total=timeout_s)
                 async with aiohttp.ClientSession(connector=conn, timeout=tmo) as s:
                     async def one(u, m, d):
-                        m = (m or "GET").upper()
+                        from .httpfetch import encode_post, wire_method
+
                         kwargs = {
                             "allow_redirects": redirect_times >= 0,
                         }
                         if redirect_times > 0:
                             kwargs["max_redirects"] = redirect_times
-                        if m == "POST" and d:
-                            kwargs["data"] = d
+                        body, hdrs = encode_post(m, d)
+                        m = wire_method(m)
+                        if m == "POST":
+                            kwargs["data"] = body
+                            kwargs["headers"] = hdrs
                         for attempt in range(try_times):
                             try:
                                 async with s.request(m, u, **kwargs) as r:

@@ -1,0 +1,226 @@
+"""Stdlib-only live HTTP fetcher — the testable production fetch path.
+
+The reference drives its downloader against a local httptest server
+(`app/downloader/downloader_test.go:25-60`, `surfer/surf_test.go`);
+this fetcher gives the same semantics first-class, executed test
+coverage against an in-process ``http.server`` (tests/test_httpfetch.py)
+— no aiohttp required (the dependency-gated :class:`~pholcus_spark.fetch.HttpFetcher`
+remains for async scale on a real cluster).
+
+Semantics mirrored from the reference surf engine:
+
+* per-request timeout (`request.go:45-50` DialTimeout/ConnTimeout)
+* bounded in-fetch retries with pause on transport errors
+  (`surf.go:158-197` TryTimes/RetryPause); HTTP error statuses are
+  RESULTS, not retries — the engine's failure-requeue state machine
+  owns those (matrix.go:186-202)
+* redirect policy (`surfer/param.go:130-144`): 0 = unlimited
+  (hard-capped), <0 = forbidden (the 3xx is the final answer), n = at
+  most n hops. Method conversion follows Go's http.Client: 301/302/303
+  re-issue as GET without body; 307/308 preserve method + body.
+* request encodings (`surfer/param.go:61-84`): GET/HEAD; POST =
+  application/x-www-form-urlencoded; POST-M = multipart/form-data
+  (the post_data string is parsed as urlencoded pairs and re-encoded
+  multipart, like the reference's writer loop).
+
+Spark shape: one ``mapInPandas`` stage over the politeness-selected
+wave; per-batch concurrency via a thread pool (network IO releases the
+GIL — threads, not processes, are the right executor-local model).
+Politeness/rate limits are enforced UPSTREAM by wave selection; this
+stage only bounds in-flight connections per task.
+"""
+
+from __future__ import annotations
+
+import time
+from urllib.parse import parse_qsl, urljoin
+
+from pyspark.sql import DataFrame
+
+# deterministic boundary: content only depends on post_data, so fetch
+# retries and conformance fixtures see byte-identical multipart bodies
+MULTIPART_BOUNDARY = "pholcus-spark-boundary-7f2a91c4"
+
+_REDIRECT_HARD_CAP = 20
+
+
+def encode_post(method: str, post_data: str) -> tuple[bytes | None, dict]:
+    """(body, headers) for a frontier request (`surfer/param.go:61-84`).
+
+    POST: the post_data string IS the urlencoded body. POST-M: parse it
+    as urlencoded pairs, re-encode as multipart/form-data.
+    """
+    m = (method or "GET").upper()
+    if m == "POST":
+        return (post_data or "").encode(), {
+            "Content-Type": "application/x-www-form-urlencoded"
+        }
+    if m == "POST-M":
+        parts = []
+        for k, v in parse_qsl(post_data or "", keep_blank_values=True):
+            parts.append(
+                f"--{MULTIPART_BOUNDARY}\r\n"
+                f'Content-Disposition: form-data; name="{k}"\r\n\r\n'
+                f"{v}\r\n"
+            )
+        parts.append(f"--{MULTIPART_BOUNDARY}--\r\n")
+        return "".join(parts).encode(), {
+            "Content-Type": f"multipart/form-data; boundary={MULTIPART_BOUNDARY}"
+        }
+    return None, {}
+
+
+def wire_method(method: str) -> str:
+    """POST-M goes on the wire as POST (the -M suffix only selects the
+    encoding)."""
+    m = (method or "GET").upper()
+    return "POST" if m == "POST-M" else m
+
+
+def fetch_one(
+    url: str,
+    method: str = "GET",
+    post_data: str = "",
+    timeout_s: float = 120.0,
+    try_times: int = 3,
+    retry_pause_s: float = 2.0,
+    redirect_times: int = 0,
+) -> tuple[int, str, bytes]:
+    """One request → (status, content_type, body). Never raises: a
+    transport failure after the retry budget returns status 599 (the
+    same sentinel the aiohttp fetcher and FixtureFetcher use)."""
+    import urllib.error
+    import urllib.request
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            return None  # surface the 3xx instead of auto-following
+
+    opener = urllib.request.build_opener(_NoRedirect)
+
+    for attempt in range(max(1, try_times)):
+        try:
+            cur_url, cur_method, cur_data = url, wire_method(method), None
+            headers = {}
+            if cur_method == "POST":
+                cur_data, headers = encode_post(method, post_data)
+            hops = 0
+            while True:
+                req = urllib.request.Request(
+                    cur_url, data=cur_data, method=cur_method, headers=headers
+                )
+                try:
+                    with opener.open(req, timeout=timeout_s) as resp:
+                        status = resp.status
+                        ctype = resp.headers.get("Content-Type", "")
+                        body = b"" if cur_method == "HEAD" else resp.read()
+                except urllib.error.HTTPError as he:
+                    status = he.code
+                    ctype = he.headers.get("Content-Type", "") if he.headers else ""
+                    location = he.headers.get("Location") if he.headers else None
+                    if 300 <= status < 400 and location:
+                        limit = (
+                            _REDIRECT_HARD_CAP
+                            if redirect_times == 0
+                            else redirect_times
+                        )
+                        if redirect_times < 0 or hops >= limit:
+                            return status, ctype, b""  # policy: stop here
+                        hops += 1
+                        cur_url = urljoin(cur_url, location)
+                        if status in (301, 302, 303):
+                            cur_method, cur_data, headers = "GET", None, {}
+                        continue  # 307/308 keep method + body
+                    body = he.read() if he.fp else b""
+                return status, ctype, body
+        except Exception:
+            if attempt + 1 < max(1, try_times):
+                time.sleep(retry_pause_s)
+    return 599, "", b""
+
+
+class StdlibHttpFetcher:
+    """Live fetcher over ``urllib`` with the engine's fetcher contract:
+    ``fetch(wave) -> wave + (status, content_type, body, ok)``."""
+
+    has_cheap_meta = False  # a live fetch cannot be issued twice
+
+    def __init__(
+        self,
+        timeout_s: float = 120.0,
+        try_times: int = 3,
+        retry_pause_s: float = 2.0,
+        redirect_times: int = 0,
+        max_conn_per_task: int = 16,
+    ):
+        self.timeout_s = timeout_s
+        self.try_times = try_times
+        self.retry_pause_s = retry_pause_s
+        self.redirect_times = redirect_times
+        self.max_conn_per_task = max_conn_per_task
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        timeout_s = self.timeout_s
+        try_times = self.try_times
+        retry_pause_s = self.retry_pause_s
+        redirect_times = self.redirect_times
+        max_conn = self.max_conn_per_task
+        from pyspark.sql.types import (
+            BinaryType,
+            BooleanType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        # never StructType.add on wave.schema: it mutates the frame's
+        # CACHED schema in place and pyspark 4 then resolves the
+        # phantom columns against the child plan
+        schema = StructType(
+            list(wave.schema.fields)
+            + [
+                StructField("status", IntegerType()),
+                StructField("content_type", StringType()),
+                StructField("body", BinaryType()),
+                StructField("ok", BooleanType()),
+            ]
+        )
+
+        def run(batches):
+            from concurrent.futures import ThreadPoolExecutor
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                methods = (
+                    pdf["method"].tolist()
+                    if "method" in pdf
+                    else ["GET"] * len(pdf)
+                )
+                post = (
+                    pdf["post_data"].tolist()
+                    if "post_data" in pdf
+                    else [""] * len(pdf)
+                )
+                with ThreadPoolExecutor(max_workers=max_conn) as pool:
+                    res = list(
+                        pool.map(
+                            lambda t: fetch_one(
+                                t[0], t[1], t[2],
+                                timeout_s=timeout_s,
+                                try_times=try_times,
+                                retry_pause_s=retry_pause_s,
+                                redirect_times=redirect_times,
+                            ),
+                            zip(pdf["url"].tolist(), methods, post),
+                        )
+                    )
+                pdf = pdf.copy()
+                pdf["status"] = [r[0] for r in res]
+                pdf["content_type"] = [r[1] for r in res]
+                pdf["body"] = [r[2] for r in res]
+                pdf["ok"] = [r[0] < 400 for r in res]
+                yield pdf
+
+        return wave.mapInPandas(run, schema)

@@ -202,6 +202,16 @@ def _resample_gray(pixels: np.ndarray, n: int = _PHASH_N) -> np.ndarray:
     destroys multi-process scaling on shared hosts)."""
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
+    # upsample first (images smaller than n×n, e.g. tiny avatars): nearest-
+    # row gather to exactly n — the reduceat bin mapping below assumes
+    # h,w ≥ n and IndexErrors otherwise; the ≥n path is unchanged so
+    # phash values for existing corpora stay stable
+    if h < n:
+        gray = gray[(np.arange(n) * h) // n]
+        h = n
+    if w < n:
+        gray = gray[:, (np.arange(n) * w) // n]
+        w = n
     # bin boundaries identical to the old index mapping: row y goes to
     # bin y*n//h — boundaries are the first y of each bin
     yb = np.searchsorted(np.arange(h) * n // max(h, 1), np.arange(n), side="left")

@@ -36,7 +36,13 @@ from __future__ import annotations
 import dataclasses
 from collections import defaultdict
 
-from .keys import canonicalize_url, canonicalize_url_safe, host_of, request_key
+from .keys import (
+    absolutize,
+    canonicalize_url,
+    canonicalize_url_safe,
+    host_of,
+    request_key,
+)
 from .spiderspec import SpiderSpec, apply_keyin, fanout_spider_name, parse_keyins
 
 
@@ -86,6 +92,224 @@ class OracleResult:
     dropped_dup: int
 
 
+# ---------------------------------------------------------------------------
+# css-kind oracle: single-pass SAX-style selector matcher.
+#
+# Deliberately a DIFFERENT algorithm from the engine's
+# (pholcus_spark/css.py builds an element tree and matches recursively;
+# this one never builds a tree — it matches selector chains against the
+# open-element stack during one HTMLParser pass), so engine==oracle is
+# a real two-implementation check, like the json kind above.
+# ---------------------------------------------------------------------------
+
+_ORACLE_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+_ORACLE_SIMPLE_RE = __import__("re").compile(
+    r"([a-zA-Z][\w-]*|\*)|#([\w-]+)|\.([\w-]+)|\[([\w-]+)(?:=([\"']?)([^\]\"']*)\5)?\]"
+)
+
+
+def _oracle_parse_selector(sel: str) -> list[list[tuple[str, tuple]]]:
+    groups = []
+    for part in sel.split(","):
+        toks = part.replace(">", " > ").split()
+        chain: list[tuple[str, tuple]] = []
+        comb = " "
+        for t in toks:
+            if t == ">":
+                comb = ">"
+                continue
+            tag, id_, classes, attrs = None, None, [], []
+            pos = 0
+            while pos < len(t):
+                m = _ORACLE_SIMPLE_RE.match(t, pos)
+                if m is None:
+                    raise ValueError(f"bad selector token {t!r}")
+                if m.group(1):
+                    tag = m.group(1).lower()
+                elif m.group(2):
+                    id_ = m.group(2)
+                elif m.group(3):
+                    classes.append(m.group(3))
+                else:
+                    attrs.append(
+                        (m.group(4).lower(), m.group(6) if m.group(5) is not None else None)
+                    )
+                pos = m.end()
+            chain.append((comb, (tag, id_, tuple(classes), tuple(attrs))))
+            comb = " "
+        if chain:
+            groups.append(chain)
+    return groups
+
+
+def _oracle_simple_ok(el: tuple[str, dict], simple: tuple) -> bool:
+    tag, attrs = el
+    stag, sid, sclasses, sattrs = simple
+    if stag not in (None, "*") and tag != stag:
+        return False
+    if sid is not None and attrs.get("id") != sid:
+        return False
+    if sclasses:
+        have = (attrs.get("class") or "").split()
+        if any(c not in have for c in sclasses):
+            return False
+    for name, val in sattrs:
+        if name not in attrs:
+            return False
+        if val is not None and attrs.get(name) != val:
+            return False
+    return True
+
+
+def _oracle_path_matches(path: list, chain: list, floor: int) -> bool:
+    """Does the element at the TOP of `path` match `chain`, with the
+    final element strictly deeper than stack index `floor`? (floor=-1:
+    unscoped.) Ancestor steps are unscoped, cascadia-style."""
+    if len(path) - 1 <= floor:
+        return False
+
+    def step(p_idx: int, c_idx: int) -> bool:
+        comb, simple = chain[c_idx]
+        if not _oracle_simple_ok(path[p_idx], simple):
+            return False
+        if c_idx == 0:
+            return True
+        if comb == ">":
+            return p_idx > 0 and step(p_idx - 1, c_idx - 1)
+        return any(step(q, c_idx - 1) for q in range(p_idx - 1, -1, -1))
+
+    return step(len(path) - 1, len(chain) - 1)
+
+
+def _oracle_any_match(path: list, chains: list, floor: int) -> bool:
+    return any(_oracle_path_matches(path, ch, floor) for ch in chains)
+
+
+class _CssCapture:
+    __slots__ = ("seq", "depth", "row", "pending", "text_bufs", "sub_open")
+
+    def __init__(self, seq: int, depth: int, projections, attrs: dict):
+        self.seq = seq
+        self.depth = depth  # stack index of the container element
+        self.row: dict = {}
+        self.pending: list = []  # (field, chains, proj) still unsatisfied
+        self.text_bufs: dict = {}  # field -> [chunks]
+        self.sub_open: dict = {}  # field -> stack index of open text target
+        for f, chains, proj in projections:
+            if chains is None:
+                if proj == "text":
+                    self.text_bufs[f] = []
+                    self.sub_open[f] = depth
+                else:
+                    self.row[f] = attrs.get(proj, "")
+            else:
+                self.pending.append((f, chains, proj))
+
+
+def _css_items(text: str, er) -> list[dict]:
+    from html.parser import HTMLParser
+
+    container = _oracle_parse_selector(er.item_pattern)
+    fc = dict(getattr(er, "field_css", ()) or ())
+    projections = []
+    for f in er.fields:
+        spec = fc.get(f, "@text")
+        sub, _, proj = spec.rpartition("@")
+        sub = sub.strip()
+        projections.append(
+            (f, _oracle_parse_selector(sub) if sub else None, proj or "text")
+        )
+
+    done: list[tuple[int, dict]] = []
+    captures: list[_CssCapture] = []
+    stack: list[tuple[str, dict]] = []
+    seq_counter = [0]
+
+    def finalize(cap: _CssCapture):
+        for f, _chains, _proj in cap.pending:
+            cap.row.setdefault(f, "")
+        for f, buf in cap.text_bufs.items():
+            cap.row[f] = "".join(buf)
+        done.append((cap.seq, cap.row))
+
+    def on_element(tag: str, attr_list, void: bool):
+        amap: dict = {}
+        for k, v in attr_list:
+            k = k.lower()
+            if k not in amap:
+                amap[k] = v if v is not None else ""
+        el = (tag, amap)
+        path = stack + [el]
+        depth = len(stack)
+        # sub-selector matches feed existing captures (first match wins)
+        for cap in captures:
+            still = []
+            for f, chains, proj in cap.pending:
+                if _oracle_any_match(path, chains, cap.depth):
+                    if proj == "text":
+                        if void:
+                            cap.row[f] = ""
+                        else:
+                            cap.text_bufs[f] = []
+                            cap.sub_open[f] = depth
+                    else:
+                        cap.row[f] = amap.get(proj, "")
+                else:
+                    still.append((f, chains, proj))
+            cap.pending = still
+        # container match opens a new capture (void → immediate item)
+        if _oracle_any_match(path, container, -1):
+            cap = _CssCapture(seq_counter[0], depth, projections, amap)
+            seq_counter[0] += 1
+            if void:
+                finalize(cap)
+            else:
+                captures.append(cap)
+        if not void:
+            stack.append(el)
+
+    class _P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            on_element(tag.lower(), attrs, tag.lower() in _ORACLE_VOID)
+
+        def handle_startendtag(self, tag, attrs):
+            on_element(tag.lower(), attrs, True)
+
+        def handle_endtag(self, tag):
+            tag = tag.lower()
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    del stack[i:]
+                    break
+            new_depth = len(stack)
+            for cap in list(captures):
+                for f in [f for f, d in cap.sub_open.items() if d >= new_depth]:
+                    if f in cap.text_bufs and f not in cap.row:
+                        cap.row[f] = "".join(cap.text_bufs.pop(f))
+                    cap.sub_open.pop(f, None)
+                if cap.depth >= new_depth:
+                    finalize(cap)
+                    captures.remove(cap)
+
+        def handle_data(self, data):
+            if not data:
+                return
+            for cap in captures:
+                for f, _d in cap.sub_open.items():
+                    if f in cap.text_bufs:
+                        cap.text_bufs[f].append(data)
+
+    p = _P(convert_charrefs=True)
+    p.feed(text)
+    p.close()
+    for cap in list(captures):  # unclosed containers at EOF
+        finalize(cap)
+    done.sort(key=lambda t: t[0])
+    return [row for _s, row in done]
+
+
 def _extract_items(page: dict, er) -> list[dict]:
     """Apply one ExtractRule to a fixture page: charset-decode the body,
     regex over the text, one item per match, named groups → fields
@@ -102,6 +326,8 @@ def _extract_items(page: dict, er) -> list[dict]:
         text = (page.get("body") or b"").decode(charset, errors="replace")
     except LookupError:
         text = (page.get("body") or b"").decode("utf-8", errors="replace")
+    if getattr(er, "kind", "regex") == "css":
+        return _css_items(text, er)
     if getattr(er, "kind", "regex") == "json":
         # independent re-implementation of the json kind (dot-path to
         # the items array; non-string field values JSON-stringified)
@@ -298,7 +524,10 @@ def crawl(
                     images.append(
                         {
                             "image_id": image_id,
-                            "caption": (req.temp or {}).get("caption"),
+                            # no temp carry (e.g. link_fields-enqueued
+                            # downloads) → empty caption, like the
+                            # engine's coalesce(temp['caption'], '')
+                            "caption": (req.temp or {}).get("caption") or "",
                             "url": req.url,
                         }
                     )
@@ -327,10 +556,12 @@ def crawl(
                 # user-authored extraction rules (ExtractRule): one item
                 # per regex match over the decoded body; named capture
                 # groups → fields (spider.go:48-58 ParseFunc analog)
+                dsl_links: list[str] = []
                 for er in spec.extract_rules:
                     if er.rule != req.rule:
                         continue
-                    for data in _extract_items(page, er):
+                    extracted = _extract_items(page, er)
+                    for data in extracted:
                         items.append(
                             {
                                 "rule": req.rule,
@@ -340,6 +571,15 @@ def crawl(
                             }
                         )
                         emitted += 1
+                    # link_fields → AddQueue from rule data
+                    # (avatar.go:95-101): per item, per field, appended
+                    # after the page's anchors and figure srcs
+                    lfs = tuple(getattr(er, "link_fields", ()) or ())
+                    for data in extracted:
+                        for lf in lfs:
+                            v = data.get(lf)
+                            if v:
+                                dsl_links.append(absolutize(req.url, v))
                 if depth_ok:
                     img_link_caption = {}
                     if img_refs:
@@ -353,7 +593,7 @@ def crawl(
                                 ),
                                 "image_id": image_id,
                             }
-                    for link in out_links:
+                    for link in list(out_links) + dsl_links:
                         # malformed hrefs in crawled content are dropped,
                         # never fatal (common.go:178-196 MakeUrl ok=false)
                         canon = canonicalize_url_safe(link)

@@ -47,6 +47,23 @@ class ExtractRule:
     JSON-stringified, matching the reference sinks' stringification,
     ``output_csv.go:56-60``).
 
+    ``kind="css"``: goquery-style selector extraction — the form every
+    reference sample rule is written in (``query.Find(...)`` then
+    ``Attr/Text``, ``common/goquery/traversal.go:23-402``,
+    ``property.go``; e.g. ``sample/static_rules/qq_avatar/avatar.go:92-93``).
+    ``item_pattern`` is the CONTAINER selector (one match = one item);
+    each field's projection comes from ``field_css`` entries
+    ``(field, "<sub-selector>@<proj>")`` where the sub-selector is
+    evaluated with ``Find`` semantics inside the container (empty =
+    the container element itself) and proj is ``text`` (goquery
+    ``Text()`` — concatenated descendant text) or an attribute name
+    (``Attr("src")``). Fields without a ``field_css`` entry default to
+    ``"@text"``. Example, the avatar-gallery rule::
+
+        ExtractRule(rule="list", kind="css",
+                    item_pattern="#dv_an span img",
+                    fields=("src",), field_css=(("src", "@src"),))
+
     ``fields`` is the rule's ordered ItemFields schema
     (``spider.go:53-58``) — sinks emit columns in exactly this order
     (``output_csv.go:46-50``), followed by the default provenance
@@ -54,9 +71,18 @@ class ExtractRule:
     """
 
     rule: str  # parse-rule name this extraction applies to
-    item_pattern: str  # regex (kind=regex) | dot-path to array (kind=json)
+    item_pattern: str  # regex | dot-path (json) | container selector (css)
     fields: tuple[str, ...]  # ordered ItemFields
-    kind: str = "regex"  # "regex" | "json"
+    kind: str = "regex"  # "regex" | "json" | "css"
+    # css kind only: (field, "<sub-selector>@<text|attrname>") projections
+    field_css: tuple[tuple[str, str], ...] = ()
+    # fields whose extracted values are ALSO enqueued as child requests
+    # (ctx.AddQueue from rule data — the reference's
+    # `ctx.AddQueue(&request.Request{URL: src, ...})` inside the
+    # selector loop, avatar.go:95-101); values are absolutized against
+    # the page URL and routed through link_rules like any out-link,
+    # appended after the page's anchors and figure srcs in push order
+    link_fields: tuple[str, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

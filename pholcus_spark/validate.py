@@ -62,19 +62,17 @@ def validate_image_udf(
 ) -> pd.DataFrame:
     ws, hs, phs, oks, errs = [], [], [], [], []
     for body, ct, url in zip(bodies, content_types, urls):
+        # compute BEFORE appending: a failure mid-row (e.g. phash on a
+        # degenerate image) must not leave the column lists ragged
         try:
             px = decode_image(bytes(body), _fmt_of(ct, url))
-            ws.append(int(px.shape[1]))
-            hs.append(int(px.shape[0]))
-            phs.append(phash64(px))
-            oks.append(True)
-            errs.append(None)
+            row = (int(px.shape[1]), int(px.shape[0]), phash64(px), True, None)
         except NotImplementedError as e:  # jpeg without Pillow — stub path
-            ws.append(None), hs.append(None), phs.append(None)
-            oks.append(False), errs.append(f"stub:{e}")
+            row = (None, None, None, False, f"stub:{e}")
         except Exception as e:
-            ws.append(None), hs.append(None), phs.append(None)
-            oks.append(False), errs.append(str(e))
+            row = (None, None, None, False, str(e))
+        ws.append(row[0]), hs.append(row[1]), phs.append(row[2])
+        oks.append(row[3]), errs.append(row[4])
     return pd.DataFrame({"w": ws, "h": hs, "phash": phs, "ok": oks, "error": errs})
 
 

@@ -1,0 +1,187 @@
+"""CSS-selector engine tests: unit coverage of the goquery-subset
+semantics (css.py) plus a hypothesis fuzz that cross-checks the
+engine's tree-based matcher against the oracle's independent
+single-pass SAX matcher on randomized documents and selectors.
+
+Reference surface: goquery Find/Attr/Text
+(`common/goquery/traversal.go:23-402`, `property.go`), consumed by e.g.
+`sample/static_rules/qq_avatar/avatar.go:92-93`.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pholcus_spark.css import (
+    compile_selector,
+    node_attr,
+    node_text,
+    parse_html,
+    select,
+)
+from pholcus_spark.extract import (
+    apply_rule_spec,
+    compile_rule_specs,
+    rule_spec_tuples,
+)
+from pholcus_spark.oracle import _css_items
+from pholcus_spark.spiderspec import ExtractRule
+
+DOC = """<html><head><title>t</title></head><body>
+<div id="dv_an"><span><img src="a.png"></span>
+<span class="x y"><img src="b.png" alt="B"></span></div>
+<figure><img src="i1.jpg"><p class="caption">cap &amp; one</p></figure>
+<figure><img src="i2.jpg"><p class="caption">cap<b> two</b></p></figure>
+<figure><p class="caption">no img</p></figure>
+<ul><li class="item" data-k="v1">one <b>bold</b></li>
+<li class="item">two</li></ul>
+<div class="outer"><div class="inner"><em>deep</em></div></div>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def root():
+    return parse_html(DOC)
+
+
+def test_id_descendant(root):
+    # the avatar.go:92-93 selector shape
+    assert [node_attr(n, "src") for n in select(root, "#dv_an span img")] == [
+        "a.png",
+        "b.png",
+    ]
+
+
+def test_child_combinator(root):
+    assert [node_attr(n, "src") for n in select(root, "figure > img")] == [
+        "i1.jpg",
+        "i2.jpg",
+    ]
+    # img is not a CHILD of body
+    assert select(root, "body > img") == []
+
+
+def test_class_and_multi_class(root):
+    assert len(select(root, ".item")) == 2
+    assert [node_attr(n, "src") for n in select(root, "span.x.y img")] == ["b.png"]
+    assert select(root, "span.x.z") == []
+
+
+def test_attr_selectors(root):
+    assert [node_text(n) for n in select(root, "li[data-k]")] == ["one bold"]
+    assert [node_text(n) for n in select(root, 'li[data-k="v1"]')] == ["one bold"]
+    assert select(root, "li[data-k=zzz]") == []
+
+
+def test_text_concatenates_descendants(root):
+    caps = [node_text(n) for n in select(root, "p.caption")]
+    assert caps == ["cap & one", "cap two", "no img"]
+
+
+def test_group_union_document_order(root):
+    srcs = [node_attr(n, "src") for n in select(root, "span.x.y img, figure img")]
+    assert srcs == ["b.png", "i1.jpg", "i2.jpg"]
+
+
+def test_find_is_strict_descendant(root):
+    outer = select(root, "div.outer")[0]
+    # Find from a context node only yields strict descendants
+    assert [n.tag for n in select(outer, "div")] == ["div"]
+    assert [node_text(n) for n in select(outer, "em")] == ["deep"]
+    # cascadia semantics: ancestor steps may match ABOVE the context
+    inner = select(root, "div.inner")[0]
+    assert [node_text(n) for n in select(inner, "div.outer em")] == ["deep"]
+
+
+def test_malformed_html_tolerated():
+    r = parse_html("<div><p>one<p>two</i><img src=x.png></div></b><span>tail")
+    assert [node_attr(n, "src") for n in select(r, "img")] == ["x.png"]
+    assert node_text(select(r, "span")[0]) == "tail"
+
+
+def test_invalid_selector_raises():
+    with pytest.raises(ValueError):
+        compile_selector("p:nth-child(2)")
+    with pytest.raises(ValueError):
+        compile_selector("div >")
+    with pytest.raises(ValueError):
+        compile_selector("")
+
+
+def _apply_engine(html: str, er: ExtractRule) -> list[dict]:
+    rule, kind, key, fields, _lf = compile_rule_specs(rule_spec_tuples([er]))[0]
+    return apply_rule_spec(html, kind, key, fields)
+
+
+def test_engine_equals_oracle_on_fixture_shapes():
+    rules = [
+        ExtractRule(
+            rule="r", kind="css", item_pattern="figure",
+            fields=("src", "caption"),
+            field_css=(("src", "img@src"), ("caption", "p.caption@text")),
+        ),
+        ExtractRule(
+            rule="r", kind="css", item_pattern="#dv_an span img",
+            fields=("src",), field_css=(("src", "@src"),),
+        ),
+        ExtractRule(
+            rule="r", kind="css", item_pattern="li.item",
+            fields=("txt", "k"),
+            field_css=(("txt", "@text"), ("k", "@data-k")),
+        ),
+    ]
+    for er in rules:
+        assert _apply_engine(DOC, er) == _css_items(DOC, er)
+
+
+# ---------------------------------------------------------------------------
+# fuzz: random documents × random selectors, two matchers must agree
+# ---------------------------------------------------------------------------
+
+_TAGS = ["div", "span", "p", "li", "em"]
+_CLASSES = ["a", "b", "c"]
+
+
+@st.composite
+def _html_doc(draw, depth=0):
+    if depth >= 3:
+        return draw(st.sampled_from(["leaf", "x &amp; y", ""]))
+    n = draw(st.integers(0, 3))
+    parts = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            tag = draw(st.sampled_from(_TAGS))
+            attrs = ""
+            if draw(st.booleans()):
+                attrs += f' class="{draw(st.sampled_from(_CLASSES))}"'
+            if draw(st.booleans()):
+                attrs += f' data-k="{draw(st.sampled_from(["u", "v"]))}"'
+            inner = draw(_html_doc(depth=depth + 1))
+            parts.append(f"<{tag}{attrs}>{inner}</{tag}>")
+        elif draw(st.booleans()):
+            parts.append(f'<img src="s{draw(st.integers(0, 3))}.png">')
+        else:
+            parts.append(draw(st.sampled_from(["t1 ", "t2"])))
+    return "".join(parts)
+
+
+_SELECTORS = st.sampled_from(
+    [
+        "div", "span", "p em", "div > span", "li", "*",
+        ".a", ".b", "div.a", "span.c", "[data-k]", "[data-k=u]",
+        "div span", "div > p", "p, li", "div em", "img",
+    ]
+)
+_PROJ = st.sampled_from(["@text", "@data-k", "img@src", "em@text", "span@text"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(body=_html_doc(), container=_SELECTORS, proj=_PROJ)
+def test_fuzz_engine_matches_oracle(body, container, proj):
+    html = f"<html><body>{body}</body></html>"
+    er = ExtractRule(
+        rule="r", kind="css", item_pattern=container,
+        fields=("f",), field_css=(("f", proj),),
+    )
+    assert _apply_engine(html, er) == _css_items(html, er)

@@ -94,6 +94,16 @@ _DSL_RULE = ExtractRule(
     fields=("href", "anchor_text"),
 )
 
+# the goquery-selector authoring surface (avatar.go:92-93 shape):
+# one item per <figure>, img src via Attr, caption via Text
+_CSS_RULE = ExtractRule(
+    rule="detail",
+    kind="css",
+    item_pattern="figure",
+    fields=("img_src", "cap"),
+    field_css=(("img_src", "img@src"), ("cap", "p.caption@text")),
+)
+
 
 def _build_scenarios() -> dict[str, dict]:
     """name -> run_pair kwargs (corpus generation is cheap and serial)."""
@@ -146,6 +156,26 @@ def _build_scenarios() -> dict[str, dict]:
         ),
         spec=SpiderSpec("site", extract_rules=(_DSL_RULE,)),
     )
+    scenarios["css"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
+        ),
+        spec=SpiderSpec(
+            "site",
+            item_rules=(),  # css rule replaces the built-in figure items
+            extract_rules=(_CSS_RULE,),
+        ),
+    )
+    # the ported qq_avatar sample as a conformance scenario: css
+    # selectors + link_fields (AddQueue from rule data) drive the whole
+    # crawl — children come only from extracted srcs
+    import sys as _sys
+
+    if "samples" not in _sys.path:
+        _sys.path.insert(0, "samples")
+    from avatar_css_spider import AVATAR_SPIDER, build_corpus as _avatar_corpus
+
+    scenarios["avatar"] = dict(corpus=_avatar_corpus(), spec=AVATAR_SPIDER)
     scenarios["post"] = dict(
         corpus=fixtures.generate(
             fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
@@ -156,6 +186,23 @@ def _build_scenarios() -> dict[str, dict]:
                 LinkRule("/p/", "list", 0),
                 LinkRule("/d/", "detail", 1, method="POST", post_data="view=full"),
                 LinkRule("/img/", "image", 2),
+            ),
+        ),
+    )
+    scenarios["postm"] = dict(
+        corpus=fixtures.generate(
+            fixtures.SiteSpec(n_hosts=1, list_pages=4, **clean)
+        ),
+        spec=SpiderSpec(
+            "site",
+            link_rules=(
+                LinkRule("/p/", "list", 0),
+                # POST-M: multipart encoding (surfer/param.go:61-84);
+                # method is part of the dedup key like POST
+                LinkRule("/d/", "detail", 1, method="POST-M",
+                         post_data="a=1&b=two"),
+                # HEAD routing rides the frontier the same way
+                LinkRule("/img/", "image", 2, method="HEAD"),
             ),
         ),
     )
@@ -279,12 +326,50 @@ def test_extract_rule_dsl_conformance(runs):
     assert any(i["data"]["anchor_text"].startswith("detail") for i in dsl_items)
 
 
+def test_avatar_link_fields_conformance(runs):
+    """qq_avatar port (avatar.go:86-108): every image request originates
+    from a link_fields-extracted src (AddQueue from rule data) — the
+    schedule, items, and image rows match the oracle exactly."""
+    _, run, res = runs["avatar"]
+    check_conformance(run, res)
+    assert len(res.images) == 6
+    assert sum(1 for o in res.order if "/img/" in o["url"]) == 6
+
+
+def test_css_extract_rule_conformance(runs):
+    """kind='css' ExtractRule (the goquery Find/Attr/Text authoring
+    surface every reference sample uses, avatar.go:92-93): one item per
+    <figure> on detail pages, img src + caption text via sub-selector
+    projections. Engine (tree-based css.py) == oracle (single-pass
+    SAX matcher) over the full data map."""
+    _, run, res = runs["css"]
+    check_conformance(run, res)
+    css_items = [i for i in res.items if "img_src" in i["data"]]
+    assert len(css_items) > 0
+    assert all(i["data"]["img_src"] for i in css_items)
+    assert any(i["data"]["cap"] for i in css_items)
+
+
 def test_post_method_conformance(runs):
     """POST routing: detail pages fetched via POST — the method is part
     of the dedup key (request.go:139-145) and rides the frontier."""
     _, run, res = runs["post"]
     check_conformance(run, res)
     assert any("/d/" in o["url"] for o in res.order)
+
+
+def test_post_multipart_head_conformance(runs):
+    """POST-M and HEAD routing (surfer/param.go:61-84): both methods
+    ride the frontier, join the dedup key, and the schedule matches the
+    oracle exactly. The wire encodings themselves are pinned by
+    tests/test_httpfetch.py against a live server."""
+    _, run, res = runs["postm"]
+    check_conformance(run, res)
+    # the oracle pulled detail pages (routed POST-M) and images (HEAD);
+    # key equality in check_conformance pins that the engine derived the
+    # SAME method-qualified request keys (request_key hashes the method)
+    assert any("/d/" in o["url"] for o in res.order)
+    assert any("/img/" in o["url"] for o in res.order)
 
 
 def test_per_spider_fair_share_conformance(runs):

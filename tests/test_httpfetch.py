@@ -1,0 +1,285 @@
+"""Live-HTTP fetch path: StdlibHttpFetcher against an in-process
+``http.server`` — mirroring the reference's downloader tests against a
+local httptest server (`app/downloader/downloader_test.go:25-60`,
+`surfer/surf_test.go`).
+
+Covers status/redirect/timeout/retry/POST/POST-M/HEAD semantics at the
+function level, then drives a FULL engine crawl over localhost and
+checks it against the pure-Python oracle — the first executed coverage
+of a live fetch path end-to-end.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import threading
+import time
+from collections import defaultdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pholcus_spark import fixtures, testkit
+from pholcus_spark.httpfetch import (
+    MULTIPART_BOUNDARY,
+    StdlibHttpFetcher,
+    encode_post,
+    fetch_one,
+)
+from pholcus_spark.oracle import OracleConfig
+from pholcus_spark.spiderspec import LinkRule, SpiderSpec
+
+
+class _SiteHandler(BaseHTTPRequestHandler):
+    """Serves a fixtures corpus by path; counts attempts per
+    (method, path) so fail_attempts pages fail their first N requests
+    (the live analog of the FixtureFetcher flaky model)."""
+
+    pages: dict[str, dict] = {}
+    counts: defaultdict = defaultdict(int)
+    echo_paths: set = set()
+    slow_paths: dict = {}
+    redirects: dict = {}
+
+    def _respond(self, send_body: bool = True):
+        path = self.path
+        if path in self.slow_paths:
+            time.sleep(self.slow_paths[path])
+        if path in self.redirects:
+            status, loc = self.redirects[path]
+            self.send_response(status)
+            self.send_header("Location", loc)
+            self.end_headers()
+            return
+        if path in self.echo_paths:
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n) if n else b""
+            ctype = self.headers.get("Content-Type", "")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            if send_body:
+                self.wfile.write(
+                    f"method={self.command};ctype={ctype};".encode() + body
+                )
+            return
+        page = self.pages.get(path)
+        if page is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        key = (path,)  # attempts counted across methods, like tries
+        self.counts[key] += 1
+        fail_n = page.get("fail_attempts") or (
+            1 if page.get("flaky") else 0
+        )
+        if self.counts[key] <= fail_n:
+            self.send_response(503)
+            self.end_headers()
+            return
+        status = page.get("status", 200)
+        body = page.get("body") or b""
+        self.send_response(status)
+        self.send_header("Content-Type", page.get("content_type", ""))
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if send_body and status < 400:
+            self.wfile.write(body)
+
+    def do_GET(self):
+        self._respond()
+
+    def do_POST(self):
+        self._respond()
+
+    def do_HEAD(self):
+        self._respond(send_body=False)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _reset(pages: dict[str, dict]):
+    _SiteHandler.pages = pages
+    _SiteHandler.counts = defaultdict(int)
+    _SiteHandler.echo_paths = set()
+    _SiteHandler.slow_paths = {}
+    _SiteHandler.redirects = {}
+
+
+# ---------------------------------------------------------------------------
+# fetch_one semantics
+# ---------------------------------------------------------------------------
+
+
+def test_get_and_status(server):
+    _reset({"/ok": {"body": b"hello", "content_type": "text/plain"},
+            "/gone": {"status": 404}})
+    assert fetch_one(f"http://{server}/ok")[:1] == (200,)
+    assert fetch_one(f"http://{server}/ok")[2] == b"hello"
+    assert fetch_one(f"http://{server}/gone")[0] == 404
+    assert fetch_one(f"http://{server}/nowhere")[0] == 404
+
+
+def test_post_urlencoded_and_multipart(server):
+    _reset({})
+    _SiteHandler.echo_paths = {"/echo"}
+    st, _ct, body = fetch_one(
+        f"http://{server}/echo", "POST", "a=1&b=two"
+    )
+    assert st == 200
+    assert b"method=POST" in body
+    assert b"application/x-www-form-urlencoded" in body
+    assert body.endswith(b"a=1&b=two")
+    # POST-M: multipart encoding, still POST on the wire
+    st, _ct, body = fetch_one(
+        f"http://{server}/echo", "POST-M", "a=1&b=two"
+    )
+    assert st == 200
+    assert b"method=POST" in body
+    assert f"multipart/form-data; boundary={MULTIPART_BOUNDARY}".encode() in body
+    assert b'Content-Disposition: form-data; name="a"\r\n\r\n1' in body
+    assert b'Content-Disposition: form-data; name="b"\r\n\r\ntwo' in body
+
+
+def test_encode_post_multipart_shape():
+    body, headers = encode_post("POST-M", "x=alpha&y=")
+    assert headers["Content-Type"].startswith("multipart/form-data")
+    text = body.decode()
+    assert text.count(f"--{MULTIPART_BOUNDARY}") == 3  # 2 fields + closer
+    assert text.endswith(f"--{MULTIPART_BOUNDARY}--\r\n")
+    assert 'name="y"\r\n\r\n\r\n' in text  # blank value kept
+
+
+def test_head_no_body(server):
+    _reset({"/h": {"body": b"payload", "content_type": "text/plain"}})
+    st, ct, body = fetch_one(f"http://{server}/h", "HEAD")
+    assert st == 200 and body == b""
+
+
+def test_redirect_policies(server):
+    _reset({"/dst": {"body": b"end", "content_type": "text/plain"}})
+    _SiteHandler.redirects = {
+        "/r1": (302, "/dst"),
+        "/r2": (302, "/r1"),
+        "/r307": (307, "/dst"),
+    }
+    # unlimited (0): follows the chain
+    assert fetch_one(f"http://{server}/r2")[0] == 200
+    # forbidden (<0): the 3xx is the final answer
+    assert fetch_one(f"http://{server}/r2", redirect_times=-1)[0] == 302
+    # bounded: 1 hop can't clear a 2-hop chain, 2 hops can
+    assert fetch_one(f"http://{server}/r2", redirect_times=1)[0] == 302
+    assert fetch_one(f"http://{server}/r2", redirect_times=2)[0] == 200
+    # 307 preserves method+body; 302 converts POST -> GET
+    _SiteHandler.echo_paths = {"/dst"}
+    _, _, b307 = fetch_one(f"http://{server}/r307", "POST", "k=v")
+    assert b"method=POST" in b307 and b307.endswith(b"k=v")
+    _, _, b302 = fetch_one(f"http://{server}/r1", "POST", "k=v")
+    assert b"method=GET" in b302
+
+
+def test_transport_retry_then_599(server):
+    # a closed port: connection refused -> retry try_times, then 599
+    t0 = time.time()
+    st, _, _ = fetch_one(
+        "http://127.0.0.1:9/none", try_times=2, retry_pause_s=0.2,
+        timeout_s=2.0,
+    )
+    assert st == 599
+    assert time.time() - t0 >= 0.2  # one pause between two attempts
+
+
+def test_timeout_is_transport_error(server):
+    _reset({"/slow": {"body": b"z", "content_type": "text/plain"}})
+    _SiteHandler.slow_paths = {"/slow": 1.5}
+    st, _, _ = fetch_one(
+        f"http://{server}/slow", timeout_s=0.3, try_times=1
+    )
+    assert st == 599
+
+
+# ---------------------------------------------------------------------------
+# full engine crawl over localhost == oracle
+# ---------------------------------------------------------------------------
+
+
+def _localize(corpus, netloc: str):
+    """Rewrite a single-host fixture corpus onto the live server's
+    netloc (URLs in metadata everywhere; bodies only for html)."""
+    old = "h000.test"
+    for p in corpus.pages:
+        p["url"] = p["url"].replace(old, netloc)
+        p["host"] = netloc
+        p["out_links"] = [l.replace(old, netloc) for l in p["out_links"]]
+        if "html" in (p.get("content_type") or ""):
+            p["body"] = p["body"].replace(old.encode(), netloc.encode())
+    for s in corpus.seeds:
+        s["url"] = s["url"].replace(old, netloc)
+    for r in corpus.robots:
+        r["host"] = netloc
+    return corpus
+
+
+def _path_of(url: str) -> str:
+    return "/" + url.split("/", 3)[3]
+
+
+def test_engine_live_http_conformance(spark, server):
+    corpus = _localize(
+        fixtures.generate(
+            fixtures.SiteSpec(
+                n_hosts=1, list_pages=4, details_per_list=2,
+                images_per_detail=1, flaky_rate=0.25, fail_404_rate=0.15,
+            )
+        ),
+        server,
+    )
+    _reset({_path_of(p["url"]): p for p in corpus.pages})
+
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine, EngineConfig
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-live-")
+    try:
+        _pages, _i, _t, _s, robots = fixtures.to_spark(spark, corpus)
+        spec = SpiderSpec("site")
+        catalog = SnapshotCatalog(workdir, spark)
+        engine = CrawlEngine(
+            spark, catalog,
+            StdlibHttpFetcher(timeout_s=15.0, try_times=1),
+            spec, robots,
+            EngineConfig(wave_window_ms=6000, commit_every=2),
+        )
+        engine.seed(corpus.seeds)
+        state = engine.run()
+        assert state["stopped"]
+        run = testkit.EngineRun(catalog, state, workdir)
+        res = testkit.run_oracle(
+            corpus, spec, OracleConfig(wave_window_ms=6000)
+        )
+        seen_df = run.df("url_seen")
+        engine_seen = {r.key for r in seen_df.select("key").collect()}
+        assert engine_seen == res.seen
+        assert testkit.items_set_engine(run) == testkit.items_set_oracle(res)
+        img_df = run.df("images")
+        engine_imgs = {(r.image_id, r.caption) for r in img_df.collect()}
+        assert engine_imgs == {
+            (i["image_id"], i["caption"]) for i in res.images
+        }
+        assert img_df.where("NOT valid").count() == 0
+        ff = run.df("failures_final")
+        engine_ff = sorted(r.key for r in ff.collect()) if ff else []
+        assert engine_ff == sorted(res.failed_final)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
