@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import shutil
 import time
 from typing import Any
 
@@ -903,14 +904,28 @@ class CrawlEngine:
         elif n_images > 0:
             from .validate import images_arrow_schema, make_image_sink_kernel
 
+            # stage OUTSIDE the table dir (.staging is invisible to the
+            # streaming consumer's {table}/* glob and to Spark scans),
+            # and clear any leftover from a crashed prior run — a
+            # resumed run with a different config must not adopt stale
+            # orphan part files (round-2 ADVICE); the flush publishes
+            # the dir into images/ with one rename
             stage_rel = f"images/stage-{superstep:06d}"
-            stage_dir = os.path.join(self.catalog.root, stage_rel)
-            os.makedirs(stage_dir, exist_ok=True)
+            stage_dir = os.path.join(
+                self.catalog.root, ".staging", f"images-stage-{superstep:06d}"
+            )
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            os.makedirs(stage_dir)
             manifest = self.fetcher.store.sink_map_bodies(
                 image_ok.select(
                     "url", "parent_url", "content_type", "temp"
                 ),
-                make_image_sink_kernel(superstep),
+                make_image_sink_kernel(
+                    superstep,
+                    session_tz=self.spark.conf.get(
+                        "spark.sql.session.timeZone", "UTC"
+                    ),
+                ),
                 "image_id string, valid boolean",
                 n_tasks=self.config.append_partitions,
                 sink_dir=stage_dir,
@@ -918,7 +933,7 @@ class CrawlEngine:
                 sink_arrow_schema=images_arrow_schema(),
             )
             self._pending_adopt.setdefault("images", []).append(
-                (manifest, stage_rel)
+                (manifest, stage_dir, stage_rel)
             )
         if n_perm_failed > 0:
             appends["failures_final"] = perm_failed
@@ -990,10 +1005,17 @@ class CrawlEngine:
         )
         adopt: dict[str, list[str]] = {}
         for name, staged in self._pending_adopt.items():
-            for manifest, rel in staged:
+            for manifest, stage_dir, rel in staged:
                 # forcing the manifest runs the python sink tasks; the
-                # files land under rel before the commit publishes it
+                # files land in the invisible .staging dir, which one
+                # rename publishes under the table dir before the commit
+                # adopts it (a crash before here leaves only .staging
+                # orphans — never visible to readers or streams)
                 manifest.write.mode("overwrite").format("noop").save()
+                dst = os.path.join(self.catalog.root, rel)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(stage_dir, dst)
                 adopt.setdefault(name, []).append(rel)
         self._pending_adopt = {}
         self.catalog.commit(appends, rewrites, state, adopt=adopt)

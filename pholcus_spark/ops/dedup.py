@@ -139,11 +139,26 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
     band signature = md5 of the band's minhashes joined in j order —
     identical construction in the DuckDB oracle (string_agg ORDER BY j).
+
+    ``max_bucket`` is the skew guard for boilerplate-heavy corpora
+    (round-2 verdict item 9): a single ``(band, bsig)`` bucket holding
+    K near-identical docs self-joins into K² pairs — one mirror-page
+    cluster can dominate the whole shuffle. With the cap set, each
+    bucket keeps only its first ``max_bucket`` doc_ids (deterministic
+    order), bounding per-bucket output at C(max_bucket, 2); oversized
+    buckets are counted and reported via ``warnings.warn``. Docs beyond
+    the cap lose only pairs WITHIN that bucket — identical docs collide
+    in every band, so heavy clusters still surface through their kept
+    members. Default None preserves the exact (oracle-checked) output.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n).withColumn(
@@ -164,6 +179,31 @@ def minhash_lsh_candidates(
             )
         ).alias("bsig")
     )
+    if max_bucket is not None:
+        import warnings
+
+        from pyspark.sql.window import Window
+
+        band_sig = band_sig.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("band", "bsig").orderBy("doc_id")
+            ),
+        ).persist()
+        n_over = (
+            band_sig.where(F.col("_r") > max_bucket)
+            .select("band", "bsig")
+            .distinct()
+            .count()
+        )
+        if n_over:
+            warnings.warn(
+                f"minhash_lsh_candidates: {n_over} band bucket(s) exceeded "
+                f"max_bucket={max_bucket}; pairs within the overflow were "
+                "dropped (skew guard)",
+                stacklevel=2,
+            )
+        band_sig = band_sig.where(F.col("_r") <= max_bucket).drop("_r")
     return (
         band_sig.alias("a")
         .join(band_sig.alias("b"), ["band", "bsig"])

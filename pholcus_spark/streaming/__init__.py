@@ -34,7 +34,10 @@ def drive_forever(engine, seed_poll, interval_s: float = 5.0, max_cycles=None):
         time.sleep(interval_s)
 
 
-def stream_table(spark, catalog_root: str, table: str, schema: str):
+def stream_table(
+    spark, catalog_root: str, table: str, schema: str,
+    committed_only: bool = True,
+):
     """Structured-Streaming view over a catalog table's append deltas:
     each committed delta dir's parquet files are new micro-batch input
     (`readStream` file source discovers them as the crawl appends), so
@@ -44,9 +47,41 @@ def stream_table(spark, catalog_root: str, table: str, schema: str):
     batch-iterative (deterministic superstep commits ARE the exactly-
     once source); this is the consumer-side streaming surface.
 
-    Use ``trigger(availableNow=True)`` to drain everything committed so
-    far, or a processing-time trigger to follow a live crawl.
+    ``committed_only=True`` (default): the stream reads exactly the
+    delta dirs listed in the manifest AT CONSTRUCTION TIME — nothing
+    uncommitted, no orphan dirs from crashed commits. Pair with
+    ``trigger(availableNow=True)`` to drain a snapshot's worth of data
+    with exactly-once framing.
+
+    ``committed_only=False``: a live-follow glob over ``{table}/*``
+    that discovers dirs as the crawl appends. CAVEAT: a file written
+    between a delta-dir write and its manifest publish (or left behind
+    by a crashed commit) is visible to this mode — it trades the
+    committed-only guarantee for liveness.
     """
+    if committed_only:
+        from ..catalog import SnapshotCatalog
+
+        manifest = SnapshotCatalog(catalog_root, spark).current()
+        dirs: list[str] = (
+            (manifest["tables"].get(table) or {"dirs": []})["dirs"]
+            if manifest
+            else []
+        )
+        if not dirs:
+            raise ValueError(
+                f"no committed deltas for table {table!r} in {catalog_root}"
+            )
+        streams = [
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{catalog_root}/{d}")
+            for d in dirs
+        ]
+        out = streams[0]
+        for s in streams[1:]:
+            out = out.unionByName(s)
+        return out
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")

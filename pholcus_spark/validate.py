@@ -99,7 +99,7 @@ def images_arrow_schema():
     return pa.schema([(n, getattr(pa, t)()) for n, t in IMAGES_ARROW_SCHEMA_FIELDS])
 
 
-def make_image_sink_kernel(superstep: int):
+def make_image_sink_kernel(superstep: int, session_tz: str = "UTC"):
     """Body-store kernel for the python-side images sink: decodes and
     validates in the same task that read the bytes, returns
     ``(manifest_pdf, sink_pdf)`` where the sink carries the full images
@@ -107,15 +107,22 @@ def make_image_sink_kernel(superstep: int):
     Same per-row semantics as ``validate_image_udf`` + the engine's
     images projection (engine.py images branch)."""
     import re
-    import time as _time
 
     id_re = re.compile(r"/img/(.+)\.(png|jpe?g)$")
 
     def kernel(grp: pd.DataFrame):
-        # DownloadTime provenance (data.go:9-13) — same format as the
-        # engine's _dlt(); intentionally non-deterministic, never
-        # compared by conformance/oracle
-        dlt = _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime())  # session tz=UTC
+        # DownloadTime provenance (data.go:9-13) — same format AND same
+        # timezone as the engine's JVM `_dlt()` (date_format in the
+        # session tz), so the two image paths emit matching provenance
+        # whatever the session tz is; intentionally non-deterministic,
+        # never compared by conformance/oracle
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        try:
+            dlt = datetime.now(ZoneInfo(session_tz)).strftime("%Y-%m-%d %H:%M:%S")
+        except KeyError:  # unknown tz id — fall back like the JVM would not
+            dlt = datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S")
         ids, ws, hs, fmts, caps, phs, oks, errs = [], [], [], [], [], [], [], []
         for body, ct, url, temp in zip(
             grp["body"], grp["content_type"], grp["url"], grp["temp"]

