@@ -135,3 +135,35 @@ def robots_dim_from_pages(
         F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
         F.col("_r.crawl_delay_ms").alias("crawl_delay_ms"),
     )
+
+
+def fetch_robots_dim(spark, hosts: DataFrame, fetcher, agent: str = "pholcus") -> DataFrame:
+    """LIVE robots dim: fetch ``http://{host}/robots.txt`` for every
+    host through any engine fetcher (StdlibHttpFetcher in production,
+    FixtureFetcher in tests) and parse the bodies distributed.
+
+    `hosts` carries one ``host`` row per distinct host (derive it from
+    the seed list or frontier with a distinct — a millions-of-hosts dim
+    stays a DataFrame end to end; nothing driver-resident). A miss or
+    error status yields the permissive default (no disallows, no
+    crawl-delay), matching the reference's absent-robots behavior.
+    """
+    wave = hosts.select(
+        F.col("host"),
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        F.lit("GET").alias("method"),
+        F.lit("").alias("post_data"),
+        # FixtureFetcher's retry model reads `tries` from the wave
+        F.lit(0).alias("tries"),
+    )
+    fetched = fetcher.fetch(wave)
+    ok = fetched.where(F.col("ok")).select("host", "body")
+    parsed = robots_dim_from_pages(ok, agent=agent)
+    # hosts without a (successful) robots.txt -> permissive defaults
+    return hosts.select("host").join(parsed, "host", "left").select(
+        "host",
+        F.coalesce(
+            F.col("disallow_prefixes"), F.array().cast("array<string>")
+        ).alias("disallow_prefixes"),
+        F.col("crawl_delay_ms"),
+    )

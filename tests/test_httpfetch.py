@@ -283,3 +283,33 @@ def test_engine_live_http_conformance(spark, server):
         assert engine_ff == sorted(res.failed_final)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_fetch_robots_dim_live(spark, server):
+    """Live robots bootstrap: the dim is built by fetching
+    /robots.txt through the stdlib fetcher; missing robots get the
+    permissive default row."""
+    from pholcus_spark.robots import fetch_robots_dim
+
+    _reset(
+        {
+            "/robots.txt": {
+                "body": (
+                    b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+                ),
+                "content_type": "text/plain",
+            }
+        }
+    )
+    hosts = spark.createDataFrame(
+        [(server,), ("127.0.0.1:9",)], "host string"
+    )
+    dim = fetch_robots_dim(
+        spark, hosts, StdlibHttpFetcher(timeout_s=5, try_times=1)
+    )
+    rows = {r.host: r for r in dim.collect()}
+    assert rows[server].disallow_prefixes == ["/private/"]
+    assert rows[server].crawl_delay_ms == 2000
+    # unreachable host -> permissive default
+    assert rows["127.0.0.1:9"].disallow_prefixes == []
+    assert rows["127.0.0.1:9"].crawl_delay_ms is None
