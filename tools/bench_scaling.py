@@ -329,6 +329,15 @@ the JVM-bridge variant of the same kernel measures 0.55.
 **Scaling efficiency = (thr_4N / thr_N) / 4 = {report["bulk_scaling_efficiency"]}**
 (target ≥ 0.8: {"PASS" if report["passed"] else "FAIL"}).
 
+Round-over-round context: round 2 measured 824.2 (N) / 3232.7 (4N)
+urls/s = 0.981; round 3's body-store loader (url-filtered or
+index-selected reads — only requested bodies materialize as Python
+objects) made BOTH legs faster, the small leg disproportionately so
+(N +28%, 4N +9%) — absolute throughput improved at every level while
+the ratio dropped. The measurement is valid only on an otherwise-idle
+box: concurrent Spark jobs steal the pinned cores' time and skew the
+legs unevenly (observed 0.55-0.72 under load for the identical build).
+
 The residual gap vs 1.0 is the per-superstep fixed cost (wave select,
 frontier checkpoint, snapshot commit — constant per wave, amortized
 over wave size) plus shared-JVM local-mode structure; on a real
