@@ -165,3 +165,67 @@ class SnapshotCatalog:
         self._write_manifest(
             {"snapshot_id": sid, "tables": tables, "state": m["state"]}
         )
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog:
+        drop historical manifests beyond the newest `keep_last` and
+        delete data dirs no retained snapshot references.
+
+        Without expiry a long crawl leaks storage structurally: the
+        frontier is REWRITTEN every commit (``frontier/v{sid}``), so a
+        10^10-row frontier checkpointed per superstep accumulates one
+        full copy per commit; compaction likewise strands the replaced
+        delta dirs. Time travel keeps working across the retained
+        window. Leftover ``.staging`` dirs from crashed python-sink
+        flushes are removed too (they are invisible to readers either
+        way). Returns ``{"manifests_removed", "dirs_removed"}``.
+        """
+        import shutil
+
+        snaps = self.snapshots()
+        cur = self.current()
+        keep = snaps[-keep_last:] if keep_last > 0 else []
+        if cur is not None and cur["snapshot_id"] not in {
+            s["snapshot_id"] for s in keep
+        }:
+            keep.append(cur)
+        keep_ids = {s["snapshot_id"] for s in keep}
+        referenced: set[str] = set()
+        for s in keep:
+            for entry in s["tables"].values():
+                referenced.update(entry["dirs"])
+        manifests_removed = 0
+        for s in snaps:
+            if s["snapshot_id"] not in keep_ids:
+                path = os.path.join(
+                    self.root, f"_manifest-{s['snapshot_id']:06d}.json"
+                )
+                if os.path.exists(path):
+                    os.remove(path)
+                    manifests_removed += 1
+        dirs_removed = 0
+        for table in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            if table == ".staging":
+                for d in os.listdir(tdir):
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    dirs_removed += 1
+                continue
+            if table.startswith(("_", ".")) or table == "bloom":
+                # bloom sidecars have their own pointer + lifecycle
+                # (engine rebuild invalidation), not manifest-listed
+                continue
+            for d in sorted(os.listdir(tdir)):
+                rel = f"{table}/{d}"
+                sub = os.path.join(tdir, d)
+                if os.path.isdir(sub) and rel not in referenced:
+                    shutil.rmtree(sub, ignore_errors=True)
+                    dirs_removed += 1
+        return {
+            "manifests_removed": manifests_removed,
+            "dirs_removed": dirs_removed,
+        }

@@ -111,7 +111,13 @@ def _dlt():
     return F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
 
 
-def two_phase_rank(df: DataFrame, order: list, partitions: int, out_col: str) -> DataFrame:
+def two_phase_rank(
+    df: DataFrame,
+    order: list,
+    partitions: int,
+    out_col: str,
+    unpersist_into: list | None = None,
+) -> DataFrame:
     """Global ``row_number`` over `order` WITHOUT a single-partition
     exchange.
 
@@ -122,18 +128,24 @@ def two_phase_rank(df: DataFrame, order: list, partitions: int, out_col: str) ->
     be unique per row, so the assembled rank is identical to the
     single-window rank regardless of where the range boundaries fall.
 
-    The ranged frame is localCheckpointed: ``repartitionByRange``
-    SAMPLES its input with a fresh random seed per execution, so the
-    rank subtree and the partition-count subtree MUST read one
-    materialized partitioning — two independent executions can draw
-    different boundaries and mis-assemble the global rank (caught by
+    The ranged frame is persist()ed: ``repartitionByRange`` SAMPLES its
+    input with a fresh random seed per execution, so the rank subtree
+    and the partition-count subtree MUST read one materialization —
+    two independent executions can draw different boundaries and
+    mis-assemble the global rank (caught by
     tests/test_plans.py::test_two_phase_rank_matches_global_window).
+    A lazy cache gives that single execution without the per-call
+    driver planning a localCheckpoint forces (~1s/superstep measured);
+    the caller owns release via `unpersist_into` (the persisted frame
+    is appended for a later ``unpersist()``).
     """
     ranged = (
         df.repartitionByRange(partitions, *order)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .persist()
     )
+    if unpersist_into is not None:
+        unpersist_into.append(ranged)
     local = Window.partitionBy("_pid").orderBy(*order)
     ranked = ranged.withColumn("_lrank", F.row_number().over(local))
     pc = ranged.groupBy("_pid").agg(F.count("*").alias("_pn"))
@@ -148,12 +160,16 @@ def two_phase_rank(df: DataFrame, order: list, partitions: int, out_col: str) ->
     )
 
 
-def dense_push_rank(df: DataFrame, partitions: int) -> DataFrame:
+def dense_push_rank(
+    df: DataFrame, partitions: int, unpersist_into: list | None = None
+) -> DataFrame:
     """Dense global rank over push order (p_prio desc, p_seq asc,
     ordinal asc) via :func:`two_phase_rank` — ordinal disambiguates
     siblings, making the sort key unique per row."""
     order = [F.desc("p_prio"), F.asc("p_seq"), F.asc("ordinal")]
-    ranked = two_phase_rank(df, order, partitions, "_push_rank")
+    ranked = two_phase_rank(
+        df, order, partitions, "_push_rank", unpersist_into=unpersist_into
+    )
     return ranked.withColumn("_push_rank", F.col("_push_rank").cast("int"))
 
 
@@ -420,8 +436,10 @@ class CrawlEngine:
         # so the two-phase rank avoids funnelling a 10^10-entry seed_range
         # through one task the way a global Window.orderBy would.
         pre = new_df.persist()  # the range rank samples + rescans its input
+        _seed_unpersist: list[DataFrame] = []
         new_df = two_phase_rank(
-            pre, [F.asc("seq")], max(1, self.config.frontier_partitions), "_rn"
+            pre, [F.asc("seq")], max(1, self.config.frontier_partitions), "_rn",
+            unpersist_into=_seed_unpersist,
         )
         if max_page is not None:
             new_df = new_df.where(F.col("_rn") <= max(0, -max_page))
@@ -434,6 +452,8 @@ class CrawlEngine:
         )
         n_new = new_df.count()
         pre.unpersist()
+        for _df in _seed_unpersist:
+            _df.unpersist()
         if state0 is None:
             state = {
                 "superstep": 0,
@@ -789,7 +809,11 @@ class CrawlEngine:
         # two-phase form keeps it shuffle-parallel (no single-partition
         # exchange anywhere in the superstep plan)
         kept_base = kept.persist()
-        kept = dense_push_rank(kept_base, max(1, self.config.frontier_partitions))
+        kept = dense_push_rank(
+            kept_base,
+            max(1, self.config.frontier_partitions),
+            unpersist_into=self._pending_unpersist,
+        )
         if state["max_page"] is not None:
             allowed = max(0, -state["max_page"])
             kept = kept.where(F.col("_push_rank") <= allowed)
@@ -1306,8 +1330,10 @@ class CrawlEngine:
         # seq is unique after the per-key dedup, so the distributed rank
         # is deterministic (failures can be O(frontier) on a bad day —
         # never a single-partition window here)
+        _rq_unpersist: list[DataFrame] = []
         cand = two_phase_rank(
-            cand_pre, [F.asc("seq")], max(1, self.config.frontier_partitions), "_rank"
+            cand_pre, [F.asc("seq")], max(1, self.config.frontier_partitions),
+            "_rank", unpersist_into=_rq_unpersist,
         )
         if state["max_page"] is not None:
             cand = cand.where(F.col("_rank") <= max(0, -state["max_page"]))
@@ -1342,3 +1368,5 @@ class CrawlEngine:
         self._frontier_dirty = False
         requeued.unpersist()
         cand_pre.unpersist()
+        for _df in _rq_unpersist:
+            _df.unpersist()
