@@ -191,6 +191,11 @@ class EngineConfig:
     bloom_rebuild_frac: float = 0.5
     bloom_headroom: float = 2.0
     compact_every: int = 0  # url_seen compaction interval (0 = off)
+    # retain at most this many historical snapshots, expiring older
+    # manifests + unreferenced data dirs at each flush (0 = keep all).
+    # A long crawl REWRITES the frontier per commit, so without expiry
+    # storage grows by one full frontier copy per superstep.
+    expire_keep_snapshots: int = 0
     # commit (flush) the catalog every N supersteps. 1 = a durable
     # snapshot per superstep (finest resume grain). >1 buffers append
     # deltas in executor caches and flushes them in one commit —
@@ -1057,6 +1062,10 @@ class CrawlEngine:
                 # coverage now points at rewritten dirs — invalidate
                 self._bloom = None
                 self._uncovered_est = None
+        if self.config.expire_keep_snapshots:
+            self.catalog.expire_snapshots(
+                keep_last=self.config.expire_keep_snapshots
+            )
         self._maybe_rebuild_bloom()
 
     # ------------------------------------------------------------------

@@ -96,3 +96,35 @@ def test_expire_preserves_bloom_and_staging_cleanup(spark, tmp_path):
         assert cat.read("url_seen").count() > 0
     finally:
         run.cleanup()
+
+
+def test_engine_auto_expiry(spark):
+    """expire_keep_snapshots: the engine expires at each flush — a
+    drained crawl retains a bounded snapshot history and full results."""
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(n_hosts=1, list_pages=4, flaky_rate=0.0,
+                          fail_404_rate=0.0)
+    )
+    run = testkit.run_engine(
+        spark, corpus, SpiderSpec("site"),
+        EngineConfig(wave_window_ms=6000, commit_every=1,
+                     expire_keep_snapshots=2),
+    )
+    try:
+        assert run.state["stopped"]
+        assert len(run.catalog.snapshots()) <= 3
+        assert len(_frontier_dirs(run.workdir)) <= 3
+        assert run.df("url_seen").count() > 0
+        assert run.df("items").count() > 0
+        # resume into the expired catalog is a clean no-op
+        engines = []
+        run2 = testkit.run_engine(
+            spark, corpus, SpiderSpec("site"),
+            EngineConfig(wave_window_ms=6000, commit_every=1,
+                         expire_keep_snapshots=2),
+            workdir=run.workdir, engine_out=engines,
+        )
+        assert run2.state["stopped"]
+        assert run2.state["totals"] == run.state["totals"]
+    finally:
+        run.cleanup()
