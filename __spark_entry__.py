@@ -313,6 +313,32 @@ def q_css_extract(spark, sf_dir):
     )
 
 
+def q_global_rank(spark, sf_dir):
+    """The engine's distributed global-ordering primitive
+    (`engine.two_phase_rank` — seq assignment for seed merge, failure
+    requeue, and children push) oracle-checked end to end: a total
+    order over lineitem WITHOUT a single-partition exchange, vs
+    DuckDB's row_number() over the same (unique) sort key. The sampled
+    range boundaries are pinned by the in-function cache, so the
+    assembled rank is exactly the single-window rank."""
+    from pholcus_spark.engine import two_phase_rank
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    cleanup: list = []
+    ranked = two_phase_rank(
+        li,
+        [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        32,
+        "rnk",
+        unpersist_into=cleanup,
+    )
+    return ranked.select(
+        "l_orderkey", "l_linenumber", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 def dedup_exact(spark, sf_dir):
     from pholcus_spark.ops.dedup import exact_duplicates
 
@@ -430,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_html": text_clean_html,
         "q_json_extract": q_json_extract,
         "q_css_extract": q_css_extract,
+        "q_global_rank": q_global_rank,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -703,6 +730,13 @@ SELECT doc_id,
     ' ') AS tail,
   CAST(n_chars AS VARCHAR) AS nc
 FROM documents
+""",
+        "q_global_rank": r"""
+SELECT l_orderkey, l_linenumber,
+  CAST(row_number() OVER (
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+  ) AS BIGINT) AS rnk
+FROM lineitem
 """,
         "dedup_exact": f"""
 SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM (

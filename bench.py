@@ -37,6 +37,7 @@ HEADLINE = [
     "text_clean_html",
     "q_json_extract",
     "q_css_extract",
+    "q_global_rank",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
