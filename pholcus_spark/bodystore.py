@@ -109,11 +109,16 @@ class ParquetBodyStore:
 
     def _bucketed(self, meta: DataFrame, n_tasks: int) -> DataFrame:
         """Bucket-tag and partition metadata so each task owns whole
-        buckets. Partition count is one-per-bucket, NOT n_tasks: hashing
-        B buckets into T≈B/4 partitions is a balls-in-bins draw whose
-        fullest bin (≈T·ln T collisions) becomes a straggler task that
-        caps scaling; B tasks over the cores lets the scheduler balance
-        dynamically and bounds any straggler at one bucket."""
+        buckets. Partition COUNT is the bucket count, NOT n_tasks:
+        hashing B buckets into T≈B/4 partitions is a balls-in-bins draw
+        whose fullest bin becomes a straggler task that caps scaling.
+        With B partitions the hash still collides (max load ~
+        ln B/ln ln B buckets in one partition, ~1/e empty), but tasks ≫
+        cores lets the scheduler balance dynamically, so the tail is
+        one max-load task (~3-4 buckets), not a constant fraction of
+        the wave — measured adequate (BENCH/BASELINE.md §1); rows
+        within a partition are sorted by bucket so the reader streams
+        one bucket at a time regardless."""
         del n_tasks  # partitioning is by bucket; cores only schedule
         return (
             meta.withColumn("_bb", bucket_col(F.col("url"), self.n_buckets))

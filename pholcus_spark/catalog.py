@@ -181,6 +181,12 @@ class SnapshotCatalog:
         window. Leftover ``.staging`` dirs from crashed python-sink
         flushes are removed too (they are invisible to readers either
         way). Returns ``{"manifests_removed", "dirs_removed"}``.
+
+        Reader contract (same as Iceberg's): a reader pinned to an
+        expired snapshot — including a ``stream_table`` query built
+        before the expiry — loses its files; size ``keep_last`` (or the
+        engine's ``expire_keep_snapshots``) to cover the longest-lived
+        concurrent reader.
         """
         import shutil
 
