@@ -14,6 +14,9 @@ Supported selector subset (what the reference samples actually use):
   (quoted or bare), compounds thereof (``span.name[data-x=1]``)
 - descendant combinator (whitespace) and child combinator (``>``)
 - selector groups (``a, b`` — union, document order, deduped)
+- ``:nth-child(n)`` and ``:first-child`` (the pseudo-classes the
+  reference rules use that are decidable at element start — see
+  ``_SUPPORTED_PSEUDOS``)
 
 Projections mirror goquery: :func:`node_text` concatenates every
 descendant text node (``property.go`` ``Text()``); :func:`node_attr`
@@ -121,19 +124,28 @@ _TOKEN_RE = re.compile(
   | \#(?P<id>[\w-]+)
   | \.(?P<cls>[\w-]+)
   | \[(?P<attr>[\w-]+)(?:=(?P<q>["']?)(?P<val>[^\]"']*)(?P=q))?\]
+  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[0-9]+)\))?
     """,
     re.X,
 )
 
+# pseudo-classes decidable at element start (the oracle's single-pass
+# SAX matcher cannot see future siblings, so :last-child & friends are
+# rejected at compile time — in BOTH engines, keeping the grammar
+# identical). These cover 144 of the 145 distinct selectors the
+# reference sample rules use.
+_SUPPORTED_PSEUDOS = {"nth-child", "first-child"}
+
 
 class _Simple:
-    __slots__ = ("tag", "id", "classes", "attrs")
+    __slots__ = ("tag", "id", "classes", "attrs", "pseudos")
 
-    def __init__(self, tag, id_, classes, attrs):
+    def __init__(self, tag, id_, classes, attrs, pseudos=()):
         self.tag = tag  # None = any
         self.id = id_
         self.classes = classes  # list[str]
         self.attrs = attrs  # list[(name, value|None)]
+        self.pseudos = pseudos  # list[(name, int-arg|None)]
 
     def matches(self, node: HtmlNode) -> bool:
         if node.tag.startswith("#"):
@@ -151,6 +163,18 @@ class _Simple:
                 return False
             if val is not None and node.attrs.get(name) != val:
                 return False
+        for name, arg in self.pseudos:
+            # 1-based position among ELEMENT siblings (CSS nth-child)
+            if node.parent is None:
+                return False
+            sibs = [
+                c for c in node.parent.children if isinstance(c, HtmlNode)
+            ]
+            pos = sibs.index(node) + 1
+            if name == "nth-child" and pos != arg:
+                return False
+            if name == "first-child" and pos != 1:
+                return False
         return True
 
 
@@ -159,6 +183,7 @@ def _compile_compound(tok: str) -> _Simple:
     id_ = None
     classes: list[str] = []
     attrs: list[tuple[str, str | None]] = []
+    pseudos: list[tuple[str, int | None]] = []
     pos = 0
     while pos < len(tok):
         m = _TOKEN_RE.match(tok, pos)
@@ -174,8 +199,16 @@ def _compile_compound(tok: str) -> _Simple:
             # q participates iff an =value clause was present
             val = m.group("val") if m.group("q") is not None else None
             attrs.append((m.group("attr").lower(), val))
+        elif m.group("pseudo"):
+            name = m.group("pseudo").lower()
+            if name not in _SUPPORTED_PSEUDOS:
+                raise ValueError(f"unsupported pseudo-class :{name}")
+            arg = m.group("parg")
+            if name == "nth-child" and arg is None:
+                raise ValueError(":nth-child requires an integer argument")
+            pseudos.append((name, int(arg) if arg is not None else None))
         pos = m.end()
-    return _Simple(tag, id_, classes, attrs)
+    return _Simple(tag, id_, classes, attrs, pseudos)
 
 
 def compile_selector(selector: str) -> list[list[tuple[str, _Simple]]]:

@@ -106,8 +106,11 @@ _ORACLE_VOID = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 _ORACLE_SIMPLE_RE = __import__("re").compile(
-    r"([a-zA-Z][\w-]*|\*)|#([\w-]+)|\.([\w-]+)|\[([\w-]+)(?:=([\"']?)([^\]\"']*)\5)?\]"
+    r"([a-zA-Z][\w-]*|\*)|#([\w-]+)|\.([\w-]+)"
+    r"|\[([\w-]+)(?:=([\"']?)([^\]\"']*)\5)?\]"
+    r"|:([\w-]+)(?:\(([0-9]+)\))?"
 )
+_ORACLE_PSEUDOS = {"nth-child", "first-child"}  # start-tag-decidable
 
 
 def _oracle_parse_selector(sel: str) -> list[list[tuple[str, tuple]]]:
@@ -120,7 +123,7 @@ def _oracle_parse_selector(sel: str) -> list[list[tuple[str, tuple]]]:
             if t == ">":
                 comb = ">"
                 continue
-            tag, id_, classes, attrs = None, None, [], []
+            tag, id_, classes, attrs, pseudos = None, None, [], [], []
             pos = 0
             while pos < len(t):
                 m = _ORACLE_SIMPLE_RE.match(t, pos)
@@ -132,21 +135,31 @@ def _oracle_parse_selector(sel: str) -> list[list[tuple[str, tuple]]]:
                     id_ = m.group(2)
                 elif m.group(3):
                     classes.append(m.group(3))
-                else:
+                elif m.group(4):
                     attrs.append(
                         (m.group(4).lower(), m.group(6) if m.group(5) is not None else None)
                     )
+                else:
+                    name = m.group(7).lower()
+                    if name not in _ORACLE_PSEUDOS:
+                        raise ValueError(f"unsupported pseudo-class :{name}")
+                    arg = m.group(8)
+                    if name == "nth-child" and arg is None:
+                        raise ValueError(":nth-child requires an argument")
+                    pseudos.append((name, int(arg) if arg is not None else None))
                 pos = m.end()
-            chain.append((comb, (tag, id_, tuple(classes), tuple(attrs))))
+            chain.append(
+                (comb, (tag, id_, tuple(classes), tuple(attrs), tuple(pseudos)))
+            )
             comb = " "
         if chain:
             groups.append(chain)
     return groups
 
 
-def _oracle_simple_ok(el: tuple[str, dict], simple: tuple) -> bool:
-    tag, attrs = el
-    stag, sid, sclasses, sattrs = simple
+def _oracle_simple_ok(el: tuple, simple: tuple) -> bool:
+    tag, attrs, child_pos = el
+    stag, sid, sclasses, sattrs, spseudos = simple
     if stag not in (None, "*") and tag != stag:
         return False
     if sid is not None and attrs.get("id") != sid:
@@ -159,6 +172,13 @@ def _oracle_simple_ok(el: tuple[str, dict], simple: tuple) -> bool:
         if name not in attrs:
             return False
         if val is not None and attrs.get(name) != val:
+            return False
+    for name, arg in spseudos:
+        # child_pos: 1-based position among element siblings, counted
+        # by the parser's per-open-element counter stack
+        if name == "nth-child" and child_pos != arg:
+            return False
+        if name == "first-child" and child_pos != 1:
             return False
     return True
 
@@ -224,7 +244,8 @@ def _css_items(text: str, er) -> list[dict]:
 
     done: list[tuple[int, dict]] = []
     captures: list[_CssCapture] = []
-    stack: list[tuple[str, dict]] = []
+    stack: list[tuple] = []  # (tag, attrs, child_pos)
+    counters = [0]  # element-children count per open element (+root)
     seq_counter = [0]
 
     def finalize(cap: _CssCapture):
@@ -240,7 +261,8 @@ def _css_items(text: str, er) -> list[dict]:
             k = k.lower()
             if k not in amap:
                 amap[k] = v if v is not None else ""
-        el = (tag, amap)
+        counters[-1] += 1
+        el = (tag, amap, counters[-1])
         path = stack + [el]
         depth = len(stack)
         # sub-selector matches feed existing captures (first match wins)
@@ -269,6 +291,7 @@ def _css_items(text: str, er) -> list[dict]:
                 captures.append(cap)
         if not void:
             stack.append(el)
+            counters.append(0)
 
     class _P(HTMLParser):
         def handle_starttag(self, tag, attrs):
@@ -282,6 +305,7 @@ def _css_items(text: str, er) -> list[dict]:
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i][0] == tag:
                     del stack[i:]
+                    del counters[i + 1 :]
                     break
             new_depth = len(stack)
             for cap in list(captures):

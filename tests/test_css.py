@@ -102,11 +102,30 @@ def test_malformed_html_tolerated():
 
 def test_invalid_selector_raises():
     with pytest.raises(ValueError):
-        compile_selector("p:nth-child(2)")
+        compile_selector("a:last-child")  # not start-tag-decidable
+    with pytest.raises(ValueError):
+        compile_selector("p:nth-child")  # missing argument
     with pytest.raises(ValueError):
         compile_selector("div >")
     with pytest.raises(ValueError):
         compile_selector("")
+
+
+def test_pseudo_classes(root):
+    # the two reference selectors that need pseudo-classes
+    # (jd.go / alibaba.go shapes)
+    assert [node_text(n) for n in select(root, "ul > li:nth-child(2)")] == [
+        "two"
+    ]
+    assert [node_text(n) for n in select(root, "ul li:first-child")] == [
+        "one bold"
+    ]
+    # figures are body's element children 2..4; nth-child counts ALL
+    # element siblings, not same-tag ones
+    assert [
+        node_attr(n, "src") for n in select(root, "figure:nth-child(3) img")
+    ] == ["i2.jpg"]
+    assert select(root, "figure:nth-child(5)") == []
 
 
 def _apply_engine(html: str, er: ExtractRule) -> list[dict]:
@@ -171,6 +190,8 @@ _SELECTORS = st.sampled_from(
         "div", "span", "p em", "div > span", "li", "*",
         ".a", ".b", "div.a", "span.c", "[data-k]", "[data-k=u]",
         "div span", "div > p", "p, li", "div em", "img",
+        "div:nth-child(1)", "span:first-child", "li:nth-child(2)",
+        "div > span:first-child", "p :nth-child(1)",
     ]
 )
 _PROJ = st.sampled_from(["@text", "@data-k", "img@src", "em@text", "span@text"])
