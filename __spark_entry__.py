@@ -276,24 +276,35 @@ def q_css_extract(spark, sf_dir):
 
     er = ExtractRule(
         rule="doc", kind="css", item_pattern="div.doc",
-        fields=("head", "tail", "nc"),
+        fields=("head", "tail", "nc", "w3", "wlast"),
         field_css=(
             ("head", "span.head@text"),
             ("tail", "span.tail@text"),
             ("nc", "@data-n"),
+            # indexed projections (goquery .Eq(n)/.Last() — the
+            # shunfenghaitao.go:98 chain shape): head words are each
+            # wrapped in <b>, so these pull the 3rd and the last one
+            ("w3", "span.head@eq(0) b@eq(2)@text"),
+            ("wlast", "b@last@text"),
         ),
     )
     specs = rule_spec_tuples([er])
 
-    @pandas_udf("head string, tail string, nc string")
+    @pandas_udf("head string, tail string, nc string, w3 string, wlast string")
     def _css(htmls: pd.Series) -> pd.DataFrame:
         _r, kind, key, fields, _lf = compile_rule_specs(specs)[0]
         rows = [apply_rule_spec(h, kind, key, fields)[0] for h in htmls]
-        return pd.DataFrame(rows, columns=["head", "tail", "nc"])
+        return pd.DataFrame(rows, columns=["head", "tail", "nc", "w3", "wlast"])
 
     docs = _load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    head = F.array_join(F.slice(w, 1, 5), " ")
+    head = F.array_join(
+        F.transform(
+            F.slice(w, 1, 5),
+            lambda x: F.concat(F.lit("<b>"), x, F.lit("</b>")),
+        ),
+        " ",
+    )
     tail = F.array_join(F.expr("slice(split(text, ' '), 6, greatest(size(split(text, ' ')) - 5, 0))"), " ")
     html = F.concat(
         F.lit('<html><body><div class="doc" data-n="'),
@@ -309,6 +320,8 @@ def q_css_extract(spark, sf_dir):
             F.col("_x.head").alias("head"),
             F.col("_x.tail").alias("tail"),
             F.col("_x.nc").alias("nc"),
+            F.col("_x.w3").alias("w3"),
+            F.col("_x.wlast").alias("wlast"),
         )
     )
 
@@ -728,7 +741,13 @@ SELECT doc_id,
   array_to_string(
     list_slice(string_split(text, ' '), 6, len(string_split(text, ' '))),
     ' ') AS tail,
-  CAST(n_chars AS VARCHAR) AS nc
+  CAST(n_chars AS VARCHAR) AS nc,
+  coalesce(
+    CASE WHEN len(string_split(text, ' ')) >= 3
+         THEN string_split(text, ' ')[3] END, '') AS w3,
+  coalesce(
+    string_split(text, ' ')[least(5, len(string_split(text, ' ')))],
+    '') AS wlast
 FROM documents
 """,
         "q_global_rank": r"""

@@ -226,20 +226,75 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
     ]
 
 
+_IDX_EQ_RE = re.compile(r"^eq\((\d+)\)(.*)$", re.S)
+_IDX_LAST_RE = re.compile(r"^last(?![\w-])(.*)$", re.S)
+
+
+def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
+    """Parse a ``field_css`` projection spec into
+    ``([(selector, index), ...], projection)``.
+
+    Grammar (goquery ``Find``/``Eq``/``Last`` chains, the shape the
+    reference rules use — e.g. ``shunfenghaitao.go:98``
+    ``Find(".goods-c2 ul").Eq(0).Find("li").Eq(2).Text()`` becomes
+    ``".goods-c2 ul@eq(0) li@eq(2)@text"``):
+
+    - ``"<sel>@<proj>"``            — first match of sel (``.Eq(0)``)
+    - ``"<sel>@eq(n)@<proj>"``      — n-th match, 0-based (``.Eq(n)``)
+    - ``"<sel>@last@<proj>"``       — last match (``.Last()``)
+    - ``"<s1>@eq(i) <s2>@eq(j)@<proj>"`` — chained Find steps: each
+      ``@eq``/``@last`` closes a segment; the next selector searches
+      WITHIN that segment's chosen element
+    - ``"@<proj>"``                 — project from the container itself
+
+    ``index`` is the 0-based match ordinal, or ``-1`` for ``@last``.
+    The final token is the projection: ``text`` or an attribute name
+    (``eq(...)``/``last`` are reserved and never attribute names).
+    An out-of-range index yields '' at apply time, like goquery's empty
+    selection -> ``Text()``/``Attr()`` defaults.
+    """
+    parts = spec.split("@")
+    segments: list[tuple[str, int]] = []
+    sel = parts[0].strip()
+    proj = "text"
+    for i, tok in enumerate(parts[1:]):
+        m_eq = _IDX_EQ_RE.match(tok)
+        m_last = _IDX_LAST_RE.match(tok)
+        if m_eq:
+            segments.append((sel, int(m_eq.group(1))))
+            sel = m_eq.group(2).strip()
+        elif m_last:
+            segments.append((sel, -1))
+            sel = m_last.group(1).strip()
+        else:
+            if i != len(parts) - 2:
+                raise ValueError(
+                    f"bad field spec {spec!r}: projection token {tok!r} "
+                    "must be final"
+                )
+            proj = tok.strip() or "text"
+    if sel:
+        segments.append((sel, 0))
+    return segments, proj
+
+
 def _compile_css_spec(pat: str, fields: tuple, field_css: tuple):
-    """(container-chains, [(field, sub-chains|None, projection)]) —
-    sub-chains None means project from the container element itself."""
+    """(container-chains, [(field, [(sub-chains, index)], projection)])
+    — an empty segment list means project from the container element
+    itself; each segment is a goquery Find+Eq/Last step."""
     from . import css as css_mod
 
     container = css_mod.compile_selector(pat)
     projections = []
     fc = dict(field_css)
     for f in fields:
-        spec = fc.get(f, "@text")
-        sub, _, proj = spec.rpartition("@")
-        sub = sub.strip()
+        segments, proj = parse_field_spec(fc.get(f, "@text"))
         projections.append(
-            (f, css_mod.compile_selector(sub) if sub else None, proj or "text")
+            (
+                f,
+                [(css_mod.compile_selector(s), idx) for s, idx in segments],
+                proj,
+            )
         )
     return container, projections
 
@@ -269,9 +324,10 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
     ``output_csv.go:56-60``). Malformed JSON / missing path → no items
     (the reference rule's Unmarshal-err branch logs and emits nothing).
     css: ``key`` is the compiled (container, projections) pair — one
-    item per container match, fields via sub-selector Find + Text/Attr
-    (goquery surface; missing sub-match or attribute → '' like the
-    reference's ``Attr`` default, ``property.go``).
+    item per container match, fields via chained Find + Eq/Last
+    sub-selection then Text/Attr (goquery surface; missing sub-match,
+    out-of-range index, or absent attribute → '' like the reference's
+    empty-selection ``Text()``/``Attr`` defaults, ``property.go``).
     """
     if kind == "css":
         from . import css as css_mod
@@ -281,12 +337,16 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
         items = []
         for node in css_mod.select(root, container):
             row = {}
-            for f, sub, proj in projections:
-                if sub is None:
-                    target = node
-                else:
-                    found = css_mod.select(node, sub)
-                    target = found[0] if found else None
+            for f, segments, proj in projections:
+                target = node
+                for sub, idx in segments:
+                    found = css_mod.select(target, sub)
+                    if idx == -1:
+                        target = found[-1] if found else None
+                    else:
+                        target = found[idx] if idx < len(found) else None
+                    if target is None:
+                        break
                 if target is None:
                     row[f] = ""
                 elif proj == "text":

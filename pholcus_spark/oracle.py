@@ -207,25 +207,151 @@ def _oracle_any_match(path: list, chains: list, floor: int) -> bool:
     return any(_oracle_path_matches(path, ch, floor) for ch in chains)
 
 
-class _CssCapture:
-    __slots__ = ("seq", "depth", "row", "pending", "text_bufs", "sub_open")
+def _oracle_parse_field_spec(spec: str):
+    """``field_css`` projection grammar (mirrors
+    extract.parse_field_spec — the grammar is shared, the matching
+    algorithm is not): ``([(compiled-selector, index), ...], proj)``
+    where index is the 0-based ``@eq(n)`` ordinal or -1 for ``@last``;
+    a bare ``<sel>@<proj>`` segment defaults to index 0."""
+    re_mod = __import__("re")
+    parts = spec.split("@")
+    segments: list[tuple[list, int]] = []
+    sel = parts[0].strip()
+    proj = "text"
+    for i, tok in enumerate(parts[1:]):
+        m_eq = re_mod.match(r"eq\((\d+)\)(.*)\Z", tok, re_mod.S)
+        m_last = re_mod.match(r"last(?![\w-])(.*)\Z", tok, re_mod.S)
+        if m_eq:
+            segments.append((_oracle_parse_selector(sel), int(m_eq.group(1))))
+            sel = m_eq.group(2).strip()
+        elif m_last:
+            segments.append((_oracle_parse_selector(sel), -1))
+            sel = m_last.group(1).strip()
+        else:
+            if i != len(parts) - 2:
+                raise ValueError(f"bad field spec {spec!r}")
+            proj = tok.strip() or "text"
+    if sel:
+        segments.append((_oracle_parse_selector(sel), 0))
+    return segments, proj
 
-    def __init__(self, seq: int, depth: int, projections, attrs: dict):
+
+# void anchors (never on the open-element stack) get a floor no real
+# element can exceed, so nothing ever "matches inside" them; the next
+# end tag sweeps them out of the anchor list
+_VOID_DEPTH = 1 << 30
+
+
+class _FieldMachine:
+    """Single-pass evaluator for one field's chained
+    Find→Eq/Last→…→Text/Attr projection, scoped to one container
+    capture. Anchors are the stack depths of the chosen element per
+    segment; ``@last`` segments re-anchor on every later match
+    (discarding deeper progress), ``@eq`` segments freeze once their
+    chosen element closes."""
+
+    __slots__ = (
+        "stages", "proj", "anchors", "counts",
+        "value", "text_buf", "text_depth", "dead_at",
+    )
+
+    def __init__(self, stages, proj, container_depth, container_attrs,
+                 container_void):
+        self.stages = stages  # [(chains, idx)]
+        self.proj = proj
+        self.anchors: list[int] = []
+        self.counts = [0] * len(stages)
+        self.value = None
+        self.text_buf = None
+        self.text_depth = None
+        self.dead_at = None  # shallowest closed @eq anchor stage
+        if not stages:  # project from the container element itself
+            if proj == "text":
+                if container_void:
+                    self.value = ""
+                else:
+                    self.text_buf = []
+                    self.text_depth = container_depth
+            else:
+                self.value = container_attrs.get(proj, "")
+
+    def _anchor(self, t: int, depth: int, void: bool, attrs: dict):
+        self.anchors.append(_VOID_DEPTH if void else depth)
+        if t == len(self.stages) - 1:  # final segment → projection
+            if self.proj == "text":
+                if void:
+                    self.value = ""
+                    self.text_buf = None
+                else:
+                    self.text_buf = []
+                    self.text_depth = depth
+            else:
+                self.value = attrs.get(self.proj, "")
+
+    def feed(self, path, depth, void, attrs, container_depth):
+        if not self.stages:
+            return
+        t = 0
+        while t < len(self.stages):
+            if t > len(self.anchors):
+                return
+            chains, idx = self.stages[t]
+            floor = container_depth if t == 0 else self.anchors[t - 1]
+            if idx == -1:
+                # @last: ANY later match re-anchors, wiping deeper
+                # progress and the captured value (the chain below the
+                # new anchor starts over — goquery re-runs the Finds)
+                if _oracle_any_match(path, chains, floor):
+                    del self.anchors[t:]
+                    for u in range(t + 1, len(self.stages)):
+                        self.counts[u] = 0
+                    self.dead_at = None
+                    self.value = None
+                    self.text_buf = None
+                    self._anchor(t, depth, void, attrs)
+                    return
+                if t == len(self.anchors):
+                    return
+                t += 1
+            else:
+                if t == len(self.anchors):  # the segment being sought
+                    if self.dead_at is not None:
+                        return  # its @eq ancestor chain closed — frozen
+                    if _oracle_any_match(path, chains, floor):
+                        self.counts[t] += 1
+                        if self.counts[t] - 1 == idx:
+                            self._anchor(t, depth, void, attrs)
+                    return
+                t += 1  # anchored @eq: choice is fixed, look deeper
+
+    def on_close(self, new_depth: int):
+        if self.text_buf is not None and self.text_depth >= new_depth:
+            self.value = "".join(self.text_buf)
+            self.text_buf = None
+        while self.anchors and self.anchors[-1] >= new_depth:
+            t = len(self.anchors) - 1
+            self.anchors.pop()
+            if self.stages[t][1] >= 0:
+                self.dead_at = t
+
+    def result(self) -> str:
+        if self.text_buf is not None:  # sealed at EOF / container close
+            return "".join(self.text_buf)
+        return self.value if self.value is not None else ""
+
+
+class _CssCapture:
+    __slots__ = ("seq", "depth", "fields", "machines")
+
+    def __init__(self, seq: int, depth: int, projections, attrs: dict,
+                 void: bool):
         self.seq = seq
         self.depth = depth  # stack index of the container element
-        self.row: dict = {}
-        self.pending: list = []  # (field, chains, proj) still unsatisfied
-        self.text_bufs: dict = {}  # field -> [chunks]
-        self.sub_open: dict = {}  # field -> stack index of open text target
-        for f, chains, proj in projections:
-            if chains is None:
-                if proj == "text":
-                    self.text_bufs[f] = []
-                    self.sub_open[f] = depth
-                else:
-                    self.row[f] = attrs.get(proj, "")
-            else:
-                self.pending.append((f, chains, proj))
+        self.fields = [f for f, _s, _p in projections]
+        self.machines = [
+            _FieldMachine(stages, proj, depth, attrs, void)
+            for _f, stages, proj in projections
+        ]
 
 
 def _css_items(text: str, er) -> list[dict]:
@@ -233,14 +359,10 @@ def _css_items(text: str, er) -> list[dict]:
 
     container = _oracle_parse_selector(er.item_pattern)
     fc = dict(getattr(er, "field_css", ()) or ())
-    projections = []
-    for f in er.fields:
-        spec = fc.get(f, "@text")
-        sub, _, proj = spec.rpartition("@")
-        sub = sub.strip()
-        projections.append(
-            (f, _oracle_parse_selector(sub) if sub else None, proj or "text")
-        )
+    projections = [
+        (f,) + _oracle_parse_field_spec(fc.get(f, "@text"))
+        for f in er.fields
+    ]
 
     done: list[tuple[int, dict]] = []
     captures: list[_CssCapture] = []
@@ -249,11 +371,9 @@ def _css_items(text: str, er) -> list[dict]:
     seq_counter = [0]
 
     def finalize(cap: _CssCapture):
-        for f, _chains, _proj in cap.pending:
-            cap.row.setdefault(f, "")
-        for f, buf in cap.text_bufs.items():
-            cap.row[f] = "".join(buf)
-        done.append((cap.seq, cap.row))
+        done.append(
+            (cap.seq, {f: m.result() for f, m in zip(cap.fields, cap.machines)})
+        )
 
     def on_element(tag: str, attr_list, void: bool):
         amap: dict = {}
@@ -265,25 +385,13 @@ def _css_items(text: str, er) -> list[dict]:
         el = (tag, amap, counters[-1])
         path = stack + [el]
         depth = len(stack)
-        # sub-selector matches feed existing captures (first match wins)
+        # feed existing captures' field machines
         for cap in captures:
-            still = []
-            for f, chains, proj in cap.pending:
-                if _oracle_any_match(path, chains, cap.depth):
-                    if proj == "text":
-                        if void:
-                            cap.row[f] = ""
-                        else:
-                            cap.text_bufs[f] = []
-                            cap.sub_open[f] = depth
-                    else:
-                        cap.row[f] = amap.get(proj, "")
-                else:
-                    still.append((f, chains, proj))
-            cap.pending = still
+            for m in cap.machines:
+                m.feed(path, depth, void, amap, cap.depth)
         # container match opens a new capture (void → immediate item)
         if _oracle_any_match(path, container, -1):
-            cap = _CssCapture(seq_counter[0], depth, projections, amap)
+            cap = _CssCapture(seq_counter[0], depth, projections, amap, void)
             seq_counter[0] += 1
             if void:
                 finalize(cap)
@@ -309,21 +417,22 @@ def _css_items(text: str, er) -> list[dict]:
                     break
             new_depth = len(stack)
             for cap in list(captures):
-                for f in [f for f, d in cap.sub_open.items() if d >= new_depth]:
-                    if f in cap.text_bufs and f not in cap.row:
-                        cap.row[f] = "".join(cap.text_bufs.pop(f))
-                    cap.sub_open.pop(f, None)
                 if cap.depth >= new_depth:
+                    for m in cap.machines:
+                        m.on_close(new_depth)
                     finalize(cap)
                     captures.remove(cap)
+                else:
+                    for m in cap.machines:
+                        m.on_close(new_depth)
 
         def handle_data(self, data):
             if not data:
                 return
             for cap in captures:
-                for f, _d in cap.sub_open.items():
-                    if f in cap.text_bufs:
-                        cap.text_bufs[f].append(data)
+                for m in cap.machines:
+                    if m.text_buf is not None:
+                        m.text_buf.append(data)
 
     p = _P(convert_charrefs=True)
     p.feed(text)

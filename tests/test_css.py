@@ -128,6 +128,55 @@ def test_pseudo_classes(root):
     assert select(root, "figure:nth-child(5)") == []
 
 
+def test_parse_field_spec_grammar():
+    from pholcus_spark.extract import parse_field_spec
+
+    assert parse_field_spec("span.head@text") == ([("span.head", 0)], "text")
+    assert parse_field_spec("@data-n") == ([], "data-n")
+    assert parse_field_spec("img@eq(2)@src") == ([("img", 2)], "src")
+    assert parse_field_spec("b@last@text") == ([("b", -1)], "text")
+    assert parse_field_spec("b@last") == ([("b", -1)], "text")
+    # the shunfenghaitao.go:98 chain shape
+    assert parse_field_spec(".goods-c2 ul@eq(0) li@eq(2)@text") == (
+        [(".goods-c2 ul", 0), ("li", 2)],
+        "text",
+    )
+    with pytest.raises(ValueError):
+        parse_field_spec("a@href b@text")  # projection must be final
+
+
+def test_indexed_projection_engine_equals_oracle():
+    """`.Eq(n)`/`.Last()` chains — 53 .Eq( + 5 .Last( uses in the
+    reference rules (shunfenghaitao.go:98,103, car_home.go:105-139)."""
+    html = """<html><body><div class="doc">
+    <div class="goods-c2"><ul><li>a0</li><li>a1</li><li>a2 <b>x</b></li></ul>
+    <ul><li>b0</li></ul></div>
+    <div id="detailattributes"><li>origin</li><li>supply</li></div>
+    <span class="head"><b>w1</b><b>w2</b><b>w3</b></span>
+    <img src="i1.png"><img src="i2.png">
+    </div></body></html>"""
+    cases = [
+        (".goods-c2 ul@eq(0) li@eq(2)@text", "a2 x"),
+        (".goods-c2 ul@eq(1) li@eq(0)@text", "b0"),
+        ("#detailattributes li@eq(0)@text", "origin"),
+        ("#detailattributes li@eq(1)@text", "supply"),
+        ("#detailattributes li@eq(5)@text", ""),  # out of range -> ''
+        ("b@last@text", "w3"),
+        ("span.head@eq(0) b@last@text", "w3"),
+        ("img@last@src", "i2.png"),
+        ("img@eq(1)@src", "i2.png"),
+        ("ul@last li@eq(0)@text", "b0"),
+    ]
+    for spec, want in cases:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="div.doc",
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+
+
 def _apply_engine(html: str, er: ExtractRule) -> list[dict]:
     rule, kind, key, fields, _lf = compile_rule_specs(rule_spec_tuples([er]))[0]
     return apply_rule_spec(html, kind, key, fields)
@@ -194,10 +243,22 @@ _SELECTORS = st.sampled_from(
         "div > span:first-child", "p :nth-child(1)",
     ]
 )
-_PROJ = st.sampled_from(["@text", "@data-k", "img@src", "em@text", "span@text"])
+_PROJ = st.sampled_from(
+    [
+        "@text", "@data-k", "img@src", "em@text", "span@text",
+        # indexed projections (.Eq(n)/.Last() — goquery chains)
+        "img@eq(1)@src", "img@last@src", "span@last@text",
+        "div@eq(0)@text", "div@eq(2)@text", "em@last@text",
+        ".a@eq(1)@text", "[data-k]@last@data-k",
+        # chained Find steps (mid-chain Eq/Last, shunfenghaitao shape)
+        "div@eq(0) span@last@text", "div@last em@eq(0)@text",
+        "div@eq(1) img@eq(0)@src", "span@last div@last@text",
+        "div@last .a@eq(0)@data-k",
+    ]
+)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=300, deadline=None)
 @given(body=_html_doc(), container=_SELECTORS, proj=_PROJ)
 def test_fuzz_engine_matches_oracle(body, container, proj):
     html = f"<html><body>{body}</body></html>"

@@ -30,6 +30,47 @@ def test_avatar_css_sample_runs(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_shunfeng_css_sample_matches_oracle(spark):
+    """The shunfenghaitao port: chained .Eq(n)/.Last() css projections
+    (shunfenghaitao.go:95-106). Engine items must equal the independent
+    SAX-matcher oracle's on the same corpus — a full conformance check
+    of the indexed-projection surface through the crawl loop."""
+    sys.path.insert(0, "samples")
+    from shunfeng_css_spider import SFHT_SPIDER, build_corpus, run
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-sfht-")
+    try:
+        catalog, state = run(workdir, spark=spark, n_items=4)
+        assert state["stopped"]
+        # 1 home + 2 sections + 8 details fetched
+        assert state["totals"]["fetched"] == 11
+        items = catalog.read("items")
+        details = items.where("rule = '商品详情'").collect()
+        assert len(details) == 8
+        for r in details:
+            d = r["data"]
+            assert d["标题"].startswith("商品 ")
+            assert d["品牌"].startswith("品 牌 Brand")  # .Eq(0)/.Eq(2) chain
+            assert d["原产地"] == "原产地：美国"
+            assert d["货源地"] == "货源地：香港"
+            assert d["类别"] in ("奶粉", "辅食")  # @last breadcrumb
+        # engine == oracle on the full items set (both css matchers)
+        res = testkit.run_oracle(build_corpus(4), SFHT_SPIDER)
+        eng = {
+            (r.rule, r.url, tuple(sorted(r.data.items())))
+            for r in items.collect()
+        }
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_image_gallery_sample_runs(spark):
     sys.path.insert(0, "samples")
     from image_gallery_spider import run
