@@ -917,12 +917,19 @@ def entry(spark: SparkSession) -> DataFrame:
     MinHash/LSH candidate generation followed by exact n-gram Jaccard
     verification driven BY the candidate pairs (the shingle join touches
     only candidate pairs — nothing in the plan is O(n²));
-    returns verified near-duplicate pairs with their similarity."""
+    returns verified near-duplicate pairs with their similarity.
+    ``max_bucket`` makes the flagship skew-safe by default: a
+    boilerplate cluster of K near-identical docs is bounded at
+    C(max_bucket, 2) candidate pairs per band bucket instead of K²
+    (the sf0.001 corpus has no bucket anywhere near the cap, so the
+    output is byte-identical to the uncapped oracle-checked run)."""
     sf_dir = "/root/testdata/sf0.001"
     from pholcus_spark.ops.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=3)
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, n=3, max_bucket=256
+    )
     return ngram_jaccard_pairs(docs, n=3, threshold=0.0, candidates=cand).select(
         "doc_a", "doc_b", "common", "jaccard"
     )

@@ -179,7 +179,11 @@ class EngineConfig:
     default_crawl_delay_ms: int = 375  # 1.25 × reference Pausetime 300 ms
     requeue_failures: bool = True
     num_buckets: int = 64  # url_seen bucketing (10^10 scale → 1024+)
-    record_order: bool = True  # golden-order table (tests); off for bench
+    # golden-order table: materializes wave_pos with an UNPARTITIONED
+    # window per superstep — a single-partition exchange no production
+    # plan should contain. Off by default; conformance fixtures opt in
+    # (the order table is a test instrument, not an output).
+    record_order: bool = False
     bloom_enabled: bool = True
     bloom_fpp: float = 0.01
     # sidecar rebuild policy (LSM-style): the filters cover url_seen up
@@ -260,6 +264,15 @@ class CrawlEngine:
         self._pending_adopt: dict[str, list[tuple[DataFrame, str]]] = {}
         self._steps_since_flush = 0
         self._frontier_dirty = False
+        # cookie session store (fetcher.enable_cookie): host → {name:
+        # value}. The distributed form of the reference's process-wide
+        # cookiejar (`downloader_surfer.go:6,21-23`): state lives on the
+        # DRIVER (tasks stay stateless/retryable), flows out per wave as
+        # a broadcast host→header dim and back in as harvested
+        # Set-Cookie rows (only hosts that set cookies — O(changed
+        # hosts) per wave). Session-scoped, like the reference: not
+        # persisted to the catalog across engine restarts.
+        self._cookie_store: dict[str, dict[str, str]] = {}
 
     # ------------------------------------------------------------------
     # seeding
@@ -276,20 +289,31 @@ class CrawlEngine:
         `history.go:83-159`, `matrix.go:40-46`; rewriting state here
         would hand already-failed URLs a fresh retry cycle and collide
         superstep ids in the append-only tables). Seed lists are
-        driver-scale by definition — the row build is plain Python.
+        driver-scale by definition — the row build is plain Python; for
+        GENERATED seed sets (page ranges, id sweeps — anything you'd
+        produce with a loop) use :meth:`seed_range`, which builds the
+        rows distributed via ``spark.range`` and never materializes
+        them on the driver.
         """
         state0 = self._seed_prelude()
         rows = []
         for s in seeds:
+            # method/post_data flow through to the frontier row (and the
+            # dedup key, which hashes method) — HtmlForm.submit() dicts
+            # seed POST / POST-M requests as-is; both fetchers encode
+            # the body from these fields
+            method = (s.get("method", "GET") or "GET").upper()
+            post_data = s.get("post_data", "") or ""
             for k in parse_keyins(s.get("keyin", "") or "") or [""]:
                 spider = fanout_spider_name(s["spider"], k)
                 url = canonicalize_url(apply_keyin(s["url"], k))
                 host = host_of(url)
-                key = request_key(spider, s["rule"], url)
+                key = request_key(spider, s["rule"], url, method)
                 reloadable = url in self.spec.reloadable_urls
                 rows.append(
                     (
-                        key, spider, s["rule"], url, host, "GET", "",
+                        key, spider, s["rule"], url, host, method,
+                        post_data,
                         int(s.get("priority", 0)), len(rows), 0, None,
                         0, False, reloadable, {}, "queued",
                     )
@@ -537,7 +561,29 @@ class CrawlEngine:
         queued = frontier.where(F.col("state") == "queued")
         others = frontier.where(F.col("state") != "queued")
 
-        # -- 1. wave selection (politeness budgets) ----------------------
+        wave, rest = self._wave_plan(queued)
+
+        # truncate the wave's lineage: every downstream branch (fetch,
+        # fetch_meta, politeness bookkeeping, order table) would
+        # otherwise re-analyze the frontier + wave-select window tree on
+        # each of its many Dataset creations (driver-side cost, grows
+        # with plan size); the wave is materialized exactly once either
+        # way, and it is small by construction (Σ host budgets)
+        wave = wave.localCheckpoint(eager=False)
+
+        return self._superstep_after_wave(
+            state, frontier, others, wave, rest, superstep, t0
+        )
+
+    def _wave_plan(self, queued: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Wave selection (politeness budgets + fair share) as a pure
+        plan: returns (wave, rest) BEFORE lineage truncation so tests
+        can assert the plan shape — with the default config this plan
+        contains no unpartitioned window (every `row_number` is
+        partitioned by host or spider); the single-partition golden-order
+        `wave_pos` window exists only behind the test-only
+        ``record_order`` opt-in."""
+        cfg = self.config
         # crawl_delay_ms = 0 falls back to the default exactly like the
         # oracle's `delay or default` (a zero divisor would otherwise
         # NULL out the floor and silently clamp the budget to 1)
@@ -592,14 +638,51 @@ class CrawlEngine:
                     Window.orderBy(F.desc("priority"), F.asc("seq"))
                 ) - 1,
             )
+        return wave, rest
 
-        # truncate the wave's lineage: every downstream branch (fetch,
-        # fetch_meta, politeness bookkeeping, order table) would
-        # otherwise re-analyze the frontier + wave-select window tree on
-        # each of its many Dataset creations (driver-side cost, grows
-        # with plan size); the wave is materialized exactly once either
-        # way, and it is small by construction (Σ host budgets)
-        wave = wave.localCheckpoint(eager=False)
+    def _attach_cookies(self, wave: DataFrame) -> DataFrame:
+        """Session cookies out: join the wave with the driver-held
+        host→Cookie-header dim (broadcast — O(hosts) rows, the robots
+        scale class). No-op unless the fetcher opted into cookies."""
+        if not getattr(self.fetcher, "enable_cookie", False):
+            return wave
+        from .httpfetch import cookie_header
+
+        rows = [
+            (h, cookie_header(jar))
+            for h, jar in self._cookie_store.items()
+            if jar
+        ]
+        if not rows:
+            return wave.withColumn("cookie", F.lit(""))
+        dim = self.spark.createDataFrame(rows, "host string, cookie string")
+        return wave.join(F.broadcast(dim), "host", "left").withColumn(
+            "cookie", F.coalesce(F.col("cookie"), F.lit(""))
+        )
+
+    def _harvest_cookies(self, fetched: DataFrame) -> None:
+        """Session cookies in: fold harvested Set-Cookie headers into
+        the store in wave order (priority desc, seq asc — the oracle's
+        sequential DoHistory order, so same-name updates are
+        deterministic). Collects only rows that actually set cookies."""
+        if not getattr(self.fetcher, "enable_cookie", False):
+            return
+        from .httpfetch import merge_set_cookie
+
+        rows = (
+            fetched.where(F.size("set_cookies") > 0)
+            .select("host", "priority", "seq", "set_cookies")
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: (-r.priority, r.seq)):
+            jar = self._cookie_store.setdefault(r.host, {})
+            for raw in r.set_cookies:
+                merge_set_cookie(jar, raw)
+
+    def _superstep_after_wave(
+        self, state, frontier, others, wave, rest, superstep, t0
+    ):
+        cfg = self.config
 
         # -- 2. fetch -----------------------------------------------------
         # bodies are NEVER cached: the metadata projection (tiny rows) is
@@ -627,7 +710,11 @@ class CrawlEngine:
             fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=False)
         else:
             # live fetcher: fetch exactly once, cache bodies (idempotence)
-            fetched_full = self.fetcher.fetch(wave).persist()
+            fetched_full = self.fetcher.fetch(self._attach_cookies(wave)).persist()
+            self._harvest_cookies(fetched_full)
+            # session columns leave the plan here: downstream stores /
+            # unions see the exact pre-cookie schema
+            fetched_full = fetched_full.drop("cookie", "set_cookies")
             fetched = fetched_full
         ok = fetched.where(F.col("ok"))
         failed = fetched.where(~F.col("ok"))

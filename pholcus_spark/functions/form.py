@@ -25,7 +25,7 @@ kernels too — css.py has no Spark imports).
 from __future__ import annotations
 
 import dataclasses
-from urllib.parse import urlencode
+from urllib.parse import urlencode, urlsplit, urlunsplit
 
 from ..css import HtmlNode, node_attr, node_text, parse_html, select
 from ..keys import absolutize
@@ -68,8 +68,15 @@ class HtmlForm:
             values.append(self.buttons[0])
         qs = urlencode(values)
         if self.method == "GET":
-            return {"url": f"{self.action}?{qs}", "method": "GET",
-                    "post_data": ""}
+            # the serialized payload REPLACES any query already on the
+            # action (form.go:116-124 sets URL.RawQuery) — naive
+            # "action?qs" would yield /s?x=1?q=a on action="/s?x=1"
+            parts = urlsplit(self.action)
+            return {
+                "url": urlunsplit(parts._replace(query=qs)),
+                "method": "GET",
+                "post_data": "",
+            }
         method = "POST-M" if self.enctype == "multipart/form-data" else self.method
         return {"url": self.action, "method": method, "post_data": qs}
 

@@ -77,6 +77,49 @@ def wire_method(method: str) -> str:
     return "POST" if m == "POST-M" else m
 
 
+# -- cookie session helpers (reference: EnableCookie shares one
+# cookiejar across all requests, `downloader_surfer.go:6,21-23`;
+# distributed form: per-HOST name→value session state carried by the
+# engine as a broadcast dim — see CrawlEngine._attach_cookies).
+# Deliberate simplification vs RFC 6265, documented: cookies are scoped
+# to the exact host (no Domain= widening), Path/Secure/Expires
+# attributes are ignored, deletion = empty value. That is exactly the
+# session-login shape the reference's EnableCookie exists for.
+
+
+def parse_cookie_header(header: str) -> dict[str, str]:
+    """'a=1; b=2' → {'a': '1', 'b': '2'} (request Cookie header)."""
+    out: dict[str, str] = {}
+    for part in (header or "").split(";"):
+        part = part.strip()
+        if "=" in part:
+            k, _, v = part.partition("=")
+            out[k.strip()] = v
+    return out
+
+
+def merge_set_cookie(jar: dict[str, str], raw: str) -> None:
+    """Fold one raw Set-Cookie header value into the name→value jar
+    (attributes dropped; an empty value removes the cookie — the
+    common server-side logout idiom)."""
+    from http.cookies import SimpleCookie
+
+    try:
+        c = SimpleCookie()
+        c.load(raw)
+        for name, morsel in c.items():
+            if morsel.value == "":
+                jar.pop(name, None)
+            else:
+                jar[name] = morsel.value
+    except Exception:
+        pass  # malformed Set-Cookie: ignored, like browsers do
+
+
+def cookie_header(jar: dict[str, str]) -> str:
+    return "; ".join(f"{k}={v}" for k, v in jar.items())
+
+
 def fetch_one(
     url: str,
     method: str = "GET",
@@ -85,20 +128,41 @@ def fetch_one(
     try_times: int = 3,
     retry_pause_s: float = 2.0,
     redirect_times: int = 0,
+    cookie: str = "",
+    cookies_out: list | None = None,
 ) -> tuple[int, str, bytes]:
     """One request → (status, content_type, body). Never raises: a
     transport failure after the retry budget returns status 599 (the
-    same sentinel the aiohttp fetcher and FixtureFetcher use)."""
+    same sentinel the aiohttp fetcher and FixtureFetcher use).
+
+    ``cookie`` is the outgoing Cookie header (session state); Set-Cookie
+    response headers are harvested into ``cookies_out`` (raw strings)
+    when given, INCLUDING on 3xx hops (the classic login-then-redirect
+    sets its session cookie on the 302). Newly set cookies apply to
+    subsequent hops of the same redirect chain; the Cookie header is
+    only ever sent to the ORIGINAL host (a cross-host redirect must not
+    leak the session, mirroring Go's http.Client domain check).
+    """
     import urllib.error
     import urllib.request
+    from urllib.parse import urlsplit
 
     class _NoRedirect(urllib.request.HTTPRedirectHandler):
         def redirect_request(self, req, fp, code, msg, headers, newurl):
             return None  # surface the 3xx instead of auto-following
 
     opener = urllib.request.build_opener(_NoRedirect)
+    home_host = urlsplit(url).netloc
+
+    def _harvest(msg) -> None:
+        raws = msg.get_all("Set-Cookie") if msg else None
+        for raw in raws or []:
+            merge_set_cookie(jar, raw)
+            if cookies_out is not None:
+                cookies_out.append(raw)
 
     for attempt in range(max(1, try_times)):
+        jar = parse_cookie_header(cookie)
         try:
             cur_url, cur_method, cur_data = url, wire_method(method), None
             headers = {}
@@ -106,17 +170,22 @@ def fetch_one(
                 cur_data, headers = encode_post(method, post_data)
             hops = 0
             while True:
+                hdrs = dict(headers)
+                if jar and urlsplit(cur_url).netloc == home_host:
+                    hdrs["Cookie"] = cookie_header(jar)
                 req = urllib.request.Request(
-                    cur_url, data=cur_data, method=cur_method, headers=headers
+                    cur_url, data=cur_data, method=cur_method, headers=hdrs
                 )
                 try:
                     with opener.open(req, timeout=timeout_s) as resp:
                         status = resp.status
                         ctype = resp.headers.get("Content-Type", "")
+                        _harvest(resp.headers)
                         body = b"" if cur_method == "HEAD" else resp.read()
                 except urllib.error.HTTPError as he:
                     status = he.code
                     ctype = he.headers.get("Content-Type", "") if he.headers else ""
+                    _harvest(he.headers)
                     location = he.headers.get("Location") if he.headers else None
                     if 300 <= status < 400 and location:
                         limit = (
@@ -134,6 +203,8 @@ def fetch_one(
                     body = he.read() if he.fp else b""
                 return status, ctype, body
         except Exception:
+            if cookies_out is not None:
+                del cookies_out[:]  # retry re-harvests from scratch
             if attempt + 1 < max(1, try_times):
                 time.sleep(retry_pause_s)
     return 599, "", b""
@@ -141,7 +212,18 @@ def fetch_one(
 
 class StdlibHttpFetcher:
     """Live fetcher over ``urllib`` with the engine's fetcher contract:
-    ``fetch(wave) -> wave + (status, content_type, body, ok)``."""
+    ``fetch(wave) -> wave + (status, content_type, body, ok)``.
+
+    ``enable_cookie=True`` is the reference's EnableCookie
+    (`downloader_surfer.go:6,21-23` — one cookiejar shared across
+    requests), re-shaped for a distributed engine: the wave may carry a
+    per-host ``cookie`` header column (the engine attaches it from its
+    session store via a broadcast dim), and the result gains a
+    ``set_cookies array<string>`` column of raw Set-Cookie headers the
+    engine harvests back into the store after the wave. Cookie STATE
+    never lives in the executor (tasks are stateless/retryable); it
+    round-trips through the driver-held store, which is O(hosts) — the
+    same scale class as the robots dim."""
 
     has_cheap_meta = False  # a live fetch cannot be issued twice
 
@@ -152,12 +234,14 @@ class StdlibHttpFetcher:
         retry_pause_s: float = 2.0,
         redirect_times: int = 0,
         max_conn_per_task: int = 16,
+        enable_cookie: bool = False,
     ):
         self.timeout_s = timeout_s
         self.try_times = try_times
         self.retry_pause_s = retry_pause_s
         self.redirect_times = redirect_times
         self.max_conn_per_task = max_conn_per_task
+        self.enable_cookie = enable_cookie
 
     def fetch(self, wave: DataFrame) -> DataFrame:
         timeout_s = self.timeout_s
@@ -165,7 +249,9 @@ class StdlibHttpFetcher:
         retry_pause_s = self.retry_pause_s
         redirect_times = self.redirect_times
         max_conn = self.max_conn_per_task
+        with_cookies = self.enable_cookie
         from pyspark.sql.types import (
+            ArrayType,
             BinaryType,
             BooleanType,
             IntegerType,
@@ -185,6 +271,11 @@ class StdlibHttpFetcher:
                 StructField("body", BinaryType()),
                 StructField("ok", BooleanType()),
             ]
+            + (
+                [StructField("set_cookies", ArrayType(StringType()))]
+                if with_cookies
+                else []
+            )
         )
 
         def run(batches):
@@ -193,27 +284,40 @@ class StdlibHttpFetcher:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                n = len(pdf)
                 methods = (
-                    pdf["method"].tolist()
-                    if "method" in pdf
-                    else ["GET"] * len(pdf)
+                    pdf["method"].tolist() if "method" in pdf else ["GET"] * n
                 )
                 post = (
                     pdf["post_data"].tolist()
                     if "post_data" in pdf
-                    else [""] * len(pdf)
+                    else [""] * n
                 )
+                cookies = (
+                    pdf["cookie"].fillna("").tolist()
+                    if with_cookies and "cookie" in pdf
+                    else [""] * n
+                )
+                outs: list[list] = [[] for _ in range(n)]
+
+                def one(t):
+                    i, url, meth, pd, ck = t
+                    return fetch_one(
+                        url, meth, pd,
+                        timeout_s=timeout_s,
+                        try_times=try_times,
+                        retry_pause_s=retry_pause_s,
+                        redirect_times=redirect_times,
+                        cookie=ck,
+                        cookies_out=outs[i] if with_cookies else None,
+                    )
+
                 with ThreadPoolExecutor(max_workers=max_conn) as pool:
                     res = list(
                         pool.map(
-                            lambda t: fetch_one(
-                                t[0], t[1], t[2],
-                                timeout_s=timeout_s,
-                                try_times=try_times,
-                                retry_pause_s=retry_pause_s,
-                                redirect_times=redirect_times,
-                            ),
-                            zip(pdf["url"].tolist(), methods, post),
+                            one,
+                            zip(range(n), pdf["url"].tolist(), methods,
+                                post, cookies),
                         )
                     )
                 pdf = pdf.copy()
@@ -221,6 +325,8 @@ class StdlibHttpFetcher:
                 pdf["content_type"] = [r[1] for r in res]
                 pdf["body"] = [r[2] for r in res]
                 pdf["ok"] = [r[0] < 400 for r in res]
+                if with_cookies:
+                    pdf["set_cookies"] = outs
                 yield pdf
 
         return wave.mapInPandas(run, schema)

@@ -29,6 +29,61 @@ from pyspark.sql import functions as F
 from .text import norm_text, portable_hash64
 
 
+def cap_bucket_members(
+    df: DataFrame,
+    bucket_cols: list[str],
+    order_col: str,
+    max_bucket: int,
+    op_name: str,
+) -> DataFrame:
+    """Skew guard shared by every LSH-family candidate generator
+    (minhash bands, simhash prefix bands, embedding sign-buckets): K
+    near-identical inputs land in ONE bucket and self-join into K²
+    pairs — one boilerplate cluster can dominate the whole shuffle at
+    corpus scale. Keeps only the first ``max_bucket`` members of each
+    bucket (deterministic ``order_col`` order), bounding per-bucket
+    join output at C(max_bucket, 2); oversized buckets are counted and
+    reported via ``warnings.warn``. Members beyond the cap lose only
+    pairs WITHIN that bucket — identical inputs collide in every
+    band/probe, so heavy clusters still surface through kept members.
+
+    The ranked frame is cached for the overflow-count job, then the
+    capped rows are localCheckpoint-ed (one materialization the
+    downstream join reuses) so the cache is released before return —
+    a long-lived session never accumulates guard caches.
+    """
+    import warnings
+
+    from pyspark.sql.window import Window
+
+    ranked = df.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy(*bucket_cols).orderBy(order_col)
+        ),
+    ).persist()
+    n_over = (
+        ranked.where(F.col("_r") > max_bucket)
+        .select(*bucket_cols)
+        .distinct()
+        .count()
+    )
+    if n_over:
+        warnings.warn(
+            f"{op_name}: {n_over} bucket(s) exceeded max_bucket="
+            f"{max_bucket}; pairs within the overflow were dropped "
+            "(skew guard)",
+            stacklevel=3,
+        )
+    capped = (
+        ranked.where(F.col("_r") <= max_bucket)
+        .drop("_r")
+        .localCheckpoint(eager=True)
+    )
+    ranked.unpersist()
+    return capped
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) texts: fingerprint,
     canonical (min) doc_id, group size. Only groups with >1 member."""
@@ -180,30 +235,10 @@ def minhash_lsh_candidates(
         ).alias("bsig")
     )
     if max_bucket is not None:
-        import warnings
-
-        from pyspark.sql.window import Window
-
-        band_sig = band_sig.withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("band", "bsig").orderBy("doc_id")
-            ),
-        ).persist()
-        n_over = (
-            band_sig.where(F.col("_r") > max_bucket)
-            .select("band", "bsig")
-            .distinct()
-            .count()
+        band_sig = cap_bucket_members(
+            band_sig, ["band", "bsig"], "doc_id", max_bucket,
+            "minhash_lsh_candidates",
         )
-        if n_over:
-            warnings.warn(
-                f"minhash_lsh_candidates: {n_over} band bucket(s) exceeded "
-                f"max_bucket={max_bucket}; pairs within the overflow were "
-                "dropped (skew guard)",
-                stacklevel=2,
-            )
-        band_sig = band_sig.where(F.col("_r") <= max_bucket).drop("_r")
     return (
         band_sig.alias("a")
         .join(band_sig.alias("b"), ["band", "bsig"])
@@ -245,11 +280,18 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, bits: int = 32, max_hamming: int = 3
+    docs: DataFrame, bits: int = 32, max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance; candidate pruning via banded
     prefix buckets (pigeonhole: ≤3 differing bits over 4 bands → at
-    least one identical band), then exact popcount verify."""
+    least one identical band), then exact popcount verify.
+
+    ``max_bucket`` bounds each (band, bucket) self-join at
+    C(max_bucket, 2) via the shared :func:`cap_bucket_members` skew
+    guard — identical docs share every band bucket, so without the cap
+    one boilerplate cluster produces K² candidate pairs. Default None
+    preserves the exact (oracle-checked) output."""
     bands = max_hamming + 1
     band_bits = bits // bands
     sh = simhash(docs, bits)
@@ -261,6 +303,11 @@ def simhash_neardup_pairs(
         "bucket",
         F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"),
     )
+    if max_bucket is not None:
+        banded = cap_bucket_members(
+            banded, ["band", "bucket"], "doc_id", max_bucket,
+            "simhash_neardup_pairs",
+        )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -310,6 +357,7 @@ def embedding_neardup_lsh(
     threshold: float = 0.35,
     dim: int = 64,
     num_planes: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale-path embedding near-dup: sign-LSH bucket self-join + exact
     cosine verify — the bucketed replacement for the all-pairs crossJoin
@@ -323,6 +371,11 @@ def embedding_neardup_lsh(
     key is the 8-bit bucket — O(candidates), never O(n²). Each
     qualifying pair is produced exactly once per matching probe and
     deduped; the exact cosine then filters false positives.
+
+    ``max_bucket`` caps each sign-bucket's membership via the shared
+    :func:`cap_bucket_members` skew guard (K identical embeddings share
+    a bucket → K² candidates × 9 probes without it); default None keeps
+    the exact oracle-checked output.
     """
     from .similarity import cosine_col, lsh_sign_bucket
 
@@ -331,6 +384,11 @@ def embedding_neardup_lsh(
         "embedding",
         lsh_sign_bucket(F.col("embedding"), dim, num_planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        bucketed = cap_bucket_members(
+            bucketed, ["bucket"], "vec_id", max_bucket,
+            "embedding_neardup_lsh",
+        )
     # probe j in [0, num_planes]: j == num_planes is the identity probe
     probes = bucketed.select(
         F.col("vec_id").alias("id_a"),

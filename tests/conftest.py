@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # one small flaky+404 corpus and its uninterrupted commit_every=1 run:
 # the equivalence anchor shared by test_resume.py and test_commit_every.py
-BASELINE_CFG = dict(wave_window_ms=3000, commit_every=1)
+BASELINE_CFG = dict(wave_window_ms=3000, commit_every=1, record_order=True)
 
 
 def collect_outputs(run):

@@ -42,6 +42,7 @@ def run_pair(
             commit_every=2,
             per_spider_quota=per_spider_quota,
             python_image_sink=body_store,
+            record_order=True,  # golden-order table (conformance opt-in)
         ),
         body_store=body_store,
         try_times=try_times,
@@ -480,7 +481,7 @@ def test_seed_range_distributed_aid_loop(spark):
         eng = CrawlEngine(
             spark, SnapshotCatalog(workdir, spark), FixtureFetcher(pages),
             spec, robots,
-            EngineConfig(wave_window_ms=6000, commit_every=2),
+            EngineConfig(wave_window_ms=6000, commit_every=2, record_order=True),
         )
         eng.seed_range("http://h000.test/p/%d", 0, 3, "list", "site")
         eng.run()
@@ -580,3 +581,42 @@ def test_json_extract_rule_conformance(spark):
     assert by_sku["A-1"]["price"] == "12.5"
     assert by_sku["A-1"]["tags"] == '["x","y"]'
     assert by_sku["C-3"]["price"] == ""
+
+
+def test_seed_honors_method_and_post_data(spark, tmp_path):
+    """HtmlForm.submit() dicts seed POST / POST-M requests verbatim:
+    seed() must carry method + post_data into the frontier row (and key
+    the dedup hash on method), not silently downgrade to body-less GET
+    (ADVICE r3; reference request.go:139-145 hashes method too)."""
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine
+    from pholcus_spark.fetch import FixtureFetcher
+    from pholcus_spark.spiderspec import SpiderSpec
+
+    pages = spark.createDataFrame(
+        [], "url string, status int, flaky boolean, content_type string, body binary"
+    )
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_ms long"
+    )
+    cat = SnapshotCatalog(str(tmp_path / "seedpost"), spark)
+    eng = CrawlEngine(
+        spark, cat, FixtureFetcher(pages), SpiderSpec("site"), robots,
+        EngineConfig(),
+    )
+    eng.seed(
+        [
+            {"url": "http://h0.test/login", "rule": "r", "spider": "site",
+             "method": "post", "post_data": "user=u&pass=p"},
+            # same URL as GET: different method -> different key, both kept
+            {"url": "http://h0.test/login", "rule": "r", "spider": "site"},
+            {"url": "http://h0.test/up", "rule": "r", "spider": "site",
+             "method": "POST-M", "post_data": "title=t"},
+        ]
+    )
+    rows = cat.read("frontier").collect()
+    by = {(r.url, r.method): r.post_data for r in rows}
+    assert by[("http://h0.test/login", "POST")] == "user=u&pass=p"
+    assert by[("http://h0.test/login", "GET")] == ""
+    assert by[("http://h0.test/up", "POST-M")] == "title=t"
+    assert len(rows) == 3 and len({r.key for r in rows}) == 3

@@ -67,6 +67,11 @@ def test_submit_shapes():
         "url": "http://site.test/search?q=pholcus", "method": "GET",
         "post_data": "",
     }
+    # GET action that already carries a query: the payload REPLACES it
+    # (form.go:116-124 sets URL.RawQuery — never "?x=1?q=a")
+    page_q = '<form action="/s?x=1&y=2" method="get"><input type="text" name="q" value=""></form>'
+    reqq = parse_forms(page_q, URL)[0].input("q", "a").submit()
+    assert reqq["url"] == "http://site.test/s?q=a"
     # multipart enctype -> POST-M (form.go:122-130)
     requ = forms[2].submit()
     assert requ["method"] == "POST-M" and requ["post_data"] == "title=t"

@@ -41,15 +41,24 @@ class _SiteHandler(BaseHTTPRequestHandler):
     echo_paths: set = set()
     slow_paths: dict = {}
     redirects: dict = {}
+    set_cookie_paths: dict = {}  # path -> Set-Cookie header value
+    cookie_gate: dict = {}  # path -> required "name=value" in Cookie
 
     def _respond(self, send_body: bool = True):
         path = self.path
         if path in self.slow_paths:
             time.sleep(self.slow_paths[path])
+        gate = self.cookie_gate.get(path)
+        if gate and gate not in (self.headers.get("Cookie") or ""):
+            self.send_response(403)
+            self.end_headers()
+            return
         if path in self.redirects:
             status, loc = self.redirects[path]
             self.send_response(status)
             self.send_header("Location", loc)
+            if path in self.set_cookie_paths:  # login-then-redirect
+                self.send_header("Set-Cookie", self.set_cookie_paths[path])
             self.end_headers()
             return
         if path in self.echo_paths:
@@ -83,6 +92,8 @@ class _SiteHandler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", page.get("content_type", ""))
         self.send_header("Content-Length", str(len(body)))
+        if path in self.set_cookie_paths:
+            self.send_header("Set-Cookie", self.set_cookie_paths[path])
         self.end_headers()
         if send_body and status < 400:
             self.wfile.write(body)
@@ -115,6 +126,8 @@ def _reset(pages: dict[str, dict]):
     _SiteHandler.echo_paths = set()
     _SiteHandler.slow_paths = {}
     _SiteHandler.redirects = {}
+    _SiteHandler.set_cookie_paths = {}
+    _SiteHandler.cookie_gate = {}
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +222,58 @@ def test_timeout_is_transport_error(server):
     assert st == 599
 
 
+def test_fetch_one_cookie_session(server):
+    """EnableCookie semantics at the function level: Set-Cookie is
+    harvested, an explicit session header opens the gate, no header →
+    403 (`downloader_surfer.go:6,21-23`)."""
+    _reset(
+        {
+            "/login": {"body": b"in", "content_type": "text/plain"},
+            "/private": {"body": b"secret", "content_type": "text/plain"},
+        }
+    )
+    _SiteHandler.set_cookie_paths = {"/login": "sid=abc123; Path=/"}
+    _SiteHandler.cookie_gate = {"/private": "sid=abc123"}
+    out: list = []
+    st, _, _ = fetch_one(f"http://{server}/login", cookies_out=out)
+    assert st == 200 and out == ["sid=abc123; Path=/"]
+    assert fetch_one(f"http://{server}/private")[0] == 403
+    st2, _, body = fetch_one(f"http://{server}/private", cookie="sid=abc123")
+    assert (st2, body) == (200, b"secret")
+
+
+def test_fetch_one_cookie_set_on_redirect_hop(server):
+    """The classic login flow sets its session cookie ON the 302; the
+    next hop of the chain must already carry it."""
+    _reset({"/private": {"body": b"secret", "content_type": "text/plain"}})
+    _SiteHandler.redirects = {"/login302": (302, "/private")}
+    _SiteHandler.set_cookie_paths = {"/login302": "sid=r3d1r; Path=/"}
+    _SiteHandler.cookie_gate = {"/private": "sid=r3d1r"}
+    out: list = []
+    st, _, body = fetch_one(
+        f"http://{server}/login302", "POST", "u=x", cookies_out=out
+    )
+    assert (st, body) == (200, b"secret")
+    assert out == ["sid=r3d1r; Path=/"]
+
+
+def test_cookie_helpers_roundtrip():
+    from pholcus_spark.httpfetch import (
+        cookie_header,
+        merge_set_cookie,
+        parse_cookie_header,
+    )
+
+    jar = parse_cookie_header("a=1; b=2")
+    assert jar == {"a": "1", "b": "2"}
+    merge_set_cookie(jar, "c=3; Path=/; HttpOnly")
+    merge_set_cookie(jar, "a=9")
+    merge_set_cookie(jar, "b=; Max-Age=0")  # empty value deletes
+    merge_set_cookie(jar, "totally junk without equals")  # ignored
+    assert jar == {"a": "9", "c": "3"}
+    assert cookie_header(jar) == "a=9; c=3"
+
+
 # ---------------------------------------------------------------------------
 # full engine crawl over localhost == oracle
 # ---------------------------------------------------------------------------
@@ -281,6 +346,63 @@ def test_engine_live_http_conformance(spark, server):
         ff = run.df("failures_final")
         engine_ff = sorted(r.key for r in ff.collect()) if ff else []
         assert engine_ff == sorted(res.failed_final)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_engine_cookie_gated_crawl(spark, server):
+    """Engine conformance through a cookie-gated site: wave-1 list
+    pages start a session (Set-Cookie), every wave-2 detail page 403s
+    unless the session cookie is carried. With enable_cookie the
+    engine's driver-held store round-trips the session between waves
+    and the crawl matches the (cookie-blind) oracle exactly — the
+    oracle models page CONTENT; the live server enforces the gate, so
+    any dropped cookie shows up as a failure-set mismatch."""
+    corpus = _localize(
+        fixtures.generate(
+            fixtures.SiteSpec(
+                n_hosts=1, list_pages=2, details_per_list=2,
+                images_per_detail=0, flaky_rate=0.0, fail_404_rate=0.0,
+            )
+        ),
+        server,
+    )
+    _reset({_path_of(p["url"]): p for p in corpus.pages})
+    _SiteHandler.set_cookie_paths = {
+        _path_of(p["url"]): "sid=s3cret; Path=/"
+        for p in corpus.pages
+        if "/p/" in p["url"]
+    }
+    _SiteHandler.cookie_gate = {
+        _path_of(p["url"]): "sid=s3cret"
+        for p in corpus.pages
+        if "/d/" in p["url"]
+    }
+
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine, EngineConfig
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-cookie-")
+    try:
+        _pages, _i, _t, _s, robots = fixtures.to_spark(spark, corpus)
+        spec = SpiderSpec("site")
+        engine = CrawlEngine(
+            spark, SnapshotCatalog(workdir, spark),
+            StdlibHttpFetcher(timeout_s=15.0, try_times=1, enable_cookie=True),
+            spec, robots,
+            EngineConfig(wave_window_ms=6000, commit_every=2),
+        )
+        engine.seed(corpus.seeds)
+        state = engine.run()
+        run = testkit.EngineRun(engine.catalog, state, workdir)
+        res = testkit.run_oracle(corpus, spec, OracleConfig(wave_window_ms=6000))
+        assert {r.key for r in run.df("url_seen").select("key").collect()} == res.seen
+        assert testkit.items_set_engine(run) == testkit.items_set_oracle(res)
+        ff = run.df("failures_final")
+        assert (ff.count() if ff else 0) == 0 and not res.failed_final
+        # the driver store holds the harvested session (keyed by the
+        # frontier's host column: hostname without port, per host_of)
+        assert engine._cookie_store[server.split(":")[0]] == {"sid": "s3cret"}
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

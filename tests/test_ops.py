@@ -266,3 +266,66 @@ def test_minhash_lsh_skew_guard_caps_boilerplate_bucket(spark, docs):
         for r in dedup.minhash_lsh_candidates(docs, 16, 4, max_bucket=1000).collect()
     }
     assert a == b
+
+
+def test_simhash_skew_guard_caps_boilerplate_bucket(spark):
+    """Identical docs share every simhash band bucket — K² candidate
+    pairs without the shared cap_bucket_members guard."""
+    import warnings
+
+    same = spark.createDataFrame(
+        [(i, "the same boilerplate page text repeated here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = dedup.simhash_neardup_pairs(
+            same, bits=32, max_hamming=3, max_bucket=8
+        ).count()
+        assert any("skew guard" in str(x.message) for x in w)
+    assert capped == 8 * 7 // 2  # C(8,2): pairs among kept members only
+    uncapped = dedup.simhash_neardup_pairs(same, bits=32, max_hamming=3).count()
+    assert uncapped == 40 * 39 // 2
+
+
+def test_embedding_lsh_skew_guard_caps_identical_cluster(spark):
+    import warnings
+
+    rows = [(i, [1.0] * 16) for i in range(40)]  # one sign bucket
+    same = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = dedup.embedding_neardup_lsh(
+            same, threshold=0.9, dim=16, num_planes=8, max_bucket=8
+        ).count()
+        assert any("skew guard" in str(x.message) for x in w)
+    assert capped == 8 * 7 // 2
+    uncapped = dedup.embedding_neardup_lsh(
+        same, threshold=0.9, dim=16, num_planes=8
+    ).count()
+    assert uncapped == 40 * 39 // 2
+
+
+def test_skew_guard_no_cap_is_identity(spark, docs, emb):
+    """With the cap far above any bucket size the guarded operators
+    return exactly the unguarded candidate sets."""
+    a = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_neardup_pairs(docs, 32, 3).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_neardup_pairs(docs, 32, 3, max_bucket=1000).collect()
+    }
+    assert a == b
+    c = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_lsh(emb, 0.99, 16, 8).collect()
+    }
+    d = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_lsh(
+            emb, 0.99, 16, 8, max_bucket=1000
+        ).collect()
+    }
+    assert c == d
