@@ -168,7 +168,9 @@ class SnapshotCatalog:
 
     # -- maintenance -------------------------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 5) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 5, staging_min_age_s: float = 3600.0
+    ) -> dict:
         """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog:
         drop historical manifests beyond the newest `keep_last` and
         delete data dirs no retained snapshot references.
@@ -179,8 +181,13 @@ class SnapshotCatalog:
         full copy per commit; compaction likewise strands the replaced
         delta dirs. Time travel keeps working across the retained
         window. Leftover ``.staging`` dirs from crashed python-sink
-        flushes are removed too (they are invisible to readers either
-        way). Returns ``{"manifests_removed", "dirs_removed"}``.
+        flushes are removed once older than ``staging_min_age_s``
+        (Iceberg's ``remove_orphan_files older_than`` guard: a LIVE
+        engine may hold staged-but-unflushed sink dirs, and sweeping
+        those from a concurrent standalone maintenance call would crash
+        its adopt commit — an hour-old staging dir is from a crashed
+        run, a seconds-old one may be in flight). Returns
+        ``{"manifests_removed", "dirs_removed"}``.
 
         Reader contract (same as Iceberg's): a reader pinned to an
         expired snapshot — including a ``stream_table`` query built
@@ -189,6 +196,7 @@ class SnapshotCatalog:
         concurrent reader.
         """
         import shutil
+        import time
 
         snaps = self.snapshots()
         cur = self.current()
@@ -217,9 +225,16 @@ class SnapshotCatalog:
             if not os.path.isdir(tdir):
                 continue
             if table == ".staging":
+                now = time.time()
                 for d in os.listdir(tdir):
-                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-                    dirs_removed += 1
+                    sub = os.path.join(tdir, d)
+                    try:
+                        age = now - os.path.getmtime(sub)
+                    except OSError:
+                        continue  # racing a concurrent adopt-rename
+                    if age >= staging_min_age_s:
+                        shutil.rmtree(sub, ignore_errors=True)
+                        dirs_removed += 1
                 continue
             if table.startswith(("_", ".")) or table == "bloom":
                 # bloom sidecars have their own pointer + lifecycle

@@ -430,8 +430,11 @@ class CrawlEngine:
 
     def _merge_new_frontier(self, new_df: DataFrame, state0) -> None:
         # push dedup (hasHistory = success ∪ temp history): inherited
-        # url_seen (SuccessInherit) and still-queued frontier keys
-        seen = self.catalog.read("url_seen")
+        # url_seen (SuccessInherit) via the Bloom-accelerated
+        # _dedup_vs_history — a seed_range re-run against 10^10 seen
+        # keys probes the per-bucket sidecars instead of paying a
+        # full-table exact anti-join — plus still-queued frontier keys
+        # (in-flight, not yet in url_seen: exact anti-join, O(queue))
         old_frontier = None
         if state0 is not None:
             old_frontier = (
@@ -439,19 +442,14 @@ class CrawlEngine:
                 if self._frontier_df is not None
                 else self.catalog.read("frontier")
             )
-        blockers = [df for df in (
-            seen.select("key") if seen is not None else None,
-            old_frontier.where(F.col("state") == "queued").select("key")
-            if old_frontier is not None
-            else None,
-        ) if df is not None]
-        if blockers:
-            block = blockers[0]
-            for b in blockers[1:]:
-                block = block.unionByName(b)
-            new_df = new_df.where(F.col("reloadable")).unionByName(
-                new_df.where(~F.col("reloadable")).join(block, "key", "left_anti")
+        non_reload = self._dedup_vs_history(new_df.where(~F.col("reloadable")))
+        if old_frontier is not None:
+            non_reload = non_reload.join(
+                old_frontier.where(F.col("state") == "queued").select("key"),
+                "key",
+                "left_anti",
             )
+        new_df = new_df.where(F.col("reloadable")).unionByName(non_reload)
         base_seq = state0["next_seq"] if state0 else 0
         limit = self.spec.limit
         max_page = (
@@ -1406,14 +1404,13 @@ class CrawlEngine:
         """failure-requeue-once at queue drain (`matrix.go:186-202`)."""
         fw = frontier.where(F.col("state") == "failed_wait")
         rest = frontier.where(F.col("state") != "failed_wait")
-        seen = self.catalog.read("url_seen")
-        cand = fw
-        if seen is not None:
-            cand = fw.where(F.col("reloadable")).unionByName(
-                fw.where(~F.col("reloadable")).join(
-                    seen.select("key"), "key", "left_anti"
-                )
-            )
+        # failed keys are normally absent from url_seen, but a reloadable
+        # success followed by a same-key failure can collide: dedup via
+        # the Bloom-accelerated probe (same path as the per-wave push),
+        # not a full url_seen anti-join
+        cand = fw.where(F.col("reloadable")).unionByName(
+            self._dedup_vs_history(fw.where(~F.col("reloadable")))
+        )
         # one requeue per key (the failure store is key-addressed,
         # matrix.go:160-168): keep the earliest failure if duplicates slip in
         per_key = Window.partitionBy("key").orderBy(F.asc("seq"))

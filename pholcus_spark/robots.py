@@ -137,20 +137,52 @@ def robots_dim_from_pages(
     )
 
 
-def fetch_robots_dim(spark, hosts: DataFrame, fetcher, agent: str = "pholcus") -> DataFrame:
-    """LIVE robots dim: fetch ``http://{host}/robots.txt`` for every
-    host through any engine fetcher (StdlibHttpFetcher in production,
-    FixtureFetcher in tests) and parse the bodies distributed.
+def hosts_from_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Distinct ``(host, scheme)`` dim from a URL column (seed list or
+    frontier) — the input :func:`fetch_robots_dim` wants. A host seen
+    under both schemes resolves to https (fetching the https robots for
+    an https-capable host is the conservative choice; an https-only
+    host would silently get permissive defaults if probed over http).
+    All-JVM: parse_url + groupBy, no collect."""
+    return (
+        df.select(
+            F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
+            F.lower(F.parse_url(F.col(url_col), F.lit("PROTOCOL"))).alias(
+                "scheme"
+            ),
+        )
+        .where(F.col("host").isNotNull() & (F.col("host") != ""))
+        .groupBy("host")
+        .agg(F.max("scheme").alias("scheme"))  # https > http lexically
+    )
 
-    `hosts` carries one ``host`` row per distinct host (derive it from
-    the seed list or frontier with a distinct — a millions-of-hosts dim
-    stays a DataFrame end to end; nothing driver-resident). A miss or
-    error status yields the permissive default (no disallows, no
-    crawl-delay), matching the reference's absent-robots behavior.
+
+def fetch_robots_dim(spark, hosts: DataFrame, fetcher, agent: str = "pholcus") -> DataFrame:
+    """LIVE robots dim: fetch ``{scheme}://{host}/robots.txt`` for
+    every host through any engine fetcher (StdlibHttpFetcher in
+    production, FixtureFetcher in tests) and parse the bodies
+    distributed.
+
+    `hosts` carries one ``host`` row per distinct host, optionally with
+    a ``scheme`` column (build it with :func:`hosts_from_urls` so
+    https-only sites — most of the modern web — are probed over the
+    scheme their seeds actually use; absent column → http). Derive it
+    from the seed list or frontier with a distinct — a
+    millions-of-hosts dim stays a DataFrame end to end; nothing
+    driver-resident. A miss or error status yields the permissive
+    default (no disallows, no crawl-delay), matching the reference's
+    absent-robots behavior.
     """
+    scheme = (
+        F.coalesce(F.col("scheme"), F.lit("http"))
+        if "scheme" in hosts.columns
+        else F.lit("http")
+    )
     wave = hosts.select(
         F.col("host"),
-        F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+        F.concat(
+            scheme, F.lit("://"), F.col("host"), F.lit("/robots.txt")
+        ).alias("url"),
         F.lit("GET").alias("method"),
         F.lit("").alias("post_data"),
         # FixtureFetcher's retry model reads `tries` from the wave

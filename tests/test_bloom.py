@@ -89,3 +89,63 @@ def test_positions_deterministic_and_in_range():
     p2 = bloom._positions(k, 1024, 7)
     assert np.array_equal(p1, p2)
     assert ((p1 >= 0) & (p1 < 1024)).all()
+
+
+def test_seed_merge_probes_sidecar(spark, tmp_path, monkeypatch):
+    """Round-3 verdict item 5: one-time paths (seed merge, requeue) now
+    dedup through _dedup_vs_history, so a seed() against a
+    sidecar-covered url_seen goes through the Bloom probe instead of a
+    full-table exact anti-join — at 10^10 seen keys a seed_range re-run
+    must not pay a full url_seen scan."""
+    from pholcus_spark import fixtures, testkit
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine, EngineConfig
+    from pholcus_spark.fetch import FixtureFetcher
+    from pholcus_spark.spiderspec import SpiderSpec
+
+    corpus = fixtures.generate(
+        fixtures.SiteSpec(
+            n_hosts=1, list_pages=3, details_per_list=2,
+            images_per_detail=0, flaky_rate=0.0, fail_404_rate=0.0,
+        )
+    )
+    workdir = str(tmp_path / "probe-seed")
+    # bloom_rebuild_min=1: the final flush builds a sidecar covering
+    # every url_seen dir
+    run = testkit.run_engine(
+        spark, corpus, SpiderSpec("site"),
+        EngineConfig(bloom_enabled=True, bloom_rebuild_min=1),
+        workdir=workdir,
+    )
+    assert run.state["stopped"]
+    # url_seen stores keys, not urls — take crawled list-page urls from
+    # the corpus (flaky/404 rates are 0, so every page succeeded)
+    crawled = sorted(
+        p["url"] for p in corpus.pages if "/p/" in p["url"]
+    )[:2]
+
+    calls = []
+    real_probe = bloom.probe
+
+    def spy(candidates, sidecar, col):
+        calls.append(sidecar.path)
+        return real_probe(candidates, sidecar, col)
+
+    monkeypatch.setattr(bloom, "probe", spy)
+    pages, _i, _t, _s, robots = fixtures.to_spark(spark, corpus)
+    eng = CrawlEngine(
+        spark, SnapshotCatalog(workdir, spark), FixtureFetcher(pages),
+        SpiderSpec("site"), robots,
+        EngineConfig(bloom_enabled=True, bloom_rebuild_min=1),
+    )
+    eng.seed(
+        [{"url": u, "rule": "list", "spider": "site"} for u in crawled]
+        + [{"url": "http://h000.test/p/999", "rule": "list",
+            "spider": "site"}]
+    )
+    assert calls, "seed merge must route through the Bloom probe"
+    frontier = eng.catalog.read("frontier")
+    queued = {r.url for r in frontier.where("state = 'queued'").collect()}
+    # the already-crawled urls were deduped by the probe path; only the
+    # genuinely new seed survives
+    assert queued == {"http://h000.test/p/999"}

@@ -88,7 +88,12 @@ def test_expire_preserves_bloom_and_staging_cleanup(spark, tmp_path):
         # fake a crashed python-sink staging leftover
         stale = os.path.join(run.workdir, ".staging", "images-stage-999999")
         os.makedirs(stale)
+        # default age guard: a FRESH staging dir (possibly a live run's
+        # pending adopt) survives a maintenance sweep
         cat.expire_snapshots(keep_last=1)
+        assert os.path.exists(stale)
+        # past the age threshold it is a crashed-run orphan: swept
+        cat.expire_snapshots(keep_last=1, staging_min_age_s=0.0)
         if had_bloom:  # bloom sidecars survive (own lifecycle)
             assert os.path.isdir(bloom_dir) and os.listdir(bloom_dir)
         assert not os.path.exists(stale)

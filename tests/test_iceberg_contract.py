@@ -97,6 +97,44 @@ class MockIcebergCatalog:
         m = self.current()
         return m["state"] if m else None
 
+    # -- maintenance (Iceberg procedures) ---------------------------------
+
+    def compact(self, name: str) -> None:
+        """rewrite_data_files: merge a table's files into one, as a new
+        snapshot; row content unchanged."""
+        m = self.current()
+        files = (m or {}).get("tables", {}).get(name)
+        if not files:
+            return
+        merged = {
+            "rows": [r for f in files for r in f["rows"]],
+            "schema": files[0]["schema"],
+        }
+        tables = {k: list(v) for k, v in m["tables"].items()}
+        tables[name] = [merged]
+        self._snapshots.append(
+            {
+                "snapshot_id": m["snapshot_id"] + 1,
+                "tables": tables,
+                "state": dict(m["state"]),
+            }
+        )
+
+    def expire_snapshots(
+        self, keep_last: int = 5, staging_min_age_s: float = 3600.0
+    ) -> dict:
+        """expireSnapshots(retainLast=keep_last) + deleteOrphanFiles
+        (olderThan=staging_min_age_s): drop history beyond the retained
+        window; files only those snapshots referenced go with them (the
+        in-memory model frees them with the snapshot entries)."""
+        keep = self._snapshots[-keep_last:] if keep_last > 0 else []
+        cur = self.current()
+        if cur is not None and cur not in keep:
+            keep.append(cur)
+        removed = len(self._snapshots) - len(keep)
+        self._snapshots = keep
+        return {"manifests_removed": removed, "dirs_removed": removed}
+
 
 # ---------------------------------------------------------------------------
 # one contract suite, two backends
@@ -145,6 +183,41 @@ def _contract(spark, cat, root):
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
 
 
+def _maintenance_contract(spark, cat, root):
+    """compact + expire_snapshots behave identically on both backends:
+    compaction preserves content while collapsing files; expiry trims
+    history to the retained window, keeps the current snapshot readable,
+    and time travel keeps working WITHIN the window (round-3 verdict
+    item 8: the maintenance ops joined the shared contract)."""
+    for i in range(6):
+        cat.commit(
+            {"t": _df(spark, [(f"k{i}", i)])},
+            {"frontier": _df(spark, [(f"f{i}", i)])},
+            {"step": i},
+        )
+    full = {(f"k{i}", i) for i in range(6)}
+
+    cat.compact("t")  # rewrite_data_files: content invariant
+    assert {tuple(r) for r in cat.read("t").collect()} == full
+
+    res = cat.expire_snapshots(keep_last=2)
+    assert res["manifests_removed"] > 0
+    snaps = cat.snapshots()
+    assert len(snaps) <= 3  # retained window (+ current)
+    # current state and both tables still read after expiry
+    assert {tuple(r) for r in cat.read("t").collect()} == full
+    assert [tuple(r) for r in cat.read("frontier").collect()] == [("f5", 5)]
+    assert cat.state()["step"] == 5
+    # time travel within the retained window
+    oldest = snaps[0]
+    assert cat.read("t", snapshot=oldest) is not None
+    # expiry is idempotent
+    again = cat.expire_snapshots(keep_last=2)
+    assert again["manifests_removed"] == 0
+    # compact on a missing table is a clean no-op
+    cat.compact("nonexistent")
+
+
 def test_contract_parquet_snapshot_catalog(spark, tmp_path):
     root = str(tmp_path / "pq")
     _contract(spark, SnapshotCatalog(root, spark), root)
@@ -154,6 +227,17 @@ def test_contract_mock_iceberg_catalog(spark, tmp_path):
     root = str(tmp_path / "ice")
     os.makedirs(root, exist_ok=True)
     _contract(spark, MockIcebergCatalog(root, spark), root)
+
+
+def test_maintenance_contract_parquet_snapshot_catalog(spark, tmp_path):
+    root = str(tmp_path / "pqm")
+    _maintenance_contract(spark, SnapshotCatalog(root, spark), root)
+
+
+def test_maintenance_contract_mock_iceberg_catalog(spark, tmp_path):
+    root = str(tmp_path / "icem")
+    os.makedirs(root, exist_ok=True)
+    _maintenance_contract(spark, MockIcebergCatalog(root, spark), root)
 
 
 def test_use_iceberg_gate_names_the_missing_jar(spark, tmp_path):

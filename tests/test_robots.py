@@ -76,3 +76,47 @@ def test_robots_dim_from_pages_schema_matches_engine(spark):
     assert rows["h002.test"].disallow_prefixes == []
     # the dim drops straight into CrawlEngine(robots=...): same DDL
     from pholcus_spark.engine import CrawlEngine  # noqa: F401  (schema contract)
+
+
+def test_fetch_robots_dim_scheme_aware(spark):
+    """An https-only host must be probed over https (hosts built via
+    hosts_from_urls carry the seed's scheme); previously the fetch URL
+    hardcoded http:// and such hosts silently got permissive defaults.
+    FixtureFetcher's url equi-join stands in for TLS: only the
+    https:// robots URL exists."""
+    from pholcus_spark.fetch import FixtureFetcher
+    from pholcus_spark.robots import fetch_robots_dim, hosts_from_urls
+
+    pages = spark.createDataFrame(
+        [
+            ("https://secure.test/robots.txt", 200, False, "text/plain",
+             b"User-agent: *\nDisallow: /vault/\nCrawl-delay: 1\n"),
+            ("http://plain.test/robots.txt", 200, False, "text/plain",
+             b"User-agent: *\nDisallow: /old/\n"),
+        ],
+        "url string, status int, flaky boolean, content_type string, body binary",
+    )
+    seeds = spark.createDataFrame(
+        [
+            ("https://secure.test/a",), ("http://plain.test/b",),
+            # host under both schemes -> https wins
+            ("http://secure.test/c",),
+        ],
+        "url string",
+    )
+    hosts = hosts_from_urls(seeds)
+    assert {(r.host, r.scheme) for r in hosts.collect()} == {
+        ("secure.test", "https"), ("plain.test", "http"),
+    }
+    dim = fetch_robots_dim(spark, hosts, FixtureFetcher(pages))
+    rows = {r.host: r for r in dim.collect()}
+    assert rows["secure.test"].disallow_prefixes == ["/vault/"]
+    assert rows["secure.test"].crawl_delay_ms == 1000
+    assert rows["plain.test"].disallow_prefixes == ["/old/"]
+    # plain `host`-only frame (no scheme column) keeps the http default
+    dim2 = fetch_robots_dim(
+        spark, hosts.select("host"), FixtureFetcher(pages)
+    )
+    rows2 = {r.host: r for r in dim2.collect()}
+    assert rows2["plain.test"].disallow_prefixes == ["/old/"]
+    assert rows2["secure.test"].disallow_prefixes == []  # http miss
