@@ -147,14 +147,19 @@ class StoreFetcher(FixtureFetcher):
         )
 
 
-class HttpFetcher:  # pragma: no cover - requires aiohttp + network
+class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
     """Production fetcher: Arrow-batched async HTTP via mapInPandas.
 
     Per-batch politeness is already enforced upstream by wave selection;
-    this stage only bounds in-flight connections per task. Timeouts and
-    bounded in-fetch retries mirror the reference's per-request
-    DialTimeout/ConnTimeout/TryTimes (`request.go:45-50`,
-    `surf.go:112-197`).
+    this stage only bounds in-flight connections per task. The whole
+    per-request semantics — timeouts, bounded in-fetch retries, redirect
+    policy with Go's method conversion, POST/POST-M/HEAD encodings
+    (`request.go:45-50`, `surf.go:112-197`, `surfer/param.go:61-144`) —
+    live in the SHARED :func:`~pholcus_spark.httpfetch.async_fetch_one`
+    loop, which the stdlib fetcher's live-server suite executes on
+    every run (tests/test_httpfetch.py, incl. stub-session drills of
+    the async surface); only the aiohttp ClientSession wiring here is
+    import-gated.
     """
 
     def __init__(self, timeout_s: float = 120.0, max_conn_per_task: int = 16,
@@ -209,38 +214,26 @@ class HttpFetcher:  # pragma: no cover - requires aiohttp + network
             import aiohttp
             import pandas as pd
 
+            from .httpfetch import async_fetch_one
+
             async def fetch_all(urls, methods, bodies):
                 conn = aiohttp.TCPConnector(limit=max_conn)
                 tmo = aiohttp.ClientTimeout(total=timeout_s)
                 async with aiohttp.ClientSession(connector=conn, timeout=tmo) as s:
-                    async def one(u, m, d):
-                        from .httpfetch import encode_post, wire_method
-
-                        kwargs = {
-                            "allow_redirects": redirect_times >= 0,
-                        }
-                        if redirect_times > 0:
-                            kwargs["max_redirects"] = redirect_times
-                        body, hdrs = encode_post(m, d)
-                        m = wire_method(m)
-                        if m == "POST":
-                            kwargs["data"] = body
-                            kwargs["headers"] = hdrs
-                        for attempt in range(try_times):
-                            try:
-                                async with s.request(m, u, **kwargs) as r:
-                                    return (
-                                        r.status,
-                                        r.headers.get("content-type", ""),
-                                        await r.read(),
-                                    )
-                            except Exception:
-                                if attempt + 1 < try_times:
-                                    await asyncio.sleep(retry_pause_s)
-                        return (599, "", b"")
-
+                    # the retry/redirect/encoding loop is the SAME
+                    # async_fetch_one the stdlib fetcher runs (and the
+                    # live-server suite pins); aiohttp's ClientSession
+                    # satisfies its session surface natively
                     return await asyncio.gather(
-                        *[one(u, m, d) for u, m, d in zip(urls, methods, bodies)]
+                        *[
+                            async_fetch_one(
+                                s, u, m, d or "",
+                                try_times=try_times,
+                                retry_pause_s=retry_pause_s,
+                                redirect_times=redirect_times,
+                            )
+                            for u, m, d in zip(urls, methods, bodies)
+                        ]
                     )
 
             for pdf in batches:

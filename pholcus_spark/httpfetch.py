@@ -32,7 +32,6 @@ stage only bounds in-flight connections per task.
 
 from __future__ import annotations
 
-import time
 from urllib.parse import parse_qsl, urljoin
 
 from pyspark.sql import DataFrame
@@ -120,43 +119,68 @@ def cookie_header(jar: dict[str, str]) -> str:
     return "; ".join(f"{k}={v}" for k, v in jar.items())
 
 
-def fetch_one(
+def _all_headers(headers, name: str) -> list[str]:
+    """Every value of a (possibly repeated) header across the header
+    containers the two transports use: ``email.Message`` (urllib,
+    ``get_all``), aiohttp's ``CIMultiDict`` (``getall``), plain dicts
+    (test stubs)."""
+    if headers is None:
+        return []
+    if hasattr(headers, "get_all"):
+        return headers.get_all(name) or []
+    if hasattr(headers, "getall"):
+        try:
+            return headers.getall(name)
+        except KeyError:
+            return []
+    v = headers.get(name)
+    return [v] if v else []
+
+
+async def async_fetch_one(
+    session,
     url: str,
     method: str = "GET",
     post_data: str = "",
-    timeout_s: float = 120.0,
     try_times: int = 3,
     retry_pause_s: float = 2.0,
     redirect_times: int = 0,
     cookie: str = "",
     cookies_out: list | None = None,
 ) -> tuple[int, str, bytes]:
-    """One request → (status, content_type, body). Never raises: a
-    transport failure after the retry budget returns status 599 (the
-    same sentinel the aiohttp fetcher and FixtureFetcher use).
+    """THE request loop — retry budget, redirect policy with Go's
+    method conversion, POST/POST-M/HEAD encodings, cookie harvesting —
+    shared verbatim by both transports: the urllib adapter below
+    (:func:`fetch_one` / :class:`StdlibHttpFetcher`) and the aiohttp
+    :class:`~pholcus_spark.fetch.HttpFetcher`. One implementation, so
+    the live-server suite that pins the stdlib path pins the aiohttp
+    path's semantics too.
 
-    ``cookie`` is the outgoing Cookie header (session state); Set-Cookie
-    response headers are harvested into ``cookies_out`` (raw strings)
-    when given, INCLUDING on 3xx hops (the classic login-then-redirect
-    sets its session cookie on the 302). Newly set cookies apply to
-    subsequent hops of the same redirect chain; the Cookie header is
-    only ever sent to the ORIGINAL host (a cross-host redirect must not
-    leak the session, mirroring Go's http.Client domain check).
+    ``session`` needs one method:
+    ``request(method, url, data=None, headers=None,
+    allow_redirects=False)`` returning an async context manager whose
+    response has ``.status``, ``.headers`` (case-insensitive ``get``;
+    ``get_all``/``getall`` for repeats), and ``async .read()``.
+    aiohttp's ``ClientSession`` satisfies this natively; tests drive the
+    loop with scripted stub sessions.
+
+    Returns (status, content_type, body); never raises — a transport
+    failure after the retry budget yields the 599 sentinel. ``cookie``
+    is the outgoing Cookie header (session state); Set-Cookie response
+    headers are harvested into ``cookies_out`` (raw strings) when
+    given, INCLUDING on 3xx hops (the classic login-then-redirect sets
+    its session cookie on the 302). Newly set cookies apply to
+    subsequent hops of the same chain; the Cookie header is only ever
+    sent to the ORIGINAL host (a cross-host redirect must not leak the
+    session, mirroring Go's http.Client domain check).
     """
-    import urllib.error
-    import urllib.request
+    import asyncio
     from urllib.parse import urlsplit
 
-    class _NoRedirect(urllib.request.HTTPRedirectHandler):
-        def redirect_request(self, req, fp, code, msg, headers, newurl):
-            return None  # surface the 3xx instead of auto-following
-
-    opener = urllib.request.build_opener(_NoRedirect)
     home_host = urlsplit(url).netloc
 
-    def _harvest(msg) -> None:
-        raws = msg.get_all("Set-Cookie") if msg else None
-        for raw in raws or []:
+    def _harvest(jar, headers) -> None:
+        for raw in _all_headers(headers, "Set-Cookie"):
             merge_set_cookie(jar, raw)
             if cookies_out is not None:
                 cookies_out.append(raw)
@@ -173,20 +197,14 @@ def fetch_one(
                 hdrs = dict(headers)
                 if jar and urlsplit(cur_url).netloc == home_host:
                     hdrs["Cookie"] = cookie_header(jar)
-                req = urllib.request.Request(
-                    cur_url, data=cur_data, method=cur_method, headers=hdrs
-                )
-                try:
-                    with opener.open(req, timeout=timeout_s) as resp:
-                        status = resp.status
-                        ctype = resp.headers.get("Content-Type", "")
-                        _harvest(resp.headers)
-                        body = b"" if cur_method == "HEAD" else resp.read()
-                except urllib.error.HTTPError as he:
-                    status = he.code
-                    ctype = he.headers.get("Content-Type", "") if he.headers else ""
-                    _harvest(he.headers)
-                    location = he.headers.get("Location") if he.headers else None
+                async with session.request(
+                    cur_method, cur_url, data=cur_data, headers=hdrs,
+                    allow_redirects=False,
+                ) as r:
+                    status = r.status
+                    ctype = r.headers.get("Content-Type", "") or ""
+                    _harvest(jar, r.headers)
+                    location = r.headers.get("Location")
                     if 300 <= status < 400 and location:
                         limit = (
                             _REDIRECT_HARD_CAP
@@ -200,14 +218,97 @@ def fetch_one(
                         if status in (301, 302, 303):
                             cur_method, cur_data, headers = "GET", None, {}
                         continue  # 307/308 keep method + body
-                    body = he.read() if he.fp else b""
+                    body = b"" if cur_method == "HEAD" else await r.read()
                 return status, ctype, body
         except Exception:
             if cookies_out is not None:
                 del cookies_out[:]  # retry re-harvests from scratch
             if attempt + 1 < max(1, try_times):
-                time.sleep(retry_pause_s)
+                await asyncio.sleep(retry_pause_s)
     return 599, "", b""
+
+
+class _UrllibResponse:
+    """Adapter: one completed urllib response (or HTTPError, which IS a
+    response in urllib's model) behind the async response surface."""
+
+    def __init__(self, status: int, headers, body: bytes):
+        self.status = status
+        self.headers = headers or {}
+        self._body = body
+
+    async def read(self) -> bytes:
+        return self._body
+
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        return False
+
+
+class _UrllibSession:
+    """Blocking-urllib transport behind the ``async_fetch_one`` session
+    surface. The call blocks the (per-request, throwaway) event loop —
+    concurrency in :class:`StdlibHttpFetcher` comes from the task-local
+    thread pool, not the loop."""
+
+    def __init__(self, timeout_s: float):
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None  # surface the 3xx instead of auto-following
+
+        self._opener = urllib.request.build_opener(_NoRedirect)
+        self._timeout_s = timeout_s
+
+    def request(self, method, url, data=None, headers=None,
+                allow_redirects=False):
+        import urllib.error
+        import urllib.request
+
+        assert not allow_redirects  # the shared loop owns redirects
+        req = urllib.request.Request(
+            url, data=data, method=method, headers=dict(headers or {})
+        )
+        try:
+            with self._opener.open(req, timeout=self._timeout_s) as resp:
+                body = b"" if method == "HEAD" else resp.read()
+                return _UrllibResponse(resp.status, resp.headers, body)
+        except urllib.error.HTTPError as he:
+            body = he.read() if he.fp else b""
+            return _UrllibResponse(he.code, he.headers, body)
+
+
+def fetch_one(
+    url: str,
+    method: str = "GET",
+    post_data: str = "",
+    timeout_s: float = 120.0,
+    try_times: int = 3,
+    retry_pause_s: float = 2.0,
+    redirect_times: int = 0,
+    cookie: str = "",
+    cookies_out: list | None = None,
+) -> tuple[int, str, bytes]:
+    """Synchronous one-request entry point: :func:`async_fetch_one`
+    over the urllib transport. See that function for the semantics."""
+    import asyncio
+
+    return asyncio.run(
+        async_fetch_one(
+            _UrllibSession(timeout_s),
+            url,
+            method,
+            post_data,
+            try_times=try_times,
+            retry_pause_s=retry_pause_s,
+            redirect_times=redirect_times,
+            cookie=cookie,
+            cookies_out=cookies_out,
+        )
+    )
 
 
 class StdlibHttpFetcher:

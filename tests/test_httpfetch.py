@@ -435,3 +435,187 @@ def test_fetch_robots_dim_live(spark, server):
     # unreachable host -> permissive default
     assert rows["127.0.0.1:9"].disallow_prefixes == []
     assert rows["127.0.0.1:9"].crawl_delay_ms is None
+
+
+# ---------------------------------------------------------------------------
+# async_fetch_one via a scripted stub session — first executed coverage
+# of the surface the aiohttp HttpFetcher drives (round-3 verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+class _StubHeaders(dict):
+    """aiohttp-shaped headers: case-sensitive plain dict + getall (the
+    CIMultiDict repeated-header accessor), NO get_all — exercises the
+    _all_headers aiohttp branch."""
+
+    def __init__(self, items=(), repeats=None):
+        super().__init__(items)
+        self._repeats = repeats or {}
+
+    def getall(self, name):
+        if name in self._repeats:
+            return list(self._repeats[name])
+        if name in self:
+            return [self[name]]
+        raise KeyError(name)
+
+
+class _StubResponse:
+    def __init__(self, status, headers=None, body=b"", repeats=None):
+        self.status = status
+        self.headers = _StubHeaders(headers or {}, repeats)
+        self._body = body
+
+    async def read(self):
+        return self._body
+
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        return False
+
+
+class _StubSession:
+    """Scripted transport: routes[(method, url)] is a response, a list
+    of responses consumed per attempt, or an Exception instance (raised
+    — the transport-failure path). Records every request it sees."""
+
+    def __init__(self, routes):
+        self.routes = {k: (list(v) if isinstance(v, list) else v)
+                       for k, v in routes.items()}
+        self.calls = []
+
+    def request(self, method, url, data=None, headers=None,
+                allow_redirects=False):
+        assert not allow_redirects
+        self.calls.append(
+            {"method": method, "url": url, "data": data,
+             "headers": dict(headers or {})}
+        )
+        r = self.routes[(method, url)]
+        if isinstance(r, list):
+            r = r.pop(0) if len(r) > 1 else r[0]
+        if isinstance(r, Exception):
+            raise r
+
+        class _Ctx:  # each entry returns a fresh ctx over the response
+            async def __aenter__(self_c):
+                return r
+
+            async def __aexit__(self_c, *exc):
+                return False
+
+        return _Ctx()
+
+
+def _drive(coro):
+    import asyncio
+
+    return asyncio.run(coro)
+
+
+def test_async_loop_retry_then_599_and_recovery():
+    from pholcus_spark.httpfetch import async_fetch_one
+
+    boom = ConnectionError("refused")
+    s = _StubSession({("GET", "http://a.test/x"): boom})
+    st, _, _ = _drive(async_fetch_one(
+        s, "http://a.test/x", try_times=3, retry_pause_s=0.0))
+    assert st == 599 and len(s.calls) == 3  # full retry budget spent
+    # transient error then success
+    s2 = _StubSession({("GET", "http://a.test/x"): [
+        boom, _StubResponse(200, {"Content-Type": "text/plain"}, b"up")]})
+    st, ct, body = _drive(async_fetch_one(
+        s2, "http://a.test/x", try_times=2, retry_pause_s=0.0))
+    assert (st, ct, body) == (200, "text/plain", b"up")
+
+
+def test_async_loop_redirect_method_conversion():
+    from pholcus_spark.httpfetch import async_fetch_one
+
+    s = _StubSession({
+        ("POST", "http://a.test/login"): _StubResponse(
+            302, {"Location": "/home"}),
+        ("GET", "http://a.test/home"): _StubResponse(200, {}, b"home"),
+    })
+    st, _, body = _drive(async_fetch_one(
+        s, "http://a.test/login", "POST", "u=x", try_times=1))
+    assert (st, body) == (200, b"home")
+    # 302 re-issued as GET without the POST body (Go's http.Client)
+    assert s.calls[1]["method"] == "GET" and s.calls[1]["data"] is None
+    # 307 preserves method and body
+    s7 = _StubSession({
+        ("POST", "http://a.test/p"): _StubResponse(
+            307, {"Location": "/q"}),
+        ("POST", "http://a.test/q"): _StubResponse(200, {}, b"kept"),
+    })
+    st, _, body = _drive(async_fetch_one(
+        s7, "http://a.test/p", "POST", "k=v", try_times=1))
+    assert (st, body) == (200, b"kept")
+    assert s7.calls[1]["data"] == b"k=v"
+    assert "multipart" not in s7.calls[1]["headers"].get("Content-Type", "")
+
+
+def test_async_loop_redirect_policies():
+    from pholcus_spark.httpfetch import async_fetch_one
+
+    routes = {
+        ("GET", "http://a.test/r2"): _StubResponse(302, {"Location": "/r1"}),
+        ("GET", "http://a.test/r1"): _StubResponse(302, {"Location": "/dst"}),
+        ("GET", "http://a.test/dst"): _StubResponse(200, {}, b"end"),
+    }
+    # unlimited (0) clears the chain; forbidden (<0) stops at the 3xx;
+    # bounded n: 1 hop insufficient, 2 hops clear — fetch_one parity
+    assert _drive(async_fetch_one(_StubSession(routes),
+        "http://a.test/r2", try_times=1))[0] == 200
+    assert _drive(async_fetch_one(_StubSession(routes),
+        "http://a.test/r2", try_times=1, redirect_times=-1))[0] == 302
+    assert _drive(async_fetch_one(_StubSession(routes),
+        "http://a.test/r2", try_times=1, redirect_times=1))[0] == 302
+    assert _drive(async_fetch_one(_StubSession(routes),
+        "http://a.test/r2", try_times=1, redirect_times=2))[0] == 200
+
+
+def test_async_loop_post_m_encoding_and_head():
+    from pholcus_spark.httpfetch import MULTIPART_BOUNDARY, async_fetch_one
+
+    s = _StubSession({
+        ("POST", "http://a.test/up"): _StubResponse(200, {}, b"ok"),
+        ("HEAD", "http://a.test/h"): _StubResponse(
+            200, {"Content-Type": "text/plain"}, b"never-read"),
+    })
+    _drive(async_fetch_one(s, "http://a.test/up", "POST-M", "a=1&b=2",
+                           try_times=1))
+    call = s.calls[0]
+    assert call["headers"]["Content-Type"].startswith("multipart/form-data")
+    assert f"--{MULTIPART_BOUNDARY}".encode() in call["data"]
+    st, ct, body = _drive(async_fetch_one(
+        s, "http://a.test/h", "HEAD", try_times=1))
+    assert (st, body) == (200, b"")  # HEAD never reads a body
+
+
+def test_async_loop_cookie_harvest_getall_headers():
+    """Repeated Set-Cookie via the aiohttp-style getall accessor; the
+    session header goes out, harvested cookies apply to the next hop,
+    and a cross-host redirect drops the Cookie header."""
+    from pholcus_spark.httpfetch import async_fetch_one
+
+    s = _StubSession({
+        ("GET", "http://a.test/login"): _StubResponse(
+            302, {"Location": "http://a.test/home", "Set-Cookie": "sid=1"},
+            repeats={"Set-Cookie": ["sid=1", "lang=en"]}),
+        ("GET", "http://a.test/home"): _StubResponse(
+            302, {"Location": "http://evil.test/x"}),
+        ("GET", "http://evil.test/x"): _StubResponse(200, {}, b"out"),
+    })
+    out: list = []
+    st, _, _ = _drive(async_fetch_one(
+        s, "http://a.test/login", try_times=1, cookie="pre=0",
+        cookies_out=out))
+    assert st == 200
+    assert out == ["sid=1", "lang=en"]
+    # hop 2 (same host) carries pre-existing + harvested cookies
+    assert s.calls[1]["headers"]["Cookie"] == "pre=0; sid=1; lang=en"
+    # hop 3 (cross-host) must NOT leak the session
+    assert "Cookie" not in s.calls[2]["headers"]
