@@ -211,23 +211,63 @@ def _compile_compound(tok: str) -> _Simple:
     return _Simple(tag, id_, classes, attrs, pseudos)
 
 
+def _scan_selector(selector: str) -> list[list[str]]:
+    """Character scanner: split a selector into comma-separated parts of
+    compound/``>`` tokens, treating ``,``/``>``/whitespace as structure
+    ONLY outside ``[...]`` brackets and quotes — ``[alt=a>b]`` or
+    ``[title="x, y"]`` stay one compound token (a naive
+    ``replace('>', ' > ')`` would misparse the attribute value as a
+    child combinator)."""
+    parts: list[list[str]] = [[]]
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+
+    def flush():
+        if buf:
+            parts[-1].append("".join(buf))
+            del buf[:]
+
+    for ch in selector:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"" and depth > 0:  # quotes only quote inside [...]
+            quote = ch
+            buf.append(ch)
+        elif ch == "[":
+            depth += 1
+            buf.append(ch)
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            buf.append(ch)
+        elif depth == 0 and ch == ",":
+            flush()
+            parts.append([])
+        elif depth == 0 and ch == ">":
+            flush()
+            parts[-1].append(">")
+        elif depth == 0 and ch.isspace():
+            flush()
+        else:
+            buf.append(ch)
+    if quote is not None or depth != 0:
+        raise ValueError(f"unbalanced quote/bracket in selector {selector!r}")
+    flush()
+    return parts
+
+
 def compile_selector(selector: str) -> list[list[tuple[str, _Simple]]]:
     """``"a > b c, d"`` → list of chains; each chain is
     ``[(combinator, simple), ...]`` with combinator ``" "`` (descendant)
     or ``">"`` (child); the first step's combinator is descendant
     (goquery ``Find`` matches descendants of the context node)."""
     chains = []
-    for part in selector.split(","):
-        part = part.strip()
-        if not part:
-            continue
-        # normalize child combinator spacing, then split on whitespace
-        toks = re.split(r"\s+", part.replace(">", " > "))
+    for toks in _scan_selector(selector):
         chain: list[tuple[str, _Simple]] = []
         comb = " "
         for t in toks:
-            if not t:
-                continue
             if t == ">":
                 comb = ">"
                 continue

@@ -113,10 +113,42 @@ _ORACLE_SIMPLE_RE = __import__("re").compile(
 _ORACLE_PSEUDOS = {"nth-child", "first-child"}  # start-tag-decidable
 
 
+# regex scanner (vs css.py's character scanner — mechanisms stay
+# independent): one match per structural unit; [...] groups swallow
+# their content whole, so '>'/','/whitespace inside attribute values
+# (quoted or not) never read as combinators/separators
+_ORACLE_SCAN_RE = __import__("re").compile(
+    r"(?P<piece>(?:\[[^\]]*\]|[^\s>,\[])+)|(?P<comb>>)|(?P<sep>,)|\s+"
+)
+
+
+def _oracle_scan(sel: str) -> list[list[str]]:
+    parts: list[list[str]] = [[]]
+    pos = 0
+    buf: list[str] = []
+    while pos < len(sel):
+        m = _ORACLE_SCAN_RE.match(sel, pos)
+        if m is None:
+            raise ValueError(f"bad selector {sel!r}")
+        pos = m.end()
+        if m.group("piece"):
+            buf.append(m.group("piece"))
+            continue
+        if buf:  # adjacent pieces form one compound token
+            parts[-1].append("".join(buf))
+            buf = []
+        if m.group("comb"):
+            parts[-1].append(">")
+        elif m.group("sep"):
+            parts.append([])
+    if buf:
+        parts[-1].append("".join(buf))
+    return parts
+
+
 def _oracle_parse_selector(sel: str) -> list[list[tuple[str, tuple]]]:
     groups = []
-    for part in sel.split(","):
-        toks = part.replace(">", " > ").split()
+    for toks in _oracle_scan(sel):
         chain: list[tuple[str, tuple]] = []
         comb = " "
         for t in toks:

@@ -267,3 +267,42 @@ def test_fuzz_engine_matches_oracle(body, container, proj):
         fields=("f",), field_css=(("f", proj),),
     )
     assert _apply_engine(html, er) == _css_items(html, er)
+
+
+def test_structural_chars_inside_attribute_values():
+    """ADVICE r3: '>'/','/' ' inside an attribute-selector value must
+    not read as combinator/group-separator/descendant — both scanners
+    (engine char scanner, oracle regex scanner) bracket-protect them."""
+    html = """<html><body><div class="doc">
+    <img alt="a>b" src="gt.png"><img alt="x, y" src="comma.png">
+    <li title='two words'>w</li><li title="q">q</li>
+    </div></body></html>"""
+    cases = [
+        ('img[alt=a>b]@src', "gt.png"),
+        ('img[alt="a>b"]@src', "gt.png"),
+        ('img[alt="x, y"]@src', "comma.png"),
+        ("li[title='two words']@text", "w"),
+    ]
+    for spec, want in cases:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="div.doc",
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+    # grouped selectors still split on top-level commas
+    er2 = ExtractRule(
+        rule="r", kind="css", item_pattern="div.doc",
+        fields=("f",), field_css=(("f", 'li[title=q], img[alt="a>b"]@text'),),
+    )
+    assert _apply_engine(html, er2) == _css_items(html, er2)
+    # unbalanced bracket rejected by BOTH matchers
+    from pholcus_spark.css import compile_selector
+    from pholcus_spark.oracle import _oracle_parse_selector
+
+    for bad in ("li[", "li[a=1"):
+        with pytest.raises(ValueError):
+            compile_selector(bad)
+        with pytest.raises(ValueError):
+            _oracle_parse_selector(bad)
