@@ -207,6 +207,62 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (ops/temporal.py): every purchase event gets
+    the latest at-or-before view event of the same user. Right side
+    pre-deduped to one row per (user_id, ts) — max event_id wins — so
+    the match is deterministic and DuckDB's ASOF JOIN agrees exactly.
+    Scale shape: union + ONE key shuffle + per-partition sort; no
+    range-join explosion."""
+    from pholcus_spark.ops.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    vw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .withColumn("_vr", F.row_number().over(vw))
+        .where(F.col("_vr") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(purchases, views, on=["user_id"], ts="ts", suffix="_v")
+    return out.select(
+        "purchase_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        F.col("view_id_v").alias("view_id"),
+        F.col("view_value_v").alias("view_value"),
+        F.col("ts_v").alias("view_ts"),
+    )
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling 1-day event rollup via F.window (the streaming-ready
+    form — the identical plan runs under readStream + watermark);
+    oracle = date_trunc bucketing."""
+    from pholcus_spark.ops.temporal import tumbling_agg
+
+    ev = _load(spark, sf_dir, "events")
+    return tumbling_agg(
+        ev, "1 day",
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        ],
+    ).select("bucket_start", "event_type", "n_events", "sum_value", "n_users")
+
+
 def text_token_count(spark, sf_dir):
     from pholcus_spark.ops.text import token_count
 
@@ -462,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metrics_rollup": q_metrics_rollup,
         "q_keyin_fanout": q_keyin_fanout,
         "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_event_windows": q_event_windows,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -629,6 +687,31 @@ WITH g AS (
 )
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
+""",
+        "q_asof_join": """
+WITH v AS (
+  SELECT user_id, ts,
+         max(event_id) AS view_id,
+         max_by(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+       v.view_id, v.view_value, v.ts AS view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+""",
+        "q_event_windows": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
 """,
         "text_token_count": """
 SELECT doc_id,

@@ -30,6 +30,8 @@ HEADLINE = [
     "q_metrics_rollup",
     "q_keyin_fanout",
     "q_sessionize",
+    "q_asof_join",
+    "q_event_windows",
     "text_token_count",
     "text_quality",
     "text_lang_id",

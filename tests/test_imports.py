@@ -27,6 +27,7 @@ PUBLIC_MODULES = [
     "pholcus_spark.ops.dedup",
     "pholcus_spark.ops.multimodal",
     "pholcus_spark.ops.similarity",
+    "pholcus_spark.ops.temporal",
     "pholcus_spark.ops.text",
     "pholcus_spark.oracle",
     "pholcus_spark.plans",

@@ -329,3 +329,87 @@ def test_skew_guard_no_cap_is_identity(spark, docs, emb):
         ).collect()
     }
     assert c == d
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts per
+    key; <= inclusive at equal ts; no prior right row -> NULLs; keys
+    absent from right -> NULLs."""
+    from pholcus_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (1, 5, "l5"), (2, 7, "x7")],
+        "k int, ts int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (3, 1, "zz")],
+        "k int, ts int, rv string",
+    )
+    out = {
+        (r.k, r.ts): (r.rv_r, r.ts_r)
+        for r in asof_join(left, right, on=["k"], ts="ts").collect()
+    }
+    assert out[(1, 10)] == ("r10", 10)  # equal ts matches (<=)
+    assert out[(1, 20)] == ("r15", 15)  # latest prior, not first
+    assert out[(1, 5)] == (None, None)  # nothing at-or-before
+    assert out[(2, 7)] == (None, None)  # key missing on the right
+
+
+def test_asof_join_plan_single_key_shuffle(spark):
+    """The scale claim: union + ONE hash exchange on the key + window —
+    no join operator (a range join would explode per key)."""
+    from pholcus_spark.ops.temporal import asof_join
+
+    left = spark.range(1000).selectExpr(
+        "id % 7 AS k", "CAST(id AS int) AS ts", "id AS lv"
+    )
+    right = spark.range(500).selectExpr(
+        "id % 7 AS k", "CAST(id * 2 AS int) AS ts", "id AS rv"
+    )
+    df = asof_join(left, right, on=["k"], ts="ts")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in phys  # composition, not a join
+    assert phys.count("Exchange hashpartitioning(k") <= 2  # one per leg max
+    assert "CartesianProduct" not in phys
+    # cross-check vs a naive (correct-by-construction) range join + argmax
+    from pyspark.sql import functions as F
+
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k")) & (F.col("l.ts") >= F.col("r.ts")),
+            "left",
+        )
+        .groupBy("l.k", "l.ts", "l.lv")
+        .agg(F.max_by(F.col("r.rv"), F.col("r.ts")).alias("rv"))
+    )
+    got = {(r.k, r.ts): r.rv_r for r in df.collect()}
+    want = {(r.k, r.ts): r.rv for r in naive.collect()}
+    assert got == want
+
+
+def test_tumbling_agg_buckets(spark):
+    from pholcus_spark.ops.temporal import tumbling_agg
+
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "a", 1.0),
+            ("2024-01-01 23:59:59", "a", 2.0),
+            ("2024-01-02 00:00:00", "a", 4.0),  # next bucket (start incl.)
+            ("2024-01-02 05:00:00", "b", 8.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).selectExpr("CAST(ts_s AS timestamp) AS ts", "event_type", "value")
+    from pyspark.sql import functions as F
+
+    out = tumbling_agg(
+        ev, "1 day", group_cols=["event_type"],
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("s")],
+    )
+    rows = {
+        (str(r.bucket_start), r.event_type): (r.n, r.s) for r in out.collect()
+    }
+    assert rows[("2024-01-01 00:00:00", "a")] == (2, 3.0)
+    assert rows[("2024-01-02 00:00:00", "a")] == (1, 4.0)
+    assert rows[("2024-01-02 00:00:00", "b")] == (1, 8.0)
