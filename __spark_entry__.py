@@ -508,6 +508,21 @@ def sim_knn_batch(spark, sf_dir):
     return knn_batch_lsh(emb, qs, k=5, dim=EMB_DIM, num_planes=8)
 
 
+def sim_knn_ivf(spark, sf_dir):
+    """Batch k-NN through the IVF inverted-list index (the LSH path's
+    quantizer-based twin): hash-sampled deterministic centroids, map-
+    side cell assignment + probe expansion, one equi-join on cell."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.similarity import knn_batch_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return knn_batch_ivf(emb, qs, k=5, n_cells=16, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -539,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh": sim_ann_lsh,
         "sim_knn_batch": sim_knn_batch,
+        "sim_knn_ivf": sim_knn_ivf,
     }
 
 
@@ -606,6 +622,54 @@ SELECT qid, vec_id, label, cosine, CAST(rn AS INT) AS rn FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
   FROM scored
 ) WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+def _knn_ivf_sql(n_cells: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB rebuild of the IVF index: same md5-sampled centroids,
+    same round-6 argmax assignment (ties -> smallest cell), same
+    nprobe expansion, same round-4 re-rank."""
+    dot_ec = _SQL_DOT.format(dim=EMB_DIM, a="e.embedding", b="c.cvec")
+    dot_qc = _SQL_DOT.format(dim=EMB_DIM, a="q.qvec", b="c.cvec")
+    dot_eq = _SQL_DOT.format(dim=EMB_DIM, a="e.embedding", b="p.qvec")
+    n_e = _SQL_NORM.format(a="e.embedding")
+    n_c = _SQL_NORM.format(a="c.cvec")
+    n_q = _SQL_NORM.format(a="q.qvec")
+    n_p = _SQL_NORM.format(a="p.qvec")
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+), ar AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({dot_ec} / ({n_e} * {n_c}), 6) DESC, c.cell ASC
+         ) AS arn
+  FROM embeddings e, c
+), inv AS (
+  SELECT vec_id, label, embedding, cell FROM ar WHERE arn = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+), pr AS (
+  SELECT q.qid, q.qvec, c.cell,
+         row_number() OVER (PARTITION BY q.qid
+           ORDER BY round({dot_qc} / ({n_q} * {n_c}), 6) DESC, c.cell ASC
+         ) AS prn
+  FROM q, c
+), p AS (
+  SELECT qid, qvec, cell FROM pr WHERE prn <= {nprobe}
+), scored AS (
+  SELECT p.qid, e.vec_id, e.label,
+         round({dot_eq} / ({n_e} * {n_p}), 4) AS cosine
+  FROM p JOIN inv e USING (cell)
+  WHERE e.vec_id <> p.qid
+)
+SELECT qid, vec_id, label, cosine, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
 ORDER BY qid, rn
 """
 
@@ -987,6 +1051,7 @@ LIMIT 10
 """,
         "sim_ann_lsh": _ann_lsh_sql(),
         "sim_knn_batch": _knn_batch_sql(),
+        "sim_knn_ivf": _knn_ivf_sql(),
     }
 
 

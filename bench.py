@@ -54,6 +54,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_knn_batch",
+    "sim_knn_ivf",
 ]
 
 

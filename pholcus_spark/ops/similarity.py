@@ -178,3 +178,103 @@ def ann_lsh_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> list:
+    """Deterministic training-free coarse quantizer for IVF: the
+    ``n_cells`` corpus vectors with the smallest md5(vec_id) serve as
+    centroids (a hash sample — reproducible in any engine, so the
+    DuckDB oracle rebuilds the identical index; a production deployment
+    would swap in k-means centroids, every downstream plan is
+    unchanged). One corpus scan as a TakeOrdered top-k — index-build
+    cost, not query cost. Returns [(cell_id, [float, ...]), ...]."""
+    rows = (
+        embeddings.select(
+            "vec_id", "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _cell_scores(vec: Column, centroids: list) -> list:
+    """One (round6 cosine, -cell) orderable struct per centroid — the
+    centroid vectors are literal arrays, so scoring is pure map-side
+    projection (whole-stage codegen, no join, no shuffle)."""
+    out = []
+    for cell, cvec in centroids:
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        out.append(
+            F.struct(
+                F.round(cosine_col(vec, carr), 6).alias("c"),
+                F.lit(-cell).cast("long").alias("nc"),
+            )
+        )
+    return out
+
+
+def assign_ivf_cell(vec: Column, centroids: list) -> Column:
+    """Nearest-centroid id by max cosine (ties -> smallest cell id),
+    computed as greatest() over orderable structs — embarrassingly
+    parallel, nothing leaves the input partition."""
+    scores = _cell_scores(vec, centroids)
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return (-best["nc"]).cast("long")
+
+
+def probe_ivf_cells(vec: Column, centroids: list, nprobe: int) -> Column:
+    """The query's ``nprobe`` nearest cells (cos desc, cell asc), as an
+    array<long> — sort_array over the same literal structs, still fully
+    map-side."""
+    arr = F.sort_array(F.array(*_cell_scores(vec, centroids)), asc=False)
+    return F.transform(
+        F.slice(arr, 1, nprobe), lambda s: (-s["nc"]).cast("long")
+    )
+
+
+def knn_batch_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Batch k-NN through an IVF index — the inverted-list twin of
+    `knn_batch_lsh` (BASELINE input_hint's ANN scale path, IVF
+    variant): corpus vectors are assigned to their nearest centroid
+    map-side (inverted lists = a cell column, no index structure to
+    build or broadcast beyond n_cells literal vectors), queries expand
+    to their nprobe nearest cells map-side, and candidates come from
+    ONE plain equi-join on the cell id — broadcast or shuffle as AQE
+    prefers, skew-splittable like any join. Exact cosine re-rank +
+    per-query top-k. With nprobe == n_cells this is exactly brute
+    force (tested); smaller nprobe trades recall for touching only
+    nprobe/n_cells of the corpus per query."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells)
+    inv = embeddings.withColumn(
+        "cell", assign_ivf_cell(F.col("embedding"), centroids)
+    )
+    probed = queries.withColumn(
+        "cell",
+        F.explode(probe_ivf_cells(F.col("qvec"), centroids, nprobe)),
+    )
+    cand = probed.join(inv, "cell").where(F.col("vec_id") != F.col("qid"))
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        "label",
+        F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+        .orderBy("qid", "rn")
+    )

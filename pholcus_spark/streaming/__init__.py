@@ -89,6 +89,30 @@ def stream_table(
     )
 
 
+def windowed_event_agg(
+    events, window: str, watermark: str,
+    ts: str = "ts", group_cols=None, aggs=None,
+):
+    """Watermarked tumbling-window aggregation over a STREAMING events
+    DataFrame — the streaming twin of the batch gate `q_event_windows`:
+    it delegates to the same `ops.temporal.tumbling_agg`, so batch and
+    stream run the identical grouping plan; the only addition here is
+    `withWatermark`, which (a) lets Spark drop state for closed windows
+    and (b) drops events arriving later than ``watermark`` behind the
+    observed max event time — the late-data rule a 100 TB ingest needs
+    to bound state.
+
+    Append output mode emits a window only once its end passes the
+    watermark (finalized); update mode emits refinements per batch.
+    """
+    from ..ops.temporal import tumbling_agg
+
+    return tumbling_agg(
+        events.withWatermark(ts, watermark), window,
+        ts=ts, group_cols=group_cols, aggs=aggs,
+    )
+
+
 def metrics_rate_stream(spark, catalog_root: str):
     """Rolling crawl throughput from the metrics table as a streaming
     aggregation (fetched/failed per superstep window)."""

@@ -413,3 +413,65 @@ def test_tumbling_agg_buckets(spark):
     assert rows[("2024-01-01 00:00:00", "a")] == (2, 3.0)
     assert rows[("2024-01-02 00:00:00", "a")] == (1, 4.0)
     assert rows[("2024-01-02 00:00:00", "b")] == (1, 8.0)
+
+
+def test_knn_ivf_full_probe_equals_brute_force(spark, emb):
+    """nprobe == n_cells probes every inverted list, so the IVF path
+    must reproduce exact brute-force top-k per query."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.similarity import cosine_col, knn_batch_ivf
+
+    qs = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = knn_batch_ivf(emb, qs, k=3, n_cells=8, nprobe=8)
+    brute = (
+        qs.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    want = brute.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    g = {(r.qid, r.rn): (r.vec_id, r.cosine) for r in got.collect()}
+    e = {(r.qid, r.rn): (r.vec_id, r.cosine) for r in want.collect()}
+    assert g == e
+
+
+def test_knn_ivf_recall_and_pruning(spark, emb):
+    """With clustered data, nprobe=2 of 8 cells keeps high recall while
+    candidates touch only the probed lists (candidate rows < Q×N)."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.similarity import ivf_centroids, knn_batch_ivf
+
+    qs = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_batch_ivf(emb, qs, k=3, n_cells=8, nprobe=8)
+    approx = knn_batch_ivf(emb, qs, k=3, n_cells=8, nprobe=2)
+    ex = {(r.qid, r.vec_id) for r in exact.collect()}
+    ap = {(r.qid, r.vec_id) for r in approx.collect()}
+    assert len(ap & ex) / len(ex) >= 0.9  # clustered corpus: high recall
+    # centroids are deterministic across calls
+    assert ivf_centroids(emb, 8) == ivf_centroids(emb, 8)
+
+
+def test_knn_ivf_assignment_is_map_side(spark, emb):
+    """The inverted-list build (cell assignment) is a pure projection:
+    literal centroid vectors, no join, no exchange, no window."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.similarity import assign_ivf_cell, ivf_centroids
+
+    cents = ivf_centroids(emb, 8)
+    inv = emb.withColumn("cell", assign_ivf_cell(F.col("embedding"), cents))
+    phys = inv._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
+    assert "Join" not in phys
+    assert "Window" not in phys

@@ -144,3 +144,142 @@ def test_committed_only_stream_ignores_orphan_dirs(spark, tmp_path):
         assert spark.sql("SELECT count(*) FROM orphans2").first()[0] > committed
     finally:
         run.cleanup()
+
+
+def _pq_events(path, rows, mtime):
+    """Write one parquet file of (epoch_s, user_id) event rows with a
+    pinned mtime (stable listing order)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [int(s * 1_000_000) for s, _ in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([u for _, u in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _drain(df, name, ckpt, mode):
+    """One availableNow drain; state + watermark persist in the
+    checkpoint across drains (exactly the restart-resume contract), so
+    dropping one file per drain gives deterministic micro-batches.
+    foreachBatch is the sink: unlike the memory sink it supports
+    checkpoint recovery (and update mode). Returns the drained rows."""
+    rows = []
+    q = (
+        df.writeStream.foreachBatch(
+            lambda batch, _bid: rows.extend(batch.collect())
+        )
+        .outputMode(mode)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return rows
+
+
+def test_windowed_event_agg_drops_late_rows(spark, tmp_path):
+    """Streaming twin of gate q_event_windows: watermarked tumbling agg
+    over a file stream. A row arriving behind the checkpointed
+    watermark is dropped; on-time rows aggregate exactly as the batch
+    tumbling_agg."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.streaming import windowed_event_agg
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def agg_df():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id bigint"
+        ).parquet(str(src))
+        return windowed_event_agg(
+            stream, "1 minute", "10 seconds",
+            aggs=[F.count("*").alias("n")],
+        ).select("bucket_start", "n")
+
+    got = {}
+
+    def take(rows):
+        for r in rows:
+            b = int(r.bucket_start.timestamp())
+            got[b] = max(got.get(b, 0), r.n)
+
+    # drain 1: three events in window [600,660); max ts 650 -> wm 640
+    _pq_events(src / "f1.parquet", [(600.0, 1), (630.0, 1), (650.0, 2)], 1000)
+    take(_drain(agg_df(), "wagg", tmp_path / "ckpt_wagg", "update"))
+    # drain 2: 500 is behind the checkpointed watermark (640) ->
+    # dropped (no [480,540) window, no recount); 665 is on-time
+    _pq_events(src / "f2.parquet", [(500.0, 1), (665.0, 2)], 2000)
+    take(_drain(agg_df(), "wagg", tmp_path / "ckpt_wagg", "update"))
+
+    assert got == {600: 3, 660: 1}
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: intra-batch closure,
+    event-time-timeout closure, late-row drop, cross-key watermark
+    flush — closed sessions match the hand-computed batch gap rule."""
+    from pholcus_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def sess_df():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id bigint"
+        ).parquet(str(src))
+        return sessionize_stream(stream, gap_s=30.0, watermark="10 seconds")
+
+    got = set()
+
+    def take(rows):
+        got.update(
+            (
+                r.user_id,
+                int(r.session_start.timestamp()),
+                int(r.session_end.timestamp()),
+                r.n_events,
+            )
+            for r in rows
+        )
+
+    # gap 30s, watermark delay 10s
+    # drain 1 (wm 0 -> 1045): u1 {1000,1010}; u2 {1005}; u3 {1000,1055}
+    #   -> u3's intra-batch gap 55 > 30 closes [1000,1000] immediately;
+    #   the trailing no-data batch (wm 1045) times out u1 (horizon
+    #   1040) and u2 (1035) -> closed; u3's open [1055] (1085) survives
+    _pq_events(
+        src / "f1.parquet",
+        [(1000.0, 1), (1010.0, 1), (1005.0, 2), (1000.0, 3), (1055.0, 3)],
+        1000,
+    )
+    take(_drain(sess_df(), "sess", tmp_path / "ckpt_sess", "append"))
+    # drain 2 (wm 1045 -> 1090): u1's 1100 opens a fresh session; u2's
+    # 1020 is behind the watermark -> dropped entirely (no session);
+    # the no-data batch times out u3's [1055]
+    _pq_events(src / "f2.parquet", [(1100.0, 1), (1020.0, 2)], 2000)
+    take(_drain(sess_df(), "sess", tmp_path / "ckpt_sess", "append"))
+    # drain 3: a sentinel on an unused key advances the global
+    # watermark to 1990 -> flushes u1's [1100] by timeout
+    _pq_events(src / "f3.parquet", [(2000.0, 999)], 3000)
+    take(_drain(sess_df(), "sess", tmp_path / "ckpt_sess", "append"))
+
+    assert got == {
+        (3, 1000, 1000, 1),  # intra-batch closure
+        (1, 1000, 1010, 2),  # two-event session closed by timeout
+        (2, 1005, 1005, 1),  # closed by watermark; late 1020 ignored
+        (3, 1055, 1055, 1),  # event-time timeout after drain 2
+        (1, 1100, 1100, 1),  # flushed by the sentinel's watermark
+    }
+    # the sentinel's own session is still open: in state, not emitted
+    assert not any(u == 999 for (u, *_rest) in got)
