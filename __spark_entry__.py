@@ -263,6 +263,38 @@ def q_event_windows(spark, sf_dir):
     ).select("bucket_start", "event_type", "n_events", "sum_value", "n_users")
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Hopping 1-day/12-hour rollup via F.window(ts, window, slide):
+    each event lands in window/slide = 2 overlapping buckets; oracle
+    reconstructs the same epoch-aligned starts arithmetically."""
+    from pholcus_spark.ops.temporal import sliding_agg
+
+    ev = _load(spark, sf_dir, "events")
+    return sliding_agg(
+        ev, "1 day", "12 hours",
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ],
+    ).select("bucket_start", "event_type", "n_events", "sum_value")
+
+
+def q_session_windows(spark, sf_dir):
+    """Native F.session_window gap sessions (the declarative twin of
+    q_sessionize's lag/cumsum and of the streaming stateful operator):
+    session_end = last event + gap; an event at exactly session_end
+    still merges (new session only at diff > gap)."""
+    from pholcus_spark.ops.temporal import session_agg
+
+    ev = _load(spark, sf_dir, "events")
+    return session_agg(
+        ev, "30 minutes",
+        group_cols=["user_id"],
+        aggs=[F.count("*").alias("n_events")],
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
 def text_token_count(spark, sf_dir):
     from pholcus_spark.ops.text import token_count
 
@@ -535,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_event_windows": q_event_windows,
+        "q_sliding_windows": q_sliding_windows,
+        "q_session_windows": q_session_windows,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -768,6 +802,40 @@ SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
        v.view_id, v.view_value, v.ts AS view_ts
 FROM p ASOF LEFT JOIN v
   ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+""",
+        "q_sliding_windows": """
+WITH b AS (
+  SELECT make_timestamp(
+           ((CAST(floor(epoch(ts) / 43200) AS BIGINT) - t.j) * 43200)
+           * 1000000
+         ) AS bucket_start,
+         event_type, value
+  FROM events, range(0, 2) AS t(j)
+)
+SELECT bucket_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM b GROUP BY 1, 2
+""",
+        "q_session_windows": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
 """,
         "q_event_windows": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start, event_type,

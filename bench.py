@@ -32,6 +32,8 @@ HEADLINE = [
     "q_sessionize",
     "q_asof_join",
     "q_event_windows",
+    "q_sliding_windows",
+    "q_session_windows",
     "text_token_count",
     "text_quality",
     "text_lang_id",

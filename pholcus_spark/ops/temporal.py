@@ -118,3 +118,64 @@ def tumbling_agg(
         )
         .drop("_w")
     )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str,
+    slide: str,
+    ts: str = "ts",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window rollup: each event lands in
+    window/slide overlapping buckets. Same `F.window` form as
+    `tumbling_agg` (streaming-ready); the deliberate row amplification
+    is the window/slide factor — at scale keep that ratio small, the
+    shuffle is still one hash exchange on (window, keys)."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return (
+        events.groupBy(
+            F.window(F.col(ts), window, slide).alias("_w"), *group_cols
+        )
+        .agg(*aggs)
+        .withColumns(
+            {
+                "bucket_start": F.col("_w.start"),
+                "bucket_end": F.col("_w.end"),
+            }
+        )
+        .drop("_w")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str,
+    ts: str = "ts",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Gap-based session windows via native `F.session_window` — the
+    batch twin of `streaming.stateful.sessionize_stream` (and the
+    declarative form of gate `q_sessionize`'s lag/cumsum formulation).
+    ``session_start`` = first event, ``session_end`` = last event +
+    gap (Spark's convention). One shuffle on (keys); merging of
+    overlapping per-row [ts, ts+gap) intervals happens inside the
+    session-window aggregation."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts), gap).alias("_w"), *group_cols
+        )
+        .agg(*aggs)
+        .withColumns(
+            {
+                "session_start": F.col("_w.start"),
+                "session_end": F.col("_w.end"),
+            }
+        )
+        .drop("_w")
+    )

@@ -475,3 +475,50 @@ def test_knn_ivf_assignment_is_map_side(spark, emb):
     assert "Exchange" not in phys
     assert "Join" not in phys
     assert "Window" not in phys
+
+
+def test_sliding_and_session_windows(spark):
+    """Hopping buckets: each event in window/slide buckets; session
+    windows: merge at diff <= gap (an event landing exactly on the
+    session end still extends it), split at diff > gap; end = last
+    event + gap."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.temporal import session_agg, sliding_agg
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 13:00:00", 1.0)],
+        "ts_s string, value double",
+    ).selectExpr("CAST(ts_s AS timestamp) AS ts", "value")
+    slid = {
+        str(r.bucket_start): r.n
+        for r in sliding_agg(
+            ev, "1 day", "12 hours", aggs=[F.count("*").alias("n")]
+        ).collect()
+    }
+    # 13:00 falls in the day-window starting 12:00 and the one at 00:00
+    assert slid == {"2024-01-01 00:00:00": 1, "2024-01-01 12:00:00": 1}
+
+    ev2 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:29:59"),  # diff < gap -> same session
+            (1, "2024-01-01 10:59:59"),  # chains (< gap from prev)
+            (1, "2024-01-01 11:29:59"),  # diff == gap -> still merges
+            (1, "2024-01-01 12:00:00"),  # diff > gap -> NEW session
+            (2, "2024-01-01 10:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).selectExpr("user_id", "CAST(ts_s AS timestamp) AS ts")
+    out = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n)
+        for r in session_agg(
+            ev2, "30 minutes", group_cols=["user_id"],
+            aggs=[F.count("*").alias("n")],
+        ).collect()
+    }
+    assert out == {
+        (1, "2024-01-01 10:00:00"): ("2024-01-01 11:59:59", 4),
+        (1, "2024-01-01 12:00:00"): ("2024-01-01 12:30:00", 1),
+        (2, "2024-01-01 10:00:00"): ("2024-01-01 10:30:00", 1),
+    }
