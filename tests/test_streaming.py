@@ -283,3 +283,59 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     }
     # the sentinel's own session is still open: in state, not emitted
     assert not any(u == 999 for (u, *_rest) in got)
+
+
+def test_sessionize_stream_matches_batch_session_window(spark, tmp_path):
+    """The stateful streaming sessionizer and the batch F.session_window
+    operator implement the SAME gap rule (merge at diff <= gap): on a
+    randomized event set straddling the gap boundary, closed streaming
+    sessions == batch sessions, with stream end = last event and batch
+    end = last event + gap (Spark's convention)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.temporal import session_agg
+    from pholcus_spark.streaming.stateful import sessionize_stream
+
+    rng = random.Random(42)
+    rows = []
+    for u in range(1, 6):
+        t = 1000.0
+        for _ in range(40):
+            t += rng.choice([1, 5, 10, 29, 30, 31, 45, 70])
+            rows.append((t, u))
+    src = tmp_path / "par_src"
+    src.mkdir()
+    _pq_events(src / "f1.parquet", rows, 1000)
+    # sentinel far in the future: its watermark flushes every real
+    # session out of state at the end of the drain
+    sentinel_ts = max(t for t, _ in rows) + 10_000
+    _pq_events(src / "f2.parquet", [(sentinel_ts, 999)], 2000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .parquet(str(src))
+    )
+    sessions = sessionize_stream(stream, gap_s=30.0, watermark="10 seconds")
+    out = _drain(sessions, "sess_par", tmp_path / "ckpt_par", "append")
+    got = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events):
+            int(r.session_end.timestamp())
+        for r in out
+    }
+
+    batch = session_agg(
+        spark.read.parquet(str(src / "f1.parquet")),
+        "30 seconds",
+        group_cols=["user_id"],
+        aggs=[F.count("*").alias("n_events")],
+    )
+    want = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events):
+            int(r.session_end.timestamp())
+        for r in batch.collect()
+    }
+    assert set(got) == set(want) and len(got) > 20
+    for k, end in got.items():
+        assert want[k] == end + 30  # batch end = last event + gap
