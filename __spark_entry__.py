@@ -295,6 +295,46 @@ def q_session_windows(spark, sf_dir):
     ).select("user_id", "session_start", "session_end", "n_events")
 
 
+def q_cube_rollup(spark, sf_dir):
+    """Multi-dimensional rollup via cube(event_type, day): every
+    grouping-set combination incl. grand total in one pass (one
+    shuffle — Spark expands grouping sets map-side). gid derives from
+    the NULLed-out keys, portable across engines (neither column is
+    nullable in the data)."""
+    ev = _load(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        ev.cube(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "event_type", "day",
+            (
+                F.when(F.col("event_type").isNull(), 2).otherwise(0)
+                + F.when(F.col("day").isNull(), 1).otherwise(0)
+            ).cast("long").alias("gid"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Wide per-user event-type counts: groupBy(user).pivot(type) with
+    an explicit value list (deterministic columns; at scale the pivot
+    is one shuffle + map-side conditional aggregation, same cost class
+    as the oracle's FILTER form)."""
+    ev = _load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def text_token_count(spark, sf_dir):
     from pholcus_spark.ops.text import token_count
 
@@ -569,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_windows": q_event_windows,
         "q_sliding_windows": q_sliding_windows,
         "q_session_windows": q_session_windows,
+        "q_cube_rollup": q_cube_rollup,
+        "q_pivot": q_pivot,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -802,6 +844,25 @@ SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
        v.view_id, v.view_value, v.ts AS view_ts
 FROM p ASOF LEFT JOIN v
   ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+""",
+        "q_cube_rollup": """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(CASE WHEN GROUPING(event_type) = 1 THEN 2 ELSE 0 END
+            + CASE WHEN GROUPING(strftime(ts, '%Y-%m-%d')) = 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+""",
+        "q_pivot": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
 """,
         "q_sliding_windows": """
 WITH b AS (

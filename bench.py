@@ -34,6 +34,8 @@ HEADLINE = [
     "q_event_windows",
     "q_sliding_windows",
     "q_session_windows",
+    "q_cube_rollup",
+    "q_pivot",
     "text_token_count",
     "text_quality",
     "text_lang_id",
