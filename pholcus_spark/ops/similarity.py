@@ -92,9 +92,11 @@ def knn_batch_lsh(
     dim: int = 32,
     num_planes: int = 8,
     multiprobe: bool = True,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Batch k-NN — the bucket-partitioned index path (the scale story
     `ann_lsh_topk` lacks: that one scans the corpus per query).
+    ``bucketed`` (from `lsh_index`) reuses a prebuilt corpus index.
 
     `queries` is any DataFrame with (qid:long, qvec:array<float>). The
     corpus is sign-LSH-bucketed once; each query explodes to its probe
@@ -107,8 +109,10 @@ def knn_batch_lsh(
     """
     from pyspark.sql.window import Window
 
-    corpus = embeddings.withColumn(
-        "bucket", lsh_sign_bucket(F.col("embedding"), dim, num_planes)
+    corpus = (
+        bucketed
+        if bucketed is not None
+        else lsh_index(embeddings, dim, num_planes)
     )
     qb = queries.withColumn(
         "qbucket", lsh_sign_bucket(F.col("qvec"), dim, num_planes)
@@ -141,6 +145,19 @@ def knn_batch_lsh(
     )
 
 
+def lsh_index(
+    embeddings: DataFrame, dim: int = 32, num_planes: int = 8
+) -> DataFrame:
+    """Bucket the corpus once (persist the result, or write it back as
+    a bucket-keyed table) and pass it to ``ann_lsh_topk`` /
+    ``knn_batch_lsh`` via ``bucketed=`` — repeated queries then skip
+    re-hashing the corpus, which is the right shape for an interactive
+    lookup service over a large corpus."""
+    return embeddings.withColumn(
+        "bucket", lsh_sign_bucket(F.col("embedding"), dim, num_planes)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -148,13 +165,17 @@ def ann_lsh_topk(
     dim: int = 32,
     num_planes: int = 8,
     multiprobe: bool = True,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signs, search the query's
     bucket plus (multiprobe) all 1-bit-flip neighbor buckets, exact
     cosine re-rank inside. Deterministic end-to-end → exact DuckDB
-    oracle possible despite being 'approximate' vs brute force."""
-    bucketed = embeddings.withColumn(
-        "bucket", lsh_sign_bucket(F.col("embedding"), dim, num_planes)
+    oracle possible despite being 'approximate' vs brute force.
+    ``bucketed`` (from `lsh_index`) skips the per-call corpus hash."""
+    bucketed = (
+        bucketed
+        if bucketed is not None
+        else lsh_index(embeddings, dim, num_planes)
     )
     qrow = bucketed.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")

@@ -522,3 +522,35 @@ def test_sliding_and_session_windows(spark):
         (1, "2024-01-01 12:00:00"): ("2024-01-01 12:30:00", 1),
         (2, "2024-01-01 10:00:00"): ("2024-01-01 10:30:00", 1),
     }
+
+
+def test_lsh_index_reuse_identical_results(spark, emb):
+    """A prebuilt (persisted) lsh_index passed via bucketed= gives
+    byte-identical results to the per-call path for both the single
+    query and the batch join — and the single-query plan no longer
+    recomputes the corpus hash (the persisted index is scanned)."""
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.similarity import (
+        ann_lsh_topk, knn_batch_lsh, lsh_index,
+    )
+
+    idx = lsh_index(emb, dim=16, num_planes=6).persist()
+    idx.count()
+    try:
+        a = ann_lsh_topk(emb, 0, 10, dim=16, num_planes=6).collect()
+        b = ann_lsh_topk(emb, 0, 10, dim=16, num_planes=6, bucketed=idx).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        qs = emb.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        c = knn_batch_lsh(emb, qs, k=3, dim=16, num_planes=6).collect()
+        d = knn_batch_lsh(emb, qs, k=3, dim=16, num_planes=6, bucketed=idx).collect()
+        assert [tuple(r) for r in c] == [tuple(r) for r in d]
+        phys = (
+            ann_lsh_topk(emb, 0, 10, dim=16, num_planes=6, bucketed=idx)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "InMemoryTableScan" in phys  # index scanned, not re-hashed
+    finally:
+        idx.unpersist()
