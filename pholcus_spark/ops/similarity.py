@@ -256,6 +256,18 @@ def probe_ivf_cells(vec: Column, centroids: list, nprobe: int) -> Column:
     )
 
 
+def ivf_index(
+    embeddings: DataFrame, centroids: list
+) -> DataFrame:
+    """The inverted lists: corpus + map-side nearest-centroid cell
+    column. Persist (or write bucketed by cell) and pass to
+    `knn_batch_ivf` via ``indexed=`` to skip re-assignment on repeated
+    query batches."""
+    return embeddings.withColumn(
+        "cell", assign_ivf_cell(F.col("embedding"), centroids)
+    )
+
+
 def knn_batch_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -263,6 +275,7 @@ def knn_batch_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     centroids: list | None = None,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Batch k-NN through an IVF index — the inverted-list twin of
     `knn_batch_lsh` (BASELINE input_hint's ANN scale path, IVF
@@ -274,14 +287,14 @@ def knn_batch_ivf(
     prefers, skew-splittable like any join. Exact cosine re-rank +
     per-query top-k. With nprobe == n_cells this is exactly brute
     force (tested); smaller nprobe trades recall for touching only
-    nprobe/n_cells of the corpus per query."""
+    nprobe/n_cells of the corpus per query. Pass ``indexed`` (from
+    `ivf_index`, with the same ``centroids``) to reuse prebuilt
+    inverted lists across query batches."""
     from pyspark.sql.window import Window
 
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells)
-    inv = embeddings.withColumn(
-        "cell", assign_ivf_cell(F.col("embedding"), centroids)
-    )
+    inv = indexed if indexed is not None else ivf_index(embeddings, centroids)
     probed = queries.withColumn(
         "cell",
         F.explode(probe_ivf_cells(F.col("qvec"), centroids, nprobe)),

@@ -554,3 +554,26 @@ def test_lsh_index_reuse_identical_results(spark, emb):
         assert "InMemoryTableScan" in phys  # index scanned, not re-hashed
     finally:
         idx.unpersist()
+
+
+def test_ivf_index_reuse_identical_results(spark, emb):
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.similarity import (
+        ivf_centroids, ivf_index, knn_batch_ivf,
+    )
+
+    cents = ivf_centroids(emb, 8)
+    idx = ivf_index(emb, cents).persist()
+    idx.count()
+    try:
+        qs = emb.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        a = knn_batch_ivf(emb, qs, k=3, n_cells=8, nprobe=3, centroids=cents).collect()
+        b = knn_batch_ivf(
+            emb, qs, k=3, n_cells=8, nprobe=3, centroids=cents, indexed=idx
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
+    finally:
+        idx.unpersist()
