@@ -577,3 +577,52 @@ def test_ivf_index_reuse_identical_results(spark, emb):
         assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
     finally:
         idx.unpersist()
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_asof_join_randomized_vs_naive(spark, seed):
+    """Seeded randomized cross-check of the union+window as-of join
+    against the naive range-join argmax on data with duplicate left
+    timestamps, sparse keys, and exact-tie (left.ts == right.ts)
+    collisions. Right side is unique per (k, ts) so both formulations
+    are deterministic."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pholcus_spark.ops.temporal import asof_join
+
+    rng = random.Random(seed)
+    left = [
+        (rng.randrange(8), rng.randrange(50), i)
+        for i in range(300)
+    ]
+    right_map = {
+        (k, t): rng.randrange(10_000)
+        for k in range(6)  # keys 6,7 never on the right
+        for t in rng.sample(range(50), 20)
+    }
+    ldf = spark.createDataFrame(left, "k int, ts int, lv long")
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right_map.items()],
+        "k int, ts int, rv long",
+    )
+    got = {
+        (r.k, r.ts, r.lv): (r.rv_r, r.ts_r)
+        for r in asof_join(ldf, rdf, on=["k"], ts="ts").collect()
+    }
+    naive = (
+        ldf.alias("l")
+        .join(
+            rdf.alias("r"),
+            (F.col("l.k") == F.col("r.k")) & (F.col("l.ts") >= F.col("r.ts")),
+            "left",
+        )
+        .groupBy("l.k", "l.ts", "l.lv")
+        .agg(
+            F.max_by(F.col("r.rv"), F.col("r.ts")).alias("rv"),
+            F.max(F.col("r.ts")).alias("rts"),
+        )
+    )
+    want = {(r.k, r.ts, r.lv): (r.rv, r.rts) for r in naive.collect()}
+    assert got == want and len(got) == 300
