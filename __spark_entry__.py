@@ -335,6 +335,42 @@ def q_pivot(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """The crawler's URL canonicalizer (keys.py — the function under
+    every dedup key) gated end-to-end: deterministic messy URLs are
+    synthesized from doc_id (uppercase scheme/host, default and
+    non-default ports, empty path, unsorted query, fragment), pushed
+    through the REAL Arrow-vectorized canonicalize/host UDFs, and
+    compared against the oracle's independently hand-derived canonical
+    forms."""
+    from pholcus_spark.keys import canonicalize_url_udf, host_of_udf
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    did = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://Host"), m7, F.lit(".Example.COM:80/p/"),
+                did, F.lit("?b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://host"), m7, F.lit(".example.com:8080?z=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://Host"), m7, F.lit(".example.com:443/x%20y/"))
+        )
+    )
+    return d.withColumn("raw_url", raw).select(
+        "doc_id",
+        canonicalize_url_udf(F.col("raw_url")).alias("canon_url"),
+        host_of_udf(F.col("raw_url")).alias("host"),
+    )
+
+
 def text_token_count(spark, sf_dir):
     from pholcus_spark.ops.text import token_count
 
@@ -611,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_windows": q_session_windows,
         "q_cube_rollup": q_cube_rollup,
         "q_pivot": q_pivot,
+        "q_url_canonical": q_url_canonical,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -844,6 +881,16 @@ SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
        v.view_id, v.view_value, v.ts AS view_ts
 FROM p ASOF LEFT JOIN v
   ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+""",
+        "q_url_canonical": """
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'http://host' || (doc_id % 7) || '.example.com/p/' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'http://host' || (doc_id % 7) || '.example.com:8080/?z=1'
+    ELSE 'https://host' || (doc_id % 7) || '.example.com/x%20y/'
+  END AS canon_url,
+  'host' || (doc_id % 7) || '.example.com' AS host
+FROM documents
 """,
         "q_cube_rollup": """
 SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

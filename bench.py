@@ -36,6 +36,7 @@ HEADLINE = [
     "q_session_windows",
     "q_cube_rollup",
     "q_pivot",
+    "q_url_canonical",
     "text_token_count",
     "text_quality",
     "text_lang_id",
