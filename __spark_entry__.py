@@ -631,6 +631,141 @@ def sim_knn_ivf(spark, sf_dir):
     return knn_batch_ivf(emb, qs, k=5, n_cells=16, nprobe=4)
 
 
+# deterministic PII injection shared (by construction) between the
+# Spark gate and the DuckDB oracle: every 3rd doc gets one email, one
+# ipv4, and one intl phone appended — synthetic testdata has no real
+# PII, so the gate manufactures known spans and the md5 of the redacted
+# text pins the exact replacement boundaries on both sides
+def text_pii_scrub(spark, sf_dir):
+    from pholcus_spark.ops.text import pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" reach u"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.org via 10."), (d % 200).cast("string"),
+        F.lit(".0."), (d % 250).cast("string"),
+        F.lit(" or +1 (555) 01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+    )
+    dirty = docs.withColumn(
+        "text", F.when(d % 3 == 0, inject).otherwise(F.col("text"))
+    )
+    return pii_scrub(dirty).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (broadcast eval-set shingles, map-side
+    semi-join probe): benchmark = every 97th doc; survivors are docs
+    sharing no word-8-gram with it."""
+    from pholcus_spark.ops.text import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=8).select("doc_id", "lang", "source")
+
+
+def q_hash_sample(spark, sf_dir):
+    from pholcus_spark.ops.sampling import hash_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25, salt="s1").select("doc_id", "lang")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Language rebalancing: per-stratum keep fractions, one codegen'd
+    CASE, no join/shuffle in the plan."""
+    from pholcus_spark.ops.sampling import stratified_hash_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "zh": 0.05}, default=0.1,
+    ).select("doc_id", "lang")
+
+
+def q_train_split(spark, sf_dir):
+    from pholcus_spark.ops.sampling import train_holdout_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        train_holdout_split(docs, "doc_id", 0.1, salt="v1")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+# north-rule pair table (image_id, w, h, fmt, caption, phash) derived
+# deterministically from documents — the driver's testdata carries no
+# binary image table, so both engines build the SAME metadata view
+# (bytes are irrelevant to every metadata-level pair operator, and the
+# engine's own images sink is exercised by the conformance suite). The
+# phash derivation plants exact-dup captions at hamming ≤ 4 (shared
+# high bits, doc_id%16 low bits) so the banded near-dup join has real
+# positives to find.
+def _derived_pairs(spark, sf_dir):
+    from pholcus_spark.ops.text import norm_text, portable_hash64
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.col("text")
+    # two planted stock-caption groups (~1/31 of docs each): the corpus
+    # texts are all distinct, so without these caption_dedup would be a
+    # trivial keep-everything and the phash near-dup join would verify
+    # only chance band collisions (0 pairs)
+    caption = (
+        F.when(d % 31 == 3, F.lit("stock photo of a sunset over water"))
+        .when(d % 31 == 7, F.lit("logo placeholder image"))
+        .otherwise(t)
+    )
+    return docs.select(
+        F.concat(F.lit("img"), d.cast("string")).alias("image_id"),
+        (F.lit(16) + portable_hash64(F.concat(t, F.lit("w"))) % 2048)
+        .cast("int").alias("w"),
+        (F.lit(16) + portable_hash64(F.concat(t, F.lit("h"))) % 2048)
+        .cast("int").alias("h"),
+        F.when(d % 3 == 0, F.lit("png"))
+        .when(d % 3 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("webp")).alias("fmt"),
+        caption.alias("caption"),
+        portable_hash64(norm_text(caption))
+        .bitwiseAND(F.lit(-16)).bitwiseOR(d % 16).alias("phash"),
+    )
+
+
+def q_pair_filter(spark, sf_dir):
+    """LAION-style pair curation filter: pure codegen filter/project,
+    integer-quantized aspect (no float rounding anywhere)."""
+    from pholcus_spark.ops.imagecaption import pair_filter
+
+    return pair_filter(_derived_pairs(spark, sf_dir)).select(
+        "image_id", "w", "h", "fmt", "aspect_q4", "caption_tokens"
+    )
+
+
+def q_caption_dedup(spark, sf_dir):
+    from pholcus_spark.ops.imagecaption import caption_dedup
+
+    return caption_dedup(_derived_pairs(spark, sf_dir)).select(
+        "image_id", "caption_fp"
+    )
+
+
+def q_pair_phash_neardup(spark, sf_dir):
+    from pholcus_spark.ops.imagecaption import pair_phash_neardup
+
+    return pair_phash_neardup(_derived_pairs(spark, sf_dir), max_hamming=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -653,6 +788,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "text_clean_html": text_clean_html,
+        "text_pii_scrub": text_pii_scrub,
+        "text_decontaminate": text_decontaminate,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_train_split": q_train_split,
+        "q_pair_filter": q_pair_filter,
+        "q_caption_dedup": q_caption_dedup,
+        "q_pair_phash_neardup": q_pair_phash_neardup,
         "q_json_extract": q_json_extract,
         "q_css_extract": q_css_extract,
         "q_global_rank": q_global_rank,
@@ -784,6 +927,66 @@ SELECT qid, vec_id, label, cosine, CAST(rn AS INT) AS rn FROM (
   FROM scored
 ) WHERE rn <= {k}
 ORDER BY qid, rn
+"""
+
+
+# DuckDB twin of _derived_pairs (north-rule pair-table metadata view)
+_SQL_CAPTION = (
+    "CASE CAST(doc_id % 31 AS INTEGER) "
+    "WHEN 3 THEN 'stock photo of a sunset over water' "
+    "WHEN 7 THEN 'logo placeholder image' ELSE text END"
+)
+_SQL_PAIRS = f"""
+pairs AS (
+  SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
+    CAST(16 + ({_H.format(x="text || 'w'")}) % 2048 AS INTEGER) AS w,
+    CAST(16 + ({_H.format(x="text || 'h'")}) % 2048 AS INTEGER) AS h,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+    {_SQL_CAPTION} AS caption,
+    (({_H.format(x=_NORM.format(x=_SQL_CAPTION))}) & -16)
+      | (doc_id % 16) AS phash
+  FROM documents
+)
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of the text_pii_scrub gate: identical injected spans
+    and the SAME regex strings (imported from ops.text, written in the
+    Java∩RE2 shared dialect), applied as the same 3-stage redaction
+    chain with per-stage counts."""
+    from pholcus_spark.ops.text import _PII_RULES
+
+    (_, e_re, e_rep), (_, i_re, i_rep), (_, p_re, p_rep) = _PII_RULES
+    inject = (
+        "text || ' reach u' || CAST(doc_id AS VARCHAR) || '@mail' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.example.org via 10.' || "
+        "CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+        "CAST(doc_id % 250 AS VARCHAR) || ' or +1 (555) 01' || "
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+    return f"""
+WITH dirty AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN {inject} ELSE text END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '{e_re}')) AS BIGINT) AS n_email,
+    regexp_replace(t, '{e_re}', '{e_rep}', 'g') AS t2
+  FROM dirty
+), s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t2, '{i_re}')) AS BIGINT) AS n_ipv4,
+    regexp_replace(t2, '{i_re}', '{i_rep}', 'g') AS t3
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    CAST(len(regexp_extract_all(t3, '{p_re}')) AS BIGINT) AS n_phone,
+    regexp_replace(t3, '{p_re}', '{p_rep}', 'g') AS t4
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(t4) AS clean_md5 FROM s3
 """
 
 
@@ -1048,6 +1251,84 @@ FROM (
       '\s{2,}', chr(10), 'g') AS cleaned
   FROM documents
 )
+""",
+        "text_pii_scrub": _pii_scrub_sql(),
+        # word-8-gram decontamination: same shingle construction as
+        # _SQL_SHINGLES but n=8 (slice i..i+7, bound len(w)-7), benchmark
+        # = every 97th doc, survivors = docs sharing no shingle with it
+        "text_decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS shingle
+  FROM idx
+),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (shingle)
+)
+""",
+        "q_hash_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H.format(x="CAST(doc_id AS VARCHAR) || 's1'")} % 1000000 < 250000
+""",
+        "q_stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 <
+  CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500000
+            WHEN 'zh' THEN 50000 ELSE 100000 END
+""",
+        "q_train_split": f"""
+SELECT CASE WHEN {_H.format(x="CAST(doc_id AS VARCHAR) || 'v1'")} % 1000000 < 100000
+            THEN 'holdout' ELSE 'train' END AS split,
+  CAST(count(*) AS BIGINT) AS n,
+  min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1
+""",
+        "q_pair_filter": f"""
+WITH {_SQL_PAIRS},
+f AS (
+  SELECT image_id, w, h, fmt,
+    (greatest(w, h) * 10000) // greatest(least(w, h), 1) AS aspect_q4,
+    len(string_split_regex(trim(caption), '\\s+')) AS caption_tokens
+  FROM pairs
+)
+SELECT image_id, w, h, fmt, aspect_q4, caption_tokens FROM f
+WHERE w >= 64 AND h >= 64 AND aspect_q4 <= 30000
+  AND caption_tokens BETWEEN 2 AND 128
+""",
+        "q_caption_dedup": f"""
+WITH {_SQL_PAIRS},
+r AS (
+  SELECT image_id, md5({_NORM.format(x='caption')}) AS caption_fp,
+    min(image_id) OVER (
+      PARTITION BY md5({_NORM.format(x='caption')})) AS m
+  FROM pairs
+)
+SELECT image_id, caption_fp FROM r WHERE image_id = m
+""",
+        # 5 pigeonhole bands of 13 bits (max_hamming=4), exact popcount
+        # verify — mirrors multimodal.phash_neardup_pairs band math
+        "q_pair_phash_neardup": f"""
+WITH {_SQL_PAIRS},
+banded AS (
+  SELECT image_id AS iid, phash, j AS band,
+    (phash >> (j * 13)) & 8191 AS bucket
+  FROM (SELECT image_id, phash, unnest(range(0, 5)) AS j FROM pairs)
+),
+cand AS (
+  SELECT DISTINCT a.iid AS id_a, b.iid AS id_b,
+    a.phash AS ph_a, b.phash AS ph_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.iid < b.iid
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
 """,
         "q_json_extract": r"""
 SELECT event_type,

@@ -42,6 +42,14 @@ HEADLINE = [
     "text_lang_id",
     "text_fingerprint",
     "text_clean_html",
+    "text_pii_scrub",
+    "text_decontaminate",
+    "q_hash_sample",
+    "q_stratified_sample",
+    "q_train_split",
+    "q_pair_filter",
+    "q_caption_dedup",
+    "q_pair_phash_neardup",
     "q_json_extract",
     "q_css_extract",
     "q_global_rank",

@@ -1,0 +1,79 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (beyond-reference, BASELINE.json first-class additions).
+
+Everything keys on the portable 60-bit md5 hash (`text.portable_hash64`)
+so a sample is (a) reproducible across runs, engines, and cluster
+sizes — unlike ``df.sample``, whose output depends on partitioning —
+and (b) STABLE under corpus growth: a row's membership depends only on
+its own key, so re-running after appending new data never flips
+previously-sampled rows (the property every incremental pipeline
+needs). All expressions are built-in pyspark.sql.functions — JVM-side
+codegen, trivially pushdown-friendly, no shuffle introduced by any
+operator here — and each has a bit-exact DuckDB oracle
+(__spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash64
+
+# sampling resolution: fractions are quantized to 1/GRANULARITY
+GRANULARITY = 1_000_000
+
+
+def _bucket(key_col: str, salt: str) -> Column:
+    """Uniform bucket in [0, GRANULARITY) from the row key + salt.
+    portable_hash64 is non-negative (60-bit), so plain % is portable."""
+    return portable_hash64(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    ) % GRANULARITY
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash. Distinct
+    ``salt`` values give independent samples; the same salt always
+    returns the same rows."""
+    thresh = int(round(fraction * GRANULARITY))
+    return df.where(_bucket(key_col, salt) < F.lit(thresh))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    downsample en, keep all low-resource langs). ``fractions`` maps
+    stratum value -> keep fraction; unlisted strata use ``default``.
+    One codegen'd CASE — no join, no shuffle."""
+    thresh = F.lit(int(round(default * GRANULARITY)))
+    for value in sorted(fractions):  # deterministic plan
+        thresh = F.when(
+            F.col(strata_col) == value,
+            F.lit(int(round(fractions[value] * GRANULARITY))),
+        ).otherwise(thresh)
+    return df.where(_bucket(key_col, salt) < thresh)
+
+
+def train_holdout_split(
+    df: DataFrame, key_col: str, holdout_fraction: float, salt: str = ""
+) -> DataFrame:
+    """Tag every row ``split IN ('holdout', 'train')`` by key hash — the
+    leakage-safe way to carve an eval set: membership is a pure function
+    of the key, so later appends/repartitions can never migrate a row
+    across the split boundary."""
+    thresh = int(round(holdout_fraction * GRANULARITY))
+    return df.withColumn(
+        "split",
+        F.when(_bucket(key_col, salt) < F.lit(thresh), F.lit("holdout")).otherwise(
+            F.lit("train")
+        ),
+    )

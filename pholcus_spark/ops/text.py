@@ -135,6 +135,70 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII scrub rules, applied IN ORDER as a redaction chain: each stage's
+# count is measured on the PREVIOUS stage's output, so an ipv4-looking
+# substring inside an already-redacted email is not double-counted and
+# the counts always equal the number of replacements actually made.
+# Regexes are written in the Java-regex ∩ RE2 shared dialect (no
+# backrefs, no lookaround, char classes + bounded/greedy quantifiers
+# only — both engines resolve these greedy matches leftmost-longest),
+# so the DuckDB oracle runs the SAME patterns.
+_PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    # international-format numbers only (leading +): an unanchored
+    # digit-run rule would eat ids/quantities wholesale
+    ("phone", r"\+[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect + redact PII (emails, IPv4 addresses, intl phone numbers)
+    — the standard pre-training scrub pass. Pure JVM regexp expressions
+    (codegen, no Python in the plan); per-category counts plus the
+    redacted text. Beyond-reference training-data operator
+    (BASELINE.json first-class additions)."""
+    stage = F.col(text_col)
+    counts = []
+    for name, pattern, repl in _PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(stage, F.lit(pattern), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        stage = F.regexp_replace(stage, pattern, repl)
+    return docs.select("doc_id", *counts, stage.alias("text_clean"))
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing ANY word
+    ``n``-gram with the benchmark/eval set (the Lee et al. / GPT-3
+    appendix-C style overlap rule). Scale shape: the benchmark side is
+    tiny by definition (an eval set), so its distinct shingle set is
+    BROADCAST and the probe is a map-side left-semi — the 100 TB corpus
+    is never shuffled; only the matched doc_ids (small) hit a shuffle
+    for the final anti-join.
+
+    Returns the surviving rows of ``docs`` unchanged.
+    """
+    from .dedup import word_shingles
+
+    bench_sh = word_shingles(benchmark, n=n).select("shingle").distinct()
+    doc_sh = word_shingles(docs, n=n)
+    hit = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(hit, "doc_id", "left_anti")
+
+
 def clean_html_docs(docs: DataFrame) -> DataFrame:
     """Reference CleanHtml(depth=5) over a deterministic pseudo-HTML
     wrap of each document (`app/spider/common/common.go:18-41`): strips

@@ -626,3 +626,169 @@ def test_asof_join_randomized_vs_naive(spark, seed):
     )
     want = {(r.k, r.ts, r.lv): (r.rv, r.rts) for r in naive.collect()}
     assert got == want and len(got) == 300
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / decontamination / deterministic sampling (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (0, "mail me at alice.b+spam@sub.example.co.uk today"),
+        (1, "server 192.168.0.1 and 10.0.0.255 are up"),
+        (2, "call +44 (20) 7946-0958 now"),
+        (3, "no pii here at all"),
+        # \b guards: 1.2.3.4567 is NOT an ipv4 (right edge inside a
+        # digit run); a bare local part without a TLD is not an email
+        (4, "almost 1.2.3.4567 and user@host only"),
+        (5, "a@b.io plus 8.8.8.8 plus +1 555 0100 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 0, 0)
+    assert "<EMAIL>" in out[0].text_clean and "alice" not in out[0].text_clean
+    assert (out[1].n_email, out[1].n_ipv4) == (0, 2)
+    assert out[1].text_clean == "server <IP> and <IP> are up"
+    assert out[2].n_phone == 1 and out[2].text_clean == "call <PHONE> now"
+    assert out[3].text_clean == "no pii here at all"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
+
+
+def test_pii_scrub_counts_stage_wise_not_double(spark):
+    # the ip-shaped substring inside an email is consumed by the email
+    # redaction first, so n_ipv4 counts only the standalone one
+    df = spark.createDataFrame(
+        [(0, "x 10.0.0.1@example.com and 10.0.0.2 y")],
+        "doc_id long, text string",
+    )
+    r = text.pii_scrub(df).collect()[0]
+    assert (r.n_email, r.n_ipv4) == (1, 1)
+    assert r.text_clean == "x <EMAIL> and <IP> y"
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally unrelated words with no overlap whatsoever here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        # shares the 8-gram "two three four five six seven eight nine"
+        [(100, "zz two three four five six seven eight nine zz")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in text.decontaminate(docs, bench, n=8).collect()
+    )
+    assert kept == [1, 2]
+    # scale shape: benchmark side must be broadcast (no shuffle of docs
+    # for the probe)
+    plan = text.decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_hash_sample_deterministic_and_stable_under_append(spark):
+    from pholcus_spark.ops import sampling
+
+    big = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in sampling.hash_sample(big, "k", 0.3, salt="a").collect()}
+    s2 = {r.k for r in sampling.hash_sample(big, "k", 0.3, salt="a").collect()}
+    assert s1 == s2  # reproducible
+    # append-stability: sampling the first half alone yields exactly the
+    # members of the full sample with k < 1000 (membership is a pure
+    # function of the key)
+    half = spark.range(0, 1000).withColumnRenamed("id", "k")
+    sh = {r.k for r in sampling.hash_sample(half, "k", 0.3, salt="a").collect()}
+    assert sh == {k for k in s1 if k < 1000}
+    # roughly the requested fraction
+    assert 0.25 < len(s1) / 2000 < 0.35
+    # independent under a different salt
+    s3 = {r.k for r in sampling.hash_sample(big, "k", 0.3, salt="b").collect()}
+    assert s3 != s1
+
+
+def test_stratified_sample_and_split(spark):
+    from pholcus_spark.ops import sampling
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    out = sampling.stratified_hash_sample(
+        df, "k", "lang", {"en": 0.5, "zh": 0.0}, default=0.1
+    )
+    rows = out.collect()
+    assert all(r.lang == "en" for r in rows)  # zh fraction 0 -> dropped
+    assert 0.4 < len(rows) / 500 < 0.6
+    split = sampling.train_holdout_split(df, "k", 0.2)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "holdout"}
+    assert counts["train"] + counts["holdout"] == 1000
+    assert 0.12 < counts["holdout"] / 1000 < 0.28
+    # no shuffle in any sampling plan (pure filter/project)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Image+caption pair curation (north-rule input shape)
+# ---------------------------------------------------------------------------
+
+
+def test_pair_filter_bounds(spark):
+    from pholcus_spark.ops import imagecaption as ic
+
+    rows = [
+        ("a", 512, 512, "png", "a fine sunset photo"),      # keep
+        ("b", 32, 512, "png", "too narrow"),                # w < 64
+        ("c", 512, 100, "jpeg", "too elongated wide"),      # aspect > 3
+        ("d", 512, 512, "png", "x"),                        # 1 caption token
+        ("e", 128, 384, "webp", "exactly three to one"),    # aspect == 3 keep
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string"
+    )
+    out = {r.image_id: r for r in ic.pair_filter(df).collect()}
+    assert set(out) == {"a", "e"}
+    assert out["e"].aspect_q4 == 30000
+    assert out["a"].caption_tokens == 4
+    # pure filter/project: no shuffle in the plan
+    plan = ic.pair_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_caption_dedup_min_id_survives(spark):
+    from pholcus_spark.ops import imagecaption as ic
+
+    rows = [
+        ("img1", "A  Sunset "),   # normalizes equal to img3's caption
+        ("img3", "a sunset"),
+        ("img2", "different"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = sorted(r.image_id for r in ic.caption_dedup(df).collect())
+    assert out == ["img1", "img2"]
+
+
+def test_pair_ops_compose_with_engine_images_table(spark):
+    # the engine's images sink emits exactly the pair-table shape —
+    # curation ops must run on it unchanged (bytes column pruned away,
+    # never shuffled)
+    from pholcus_spark import fixtures
+    from pholcus_spark.ops import imagecaption as ic
+
+    corpus = fixtures.generate(fixtures.SiteSpec(n_hosts=1, list_pages=2))
+    _, images, _, _, _ = fixtures.to_spark(spark, corpus)
+    kept = ic.pair_filter(images, min_w=1, min_h=1, max_aspect_q4=10**6,
+                          min_caption_tokens=1, max_caption_tokens=10**6)
+    assert kept.count() == images.count()
+    deduped = ic.caption_dedup(images)
+    assert 0 < deduped.count() <= images.count()
+    pairs = ic.pair_phash_neardup(images, max_hamming=8)
+    pairs.count()  # executes the banded join end-to-end
+    assert set(pairs.columns) == {"id_a", "id_b", "hamming"}
