@@ -766,6 +766,30 @@ def q_pair_phash_neardup(spark, sf_dir):
     return pair_phash_neardup(_derived_pairs(spark, sf_dir), max_hamming=4)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (64-token windows, 16 overlap) — pure
+    JVM split/sequence/explode/slice, no Python, no shuffle."""
+    from pholcus_spark.ops.packing import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 256-token bins — the sequential
+    first-fit fold runs per hash group in applyInPandas; the oracle
+    replays it as a recursive CTE, pinning the running (bin, fill)
+    state bit-exact, not just the output shape."""
+    from pholcus_spark.ops.packing import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, n_groups=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -796,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_filter": q_pair_filter,
         "q_caption_dedup": q_caption_dedup,
         "q_pair_phash_neardup": q_pair_phash_neardup,
+        "q_doc_chunks": q_doc_chunks,
+        "q_pack_sequences": q_pack_sequences,
         "q_json_extract": q_json_extract,
         "q_css_extract": q_css_extract,
         "q_global_rank": q_global_rank,
@@ -1329,6 +1355,44 @@ cand AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
+""",
+        # 64-token windows, stride 48; tail chunk may be short; every
+        # doc emits >= 1 chunk — mirrors ops/packing.chunk_documents
+        "q_doc_chunks": r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+c AS (
+  SELECT doc_id, w, len(w) AS n,
+    unnest(range(0, 1 + (greatest(len(w) - 64, 0) + 47) // 48)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+  len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+FROM c
+""",
+        # greedy first-fit packing replayed sequentially: the recursive
+        # CTE advances every grp by one row per iteration, carrying the
+        # (bin, fill) fold state exactly like the pandas kernel
+        "q_pack_sequences": r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS grp,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT doc_id, grp, n_tokens, rn, 0 AS bin, n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.grp, b.n_tokens, b.rn,
+    CASE WHEN p.fill + b.n_tokens <= 256 THEN p.bin ELSE p.bin + 1 END,
+    CASE WHEN p.fill + b.n_tokens <= 256 THEN p.fill + b.n_tokens
+         ELSE b.n_tokens END
+  FROM p JOIN base b ON b.grp = p.grp AND b.rn = p.rn + 1
+)
+SELECT doc_id, grp, n_tokens, CAST(bin AS INTEGER) AS bin, fill FROM p
 """,
         "q_json_extract": r"""
 SELECT event_type,

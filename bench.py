@@ -50,6 +50,8 @@ HEADLINE = [
     "q_pair_filter",
     "q_caption_dedup",
     "q_pair_phash_neardup",
+    "q_doc_chunks",
+    "q_pack_sequences",
     "q_json_extract",
     "q_css_extract",
     "q_global_rank",

@@ -792,3 +792,52 @@ def test_pair_ops_compose_with_engine_images_table(spark):
     pairs = ic.pair_phash_neardup(images, max_hamming=8)
     pairs.count()  # executes the banded join end-to-end
     assert set(pairs.columns) == {"id_a", "id_b", "hamming"}
+
+
+def test_chunk_documents_boundaries(spark):
+    from pholcus_spark.ops.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    rows = [(0, "only three words"), (1, words), (2, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    got = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 0: 3 tokens < 4 -> exactly one (short) chunk
+    assert [k for k in got if k[0] == 0] == [(0, 0)]
+    assert got[(0, 0)].n_chunk_tokens == 3
+    # doc 1: 10 tokens, stride 3 -> chunks at 0,3,6,9 => 1+ceil(6/3)=3? no:
+    # 1 + ceil((10-4)/3) = 1 + 2 = 3 chunks, covering tokens 1-4,4-7,7-10
+    idxs = sorted(k[1] for k in got if k[0] == 1)
+    assert idxs == [0, 1, 2]
+    assert got[(1, 2)].chunk_text == "w6 w7 w8 w9"
+    # overlap: last token of chunk k equals first token of chunk k+1
+    assert got[(1, 0)].chunk_text.split()[-1] == got[(1, 1)].chunk_text.split()[0]
+    # single-token doc
+    assert got[(2, 0)].n_chunk_tokens == 1
+    # pure JVM: no Exchange, no Python eval in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from pholcus_spark.ops.packing import pack_sequences
+
+    # one group (n_groups=1): token counts 5,3,4,10,2 with budget 8:
+    # [5,3] -> bin0 fill8, [4] -> bin1 fill4, [10] oversize alone bin2,
+    # [2] -> bin3 (10+2 > 8 resets)
+    rows = [
+        (0, " ".join(["a"] * 5)),
+        (1, " ".join(["b"] * 3)),
+        (2, " ".join(["c"] * 4)),
+        (3, " ".join(["d"] * 10)),
+        (4, " ".join(["e"] * 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_sequences(df, budget=8, n_groups=1).collect()}
+    assert [(out[i].bin, out[i].fill) for i in range(5)] == [
+        (0, 5), (0, 8), (1, 4), (2, 10), (3, 2),
+    ]
+    # deterministic across runs
+    again = {r.doc_id: (r.bin, r.fill)
+             for r in pack_sequences(df, budget=8, n_groups=1).collect()}
+    assert again == {i: (out[i].bin, out[i].fill) for i in range(5)}
