@@ -113,6 +113,24 @@ def windowed_event_agg(
     )
 
 
+def dedup_stream(
+    events, key_cols, ts: str = "ts", watermark: str = "10 minutes"
+):
+    """Streaming exact dedup over ``key_cols`` with state bounded by the
+    watermark: ``dropDuplicatesWithinWatermark`` emits a key's FIRST
+    occurrence and suppresses re-arrivals while the key is inside the
+    late-data horizon, then expires its state — so state size is
+    O(keys-per-horizon), never O(all keys ever). This is the in-flight
+    duplicate guard for a live ingest feed; the crawl engine's
+    url_seen anti-join + Bloom sidecar remains the right tool for the
+    persistent 10^10-key membership set (an unbounded streaming
+    dropDuplicates would hold all of it in executor state).
+    """
+    wm = events.withWatermark(ts, watermark)
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return wm.dropDuplicatesWithinWatermark(cols)
+
+
 def metrics_rate_stream(spark, catalog_root: str):
     """Rolling crawl throughput from the metrics table as a streaming
     aggregation (fetched/failed per superstep window)."""

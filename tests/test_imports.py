@@ -25,7 +25,10 @@ PUBLIC_MODULES = [
     "pholcus_spark.operators",
     "pholcus_spark.ops",
     "pholcus_spark.ops.dedup",
+    "pholcus_spark.ops.imagecaption",
     "pholcus_spark.ops.multimodal",
+    "pholcus_spark.ops.packing",
+    "pholcus_spark.ops.sampling",
     "pholcus_spark.ops.similarity",
     "pholcus_spark.ops.temporal",
     "pholcus_spark.ops.text",

@@ -339,3 +339,29 @@ def test_sessionize_stream_matches_batch_session_window(spark, tmp_path):
     assert set(got) == set(want) and len(got) > 20
     for k, end in got.items():
         assert want[k] == end + 30  # batch end = last event + gap
+
+
+def test_dedup_stream_suppresses_duplicates_within_horizon(spark, tmp_path):
+    """dedup_stream: first occurrence of a key is emitted, re-arrivals
+    within the watermark horizon are suppressed — across micro-batches
+    via checkpointed state, not just within one batch."""
+    from pholcus_spark.streaming import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def df():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id bigint"
+        ).parquet(str(src))
+        return dedup_stream(stream, "user_id", watermark="1 hour")
+
+    # drain 1: user 1 twice in one batch, user 2 once
+    _pq_events(src / "f1.parquet", [(600.0, 1), (610.0, 1), (620.0, 2)], 1000)
+    got1 = _drain(df(), "dd", tmp_path / "ckpt_dd", "append")
+    assert sorted(r.user_id for r in got1) == [1, 2]
+    # drain 2: user 1 again (within the 1h horizon -> suppressed by
+    # checkpointed state), user 3 new
+    _pq_events(src / "f2.parquet", [(700.0, 1), (710.0, 3)], 2000)
+    got2 = _drain(df(), "dd", tmp_path / "ckpt_dd", "append")
+    assert sorted(r.user_id for r in got2) == [3]
