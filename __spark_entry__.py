@@ -636,9 +636,7 @@ def sim_knn_ivf(spark, sf_dir):
 # ipv4, and one intl phone appended — synthetic testdata has no real
 # PII, so the gate manufactures known spans and the md5 of the redacted
 # text pins the exact replacement boundaries on both sides
-def text_pii_scrub(spark, sf_dir):
-    from pholcus_spark.ops.text import pii_scrub
-
+def _dirty_docs(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     d = F.col("doc_id")
     inject = F.concat(
@@ -650,9 +648,15 @@ def text_pii_scrub(spark, sf_dir):
         F.lit(" or +1 (555) 01"),
         F.lpad((d % 100).cast("string"), 2, "0"),
     )
-    dirty = docs.withColumn(
+    return docs.withColumn(
         "text", F.when(d % 3 == 0, inject).otherwise(F.col("text"))
     )
+
+
+def text_pii_scrub(spark, sf_dir):
+    from pholcus_spark.ops.text import pii_scrub
+
+    dirty = _dirty_docs(spark, sf_dir)
     return pii_scrub(dirty).select(
         "doc_id", "n_email", "n_ipv4", "n_phone",
         F.md5("text_clean").alias("clean_md5"),
@@ -766,6 +770,37 @@ def q_pair_phash_neardup(spark, sf_dir):
     return pair_phash_neardup(_derived_pairs(spark, sf_dir), max_hamming=4)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE composed plan — the way a user
+    chains the ops family: PII scrub → quality gate (composite score +
+    min token count) → exact-dup collapse (min doc_id survivor per
+    normalized fingerprint) → 64-token overlapping chunks. Every stage
+    is the same operator its standalone gate checks; the oracle replays
+    the whole chain in one SQL statement, so stage INTERACTIONS (scrub
+    output feeding quality, dedup feeding chunking) are pinned too."""
+    from pholcus_spark.ops.packing import chunk_documents
+    from pholcus_spark.ops.text import norm_text, pii_scrub, quality_score
+    from pyspark.sql.window import Window
+
+    clean = pii_scrub(_dirty_docs(spark, sf_dir)).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    q = quality_score(clean).where(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 25)
+    ).select("doc_id")
+    kept = clean.join(q, "doc_id")
+    surv = (
+        kept.withColumn("fp", F.md5(norm_text(F.col("text"))))
+        .withColumn("_m", F.min("doc_id").over(Window.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("_m"))
+        .select("doc_id", "text")
+    )
+    return chunk_documents(surv, chunk_tokens=64, overlap=16).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking (64-token windows, 16 overlap) — pure
     JVM split/sequence/explode/slice, no Python, no shuffle."""
@@ -820,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_filter": q_pair_filter,
         "q_caption_dedup": q_caption_dedup,
         "q_pair_phash_neardup": q_pair_phash_neardup,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,
         "q_json_extract": q_json_extract,
@@ -977,24 +1013,93 @@ pairs AS (
 """
 
 
+# DuckDB twin of _dirty_docs' deterministic PII injection
+_SQL_INJECT = (
+    "text || ' reach u' || CAST(doc_id AS VARCHAR) || '@mail' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example.org via 10.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || ' or +1 (555) 01' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+def _pii_rules():
+    from pholcus_spark.ops.text import _PII_RULES
+
+    return _PII_RULES
+
+
+def _scrub_chain_sql(col: str) -> str:
+    """Nested regexp_replace applying the full 3-stage redaction to
+    ``col`` — the redacted-text-only form shared by the composed
+    curation oracle."""
+    (_, e_re, e_rep), (_, i_re, i_rep), (_, p_re, p_rep) = _pii_rules()
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'{e_re}', '{e_rep}', 'g'), '{i_re}', '{i_rep}', 'g'), "
+        f"'{p_re}', '{p_rep}', 'g')"
+    )
+
+
+def _curation_sql() -> str:
+    """The q_curation_pipeline oracle: scrub → quality gate → exact-dup
+    survivors → 64/16 chunks, one statement."""
+    norm_t = _NORM.format(x="text")
+    return f"""
+WITH dirty AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN {_SQL_INJECT} ELSE text END AS t
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, {_scrub_chain_sql('t')} AS text FROM dirty
+), feats AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM cleaned
+), scored AS (
+  SELECT doc_id, n_tokens,
+    round(
+      (CASE WHEN n_chars >= 200 THEN 1.0 ELSE n_chars / 200.0 END)
+      * round(n_alpha / greatest(n_chars, 1), 4)
+      * (1.0 - least(round(n_punct / greatest(n_chars, 1), 4) * 5.0, 1.0))
+      * (1.0 - least(round(n_upper / greatest(n_alpha, 1), 4) * 2.0, 1.0)),
+      4) AS quality
+  FROM feats
+), kept AS (
+  SELECT c.doc_id, c.text FROM cleaned c JOIN scored s USING (doc_id)
+  WHERE s.quality >= 0.5 AND s.n_tokens >= 25
+), ranked AS (
+  SELECT doc_id, text,
+    min(doc_id) OVER (PARTITION BY md5({norm_t})) AS m
+  FROM kept
+), surv AS (
+  SELECT doc_id, text FROM ranked WHERE doc_id = m
+), tkn AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM surv
+), ch AS (
+  SELECT doc_id, w,
+    unnest(range(0, 1 + (greatest(len(w) - 64, 0) + 47) // 48)) AS chunk_idx
+  FROM tkn
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+  len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+FROM ch
+"""
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB twin of the text_pii_scrub gate: identical injected spans
     and the SAME regex strings (imported from ops.text, written in the
     Java∩RE2 shared dialect), applied as the same 3-stage redaction
     chain with per-stage counts."""
-    from pholcus_spark.ops.text import _PII_RULES
-
-    (_, e_re, e_rep), (_, i_re, i_rep), (_, p_re, p_rep) = _PII_RULES
-    inject = (
-        "text || ' reach u' || CAST(doc_id AS VARCHAR) || '@mail' || "
-        "CAST(doc_id % 7 AS VARCHAR) || '.example.org via 10.' || "
-        "CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
-        "CAST(doc_id % 250 AS VARCHAR) || ' or +1 (555) 01' || "
-        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
-    )
+    (_, e_re, e_rep), (_, i_re, i_rep), (_, p_re, p_rep) = _pii_rules()
     return f"""
 WITH dirty AS (
-  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN {inject} ELSE text END AS t
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN {_SQL_INJECT} ELSE text END AS t
   FROM documents
 ), s1 AS (
   SELECT doc_id,
@@ -1358,6 +1463,7 @@ FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
 """,
         # 64-token windows, stride 48; tail chunk may be short; every
         # doc emits >= 1 chunk — mirrors ops/packing.chunk_documents
+        "q_curation_pipeline": _curation_sql(),
         "q_doc_chunks": r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

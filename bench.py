@@ -52,6 +52,7 @@ HEADLINE = [
     "q_pair_phash_neardup",
     "q_doc_chunks",
     "q_pack_sequences",
+    "q_curation_pipeline",
     "q_json_extract",
     "q_css_extract",
     "q_global_rank",
