@@ -770,6 +770,36 @@ def q_pair_phash_neardup(spark, sf_dir):
     return pair_phash_neardup(_derived_pairs(spark, sf_dir), max_hamming=4)
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters over a derived multi-line view
+    (10-word lines; every 4th doc gets its first line planted twice
+    more, so duplicate-line and top-bigram signals have real positives
+    — the corpus itself is single-line). Gate compares the integer
+    counts; the frac columns are convenience doubles for users."""
+    from pholcus_spark.ops.text import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    w = F.split(F.trim("text"), r"\s+")
+    n_l = F.floor((F.size(w) + 9) / 10).cast("int")
+    base = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_l - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)),
+        ),
+        "\n",
+    )
+    line1 = F.concat_ws(" ", F.slice(w, 1, 10))
+    ml = F.when(
+        d % 4 == 1,
+        F.concat(base, F.lit("\n"), line1, F.lit("\n"), line1),
+    ).otherwise(base)
+    derived = docs.select("doc_id", ml.alias("text"))
+    return repetition_stats(derived, n=2).select(
+        "doc_id", "n_lines", "dup_lines", "top_ngram_count", "n_ngrams"
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation as ONE composed plan — the way a user
     chains the ops family: PII scrub → quality gate (composite score +
@@ -855,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_filter": q_pair_filter,
         "q_caption_dedup": q_caption_dedup,
         "q_pair_phash_neardup": q_pair_phash_neardup,
+        "text_repetition": text_repetition,
         "q_curation_pipeline": q_curation_pipeline,
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,
@@ -1463,6 +1494,46 @@ FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
 """,
         # 64-token windows, stride 48; tail chunk may be short; every
         # doc emits >= 1 chunk — mirrors ops/packing.chunk_documents
+        "text_repetition": r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ml AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 1
+         THEN base || chr(10) || l1 || chr(10) || l1 ELSE base END AS text
+  FROM (
+    SELECT doc_id,
+      array_to_string(list_transform(range(0, (len(w) + 9) // 10),
+        i -> array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ')),
+        chr(10)) AS base,
+      array_to_string(list_slice(w, 1, 10), ' ') AS l1
+    FROM t
+  )
+),
+ls AS (
+  SELECT doc_id, len(lines) AS n_lines,
+    len(lines) - len(list_distinct(lines)) AS dup_lines, w
+  FROM (
+    SELECT doc_id, string_split(text, chr(10)) AS lines,
+      string_split_regex(trim(text), '\s+') AS w
+    FROM ml
+  )
+),
+g AS (
+  SELECT doc_id, n_lines, dup_lines,
+    array_to_string(list_slice(w, i, i + 1), ' ') AS gm
+  FROM (SELECT doc_id, n_lines, dup_lines, w,
+          unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i FROM ls)
+),
+cnt AS (
+  SELECT doc_id, n_lines, dup_lines, gm, count(*) AS c
+  FROM g GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, n_lines, dup_lines,
+  max(c) AS top_ngram_count, CAST(sum(c) AS BIGINT) AS n_ngrams
+FROM cnt GROUP BY 1, 2, 3
+""",
         "q_curation_pipeline": _curation_sql(),
         "q_doc_chunks": r"""
 WITH t AS (

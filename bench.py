@@ -44,6 +44,7 @@ HEADLINE = [
     "text_clean_html",
     "text_pii_scrub",
     "text_decontaminate",
+    "text_repetition",
     "q_hash_sample",
     "q_stratified_sample",
     "q_train_split",

@@ -199,6 +199,44 @@ def decontaminate(
     return docs.join(hit, "doc_id", "left_anti")
 
 
+def repetition_stats(
+    docs: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line counts and the
+    most-frequent word ``n``-gram's share — the standard filters for
+    boilerplate/spam in a pretraining corpus. Line stats are pure
+    map-side array ops (split / array_distinct); the top-n-gram pass is
+    explode → two hash aggregations on (doc_id[, gram]) — one shuffle,
+    partial-aggregated map-side. All counts are INTEGERS (the
+    ``*_frac`` ratios are convenience doubles; exactness-critical
+    consumers — and the DuckDB gate — use the counts)."""
+    lines = F.split(F.col(text_col), "\n")
+    w = F.split(F.trim(text_col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    line_stats = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("long").alias("dup_lines"),
+        F.explode(grams).alias("_g"),
+    )
+    per_gram = line_stats.groupBy("doc_id", "n_lines", "dup_lines", "_g").agg(
+        F.count("*").alias("_c")
+    )
+    agg = per_gram.groupBy("doc_id", "n_lines", "dup_lines").agg(
+        F.max("_c").cast("long").alias("top_ngram_count"),
+        F.sum("_c").cast("long").alias("n_ngrams"),
+    )
+    return agg.select(
+        "doc_id", "n_lines", "dup_lines", "top_ngram_count", "n_ngrams",
+        (F.col("dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
+        (F.col("top_ngram_count") / F.col("n_ngrams")).alias("top_ngram_frac"),
+    )
+
+
 def clean_html_docs(docs: DataFrame) -> DataFrame:
     """Reference CleanHtml(depth=5) over a deterministic pseudo-HTML
     wrap of each document (`app/spider/common/common.go:18-41`): strips

@@ -841,3 +841,24 @@ def test_pack_sequences_greedy_semantics(spark):
     again = {r.doc_id: (r.bin, r.fill)
              for r in pack_sequences(df, budget=8, n_groups=1).collect()}
     assert again == {i: (out[i].bin, out[i].fill) for i in range(5)}
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        # 3 lines, one duplicated; "a b" bigram appears 3x of 8 grams
+        (0, "a b c\na b c\nx y z"),
+        (1, "unique line one\nunique line two"),
+        (2, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_stats(df, n=2).collect()}
+    assert (out[0].n_lines, out[0].dup_lines) == (3, 1)
+    # words: a b c a b c x y z -> 8 bigrams; "a b" and "b c" occur 2x,
+    # "c a" "c x" "x y" "y z" once
+    assert (out[0].top_ngram_count, out[0].n_ngrams) == (2, 8)
+    assert abs(out[0].dup_line_frac - 1 / 3) < 1e-12
+    assert (out[1].n_lines, out[1].dup_lines) == (2, 0)
+    # "unique line" appears twice among the 5 bigrams
+    assert (out[1].top_ngram_count, out[1].n_ngrams) == (2, 5)
+    # single word: one truncated "bigram"
+    assert (out[2].n_lines, out[2].dup_lines, out[2].n_ngrams) == (1, 0, 1)
