@@ -862,3 +862,62 @@ def test_repetition_stats_hand_computed(spark):
     assert (out[1].top_ngram_count, out[1].n_ngrams) == (2, 5)
     # single word: one truncated "bigram"
     assert (out[2].n_lines, out[2].dup_lines, out[2].n_ngrams) == (1, 0, 1)
+
+
+def test_chunk_and_pack_randomized_invariants(spark):
+    """Seeded randomized cross-check (one job each): chunking must tile
+    every document exactly (each chunk equals its word-slice, coverage
+    is complete), and packing must respect the budget for every
+    multi-doc bin with contiguous bin ids and exact running fills."""
+    import random
+
+    from pholcus_spark.ops.packing import chunk_documents, pack_sequences
+
+    rng = random.Random(404)
+    docs = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(1, 120))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    C, O = 16, 4
+    stride = C - O
+    by_doc = {}
+    for r in chunk_documents(df, chunk_tokens=C, overlap=O).collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    for doc_id, text in docs:
+        words = text.split()
+        chunks = by_doc[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))
+        for k, r in chunks.items():
+            expect = words[k * stride : k * stride + C]
+            assert r.chunk_text.split() == expect
+            assert r.n_chunk_tokens == len(expect)
+        # the last chunk reaches the final token; one more would start
+        # beyond the text
+        assert (len(chunks) - 1) * stride + C >= len(words)
+        assert len(chunks) == 1 or (len(chunks) - 1) * stride < len(words)
+
+    B = 40
+    packed = pack_sequences(df, budget=B, n_groups=4).collect()
+    by_grp = {}
+    for r in packed:
+        assert r.grp == r.doc_id % 4
+        by_grp.setdefault(r.grp, []).append(r)
+    assert sum(len(v) for v in by_grp.values()) == len(docs)  # each doc once
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: r.doc_id)
+        fill, b = 0, 0
+        for r in rows:
+            if fill > 0 and fill + r.n_tokens <= B:
+                fill += r.n_tokens
+            else:
+                if fill > 0:
+                    b += 1
+                fill = r.n_tokens
+            assert (r.bin, r.fill) == (b, fill)
+        bins = {}
+        for r in rows:
+            bins.setdefault(r.bin, []).append(r.n_tokens)
+        assert sorted(bins) == list(range(len(bins)))  # contiguous ids
+        for members in bins.values():
+            assert sum(members) <= B or len(members) == 1  # oversize alone
