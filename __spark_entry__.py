@@ -855,6 +855,19 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=256, n_groups=8)
 
 
+def sim_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding corpus —
+    integer codes compared exactly (floor(x+0.5) rounding has one
+    definition in every engine; the codes are serialized to CSV so the
+    cross-engine compare is type-neutral)."""
+    from pholcus_spark.ops.similarity import quantize_int8
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select(
+        "vec_id", F.array_join("q", ",").alias("q_csv")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -904,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": sim_ann_lsh,
         "sim_knn_batch": sim_knn_batch,
         "sim_knn_ivf": sim_knn_ivf,
+        "sim_quantize_int8": sim_quantize_int8,
     }
 
 
@@ -1750,6 +1764,19 @@ LIMIT 10
         "sim_ann_lsh": _ann_lsh_sql(),
         "sim_knn_batch": _knn_batch_sql(),
         "sim_knn_ivf": _knn_ivf_sql(),
+        "sim_quantize_int8": """
+WITH a AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS am
+  FROM embeddings
+)
+SELECT vec_id,
+  array_to_string(list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / am) + 0.5) AS INTEGER)),
+    ',') AS q_csv
+FROM a
+""",
     }
 
 

@@ -72,6 +72,7 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_knn_batch",
     "sim_knn_ivf",
+    "sim_quantize_int8",
 ]
 
 

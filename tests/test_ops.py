@@ -921,3 +921,16 @@ def test_chunk_and_pack_randomized_invariants(spark):
         assert sorted(bins) == list(range(len(bins)))  # contiguous ids
         for members in bins.values():
             assert sum(members) <= B or len(members) == 1  # oversize alone
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, emb):
+    out = similarity.quantize_int8(emb).collect()
+    src = {r.vec_id: r.embedding for r in emb.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        v = src[r.vec_id]
+        assert all(-127 <= c <= 127 for c in r.q)
+        assert abs(r.absmax - max(abs(float(x)) for x in v)) < 1e-12 or r.absmax == 1e-30
+        for x, c in zip(v, r.q):
+            # dequantization error within half a quantization step
+            assert abs(float(x) - c * r.absmax / 127.0) <= r.absmax / 254.0 + 1e-12
