@@ -440,7 +440,7 @@ def q_css_extract(spark, sf_dir):
 
     er = ExtractRule(
         rule="doc", kind="css", item_pattern="div.doc",
-        fields=("head", "tail", "nc", "w3", "wlast"),
+        fields=("head", "tail", "nc", "w3", "wlast", "w2c", "hhtml"),
         field_css=(
             ("head", "span.head@text"),
             ("tail", "span.tail@text"),
@@ -450,15 +450,27 @@ def q_css_extract(spark, sf_dir):
             # wrapped in <b>, so these pull the 3rd and the last one
             ("w3", "span.head@eq(0) b@eq(2)@text"),
             ("wlast", "b@last@text"),
+            # Children().Eq(n) idiom (fang_resell_list.go:106-108):
+            # 2nd element child of the head span = 2nd <b> word
+            ("w2c", "span.head > *@eq(1)@text"),
+            # .Html() (jiban.go:104): inner HTML of the head span —
+            # the <b>-wrapped words, re-serialized
+            ("hhtml", "span.head@html"),
         ),
     )
     specs = rule_spec_tuples([er])
 
-    @pandas_udf("head string, tail string, nc string, w3 string, wlast string")
+    @pandas_udf(
+        "head string, tail string, nc string, w3 string, wlast string, "
+        "w2c string, hhtml string"
+    )
     def _css(htmls: pd.Series) -> pd.DataFrame:
         _r, kind, key, fields, _lf = compile_rule_specs(specs)[0]
         rows = [apply_rule_spec(h, kind, key, fields)[0] for h in htmls]
-        return pd.DataFrame(rows, columns=["head", "tail", "nc", "w3", "wlast"])
+        return pd.DataFrame(
+            rows,
+            columns=["head", "tail", "nc", "w3", "wlast", "w2c", "hhtml"],
+        )
 
     docs = _load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
@@ -486,6 +498,8 @@ def q_css_extract(spark, sf_dir):
             F.col("_x.nc").alias("nc"),
             F.col("_x.w3").alias("w3"),
             F.col("_x.wlast").alias("wlast"),
+            F.col("_x.w2c").alias("w2c"),
+            F.col("_x.hhtml").alias("hhtml"),
         )
     )
 
@@ -1606,7 +1620,14 @@ SELECT doc_id,
          THEN string_split(text, ' ')[3] END, '') AS w3,
   coalesce(
     string_split(text, ' ')[least(5, len(string_split(text, ' ')))],
-    '') AS wlast
+    '') AS wlast,
+  coalesce(
+    CASE WHEN len(string_split(text, ' ')) >= 2
+         THEN string_split(text, ' ')[2] END, '') AS w2c,
+  array_to_string(
+    list_transform(list_slice(string_split(text, ' '), 1, 5),
+                   w -> '<b>' || w || '</b>'),
+    ' ') AS hhtml
 FROM documents
 """,
         "q_global_rank": r"""

@@ -20,7 +20,13 @@ Supported selector subset (what the reference samples actually use):
 
 Projections mirror goquery: :func:`node_text` concatenates every
 descendant text node (``property.go`` ``Text()``); :func:`node_attr`
-returns an attribute or ``None`` (``Attr()``).
+returns an attribute or ``None`` (``Attr()``); :func:`node_html`
+re-serializes the element's children — goquery ``Html()``
+(``property.go``'s ``html.Render`` over the first element's child
+nodes) — in a canonical form (lowercase tags/attr names, first
+attribute occurrence wins, ``&<>"`` escaped, void elements
+self-closed, comments dropped) shared bit-for-bit with the oracle's
+SAX serializer so the two independent engines stay comparable.
 
 Parsing is tolerant of real-world tag soup the same way x/net/html is:
 unknown/unclosed tags never raise; a mismatched end tag pops to the
@@ -41,6 +47,7 @@ __all__ = [
     "select",
     "node_text",
     "node_attr",
+    "node_html",
 ]
 
 # HTML void elements: never pushed onto the open-element stack
@@ -350,3 +357,57 @@ def node_text(node: HtmlNode) -> str:
 def node_attr(node: HtmlNode, name: str) -> str | None:
     """Attribute value or None (goquery ``Attr()``)."""
     return node.attrs.get(name.lower())
+
+
+def _esc_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_attr(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace('"', "&quot;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def _start_tag(tag: str, attrs: dict[str, str]) -> str:
+    a = "".join(f' {k}="{_esc_attr(v)}"' for k, v in attrs.items())
+    return f"<{tag}{a}>"
+
+
+def node_html(node: HtmlNode) -> str:
+    """Inner HTML of `node` — goquery ``Html()`` (``property.go``,
+    ``html.Render`` over the selection's first element's children).
+
+    Canonical serialization (identical, by contract, to the oracle's
+    single-pass SAX serializer): lowercase tag/attr names, attributes in
+    first-occurrence document order with ``&<>"`` escaped values, text
+    with ``&<>`` escaped, void elements as ``<img .../>``, every
+    non-void element explicitly closed (unclosed tag-soup elements gain
+    their implied close, exactly where the parser's stack popped them),
+    comments/doctype dropped. Iterative — no recursion limit on
+    adversarially deep documents."""
+    parts: list[str] = []
+    # (children-iterator, close-tag|None) — close emitted at exhaustion
+    stack: list[tuple] = [(iter(node.children), None)]
+    while stack:
+        it, close = stack[-1]
+        child = next(it, None)
+        if child is None:
+            if close is not None:
+                parts.append(close)
+            stack.pop()
+            continue
+        if isinstance(child, str):
+            parts.append(_esc_text(child))
+        elif child.tag in _VOID:
+            a = "".join(
+                f' {k}="{_esc_attr(v)}"' for k, v in child.attrs.items()
+            )
+            parts.append(f"<{child.tag}{a}/>")
+        else:
+            parts.append(_start_tag(child.tag, child.attrs))
+            stack.append((iter(child.children), f"</{child.tag}>"))
+    return "".join(parts)

@@ -248,10 +248,19 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
     - ``"@<proj>"``                 — project from the container itself
 
     ``index`` is the 0-based match ordinal, or ``-1`` for ``@last``.
-    The final token is the projection: ``text`` or an attribute name
-    (``eq(...)``/``last`` are reserved and never attribute names).
+    The final token is the projection: ``text``, ``html`` (inner HTML
+    — goquery ``.Html()``, e.g. ``jiban.go:104``
+    ``jo.Find(".articleContent").Html()`` →
+    ``".articleContent@html"``), or an attribute name (``eq(...)``/
+    ``last``/``html`` are reserved and never attribute names).
     An out-of-range index yields '' at apply time, like goquery's empty
     selection -> ``Text()``/``Attr()`` defaults.
+
+    goquery ``.Children().Eq(n)`` (``fang_resell_list.go:106-108``)
+    needs no dedicated token: ``Find(X).Children()`` is the selector
+    ``"X > *"`` (all elements whose parent matches X, document order),
+    so ``Find("div.area").Children().Eq(0).Text()`` is
+    ``"div.area > *@eq(0)@text"``.
     """
     parts = spec.split("@")
     segments: list[tuple[str, int]] = []
@@ -351,6 +360,8 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
                     row[f] = ""
                 elif proj == "text":
                     row[f] = css_mod.node_text(target)
+                elif proj == "html":
+                    row[f] = css_mod.node_html(target)
                 else:
                     row[f] = css_mod.node_attr(target, proj) or ""
             items.append(row)

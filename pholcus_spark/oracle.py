@@ -113,6 +113,19 @@ _ORACLE_SIMPLE_RE = __import__("re").compile(
 _ORACLE_PSEUDOS = {"nth-child", "first-child"}  # start-tag-decidable
 
 
+def _oracle_esc_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _oracle_esc_attr(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace('"', "&quot;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
 # regex scanner (vs css.py's character scanner — mechanisms stay
 # independent): one match per structural unit; [...] groups swallow
 # their content whole, so '>'/','/whitespace inside attribute values
@@ -244,7 +257,8 @@ def _oracle_parse_field_spec(spec: str):
     extract.parse_field_spec — the grammar is shared, the matching
     algorithm is not): ``([(compiled-selector, index), ...], proj)``
     where index is the 0-based ``@eq(n)`` ordinal or -1 for ``@last``;
-    a bare ``<sel>@<proj>`` segment defaults to index 0."""
+    a bare ``<sel>@<proj>`` segment defaults to index 0. The ``html``
+    projection (goquery ``.Html()``) is reserved like ``text``."""
     re_mod = __import__("re")
     parts = spec.split("@")
     segments: list[tuple[list, int]] = []
@@ -285,6 +299,7 @@ class _FieldMachine:
     __slots__ = (
         "stages", "proj", "anchors", "counts",
         "value", "text_buf", "text_depth", "dead_at",
+        "html_buf", "html_depth", "html_open",
     )
 
     def __init__(self, stages, proj, container_depth, container_attrs,
@@ -296,6 +311,9 @@ class _FieldMachine:
         self.value = None
         self.text_buf = None
         self.text_depth = None
+        self.html_buf = None  # serialized inner-HTML chunks (@html)
+        self.html_depth = None
+        self.html_open: list[str] = []  # open non-void tags inside buf
         self.dead_at = None  # shallowest closed @eq anchor stage
         if not stages:  # project from the container element itself
             if proj == "text":
@@ -304,6 +322,13 @@ class _FieldMachine:
                 else:
                     self.text_buf = []
                     self.text_depth = container_depth
+            elif proj == "html":
+                if container_void:
+                    self.value = ""
+                else:
+                    self.html_buf = []
+                    self.html_depth = container_depth
+                    self.html_open = []
             else:
                 self.value = container_attrs.get(proj, "")
 
@@ -317,8 +342,34 @@ class _FieldMachine:
                 else:
                     self.text_buf = []
                     self.text_depth = depth
+            elif self.proj == "html":
+                if void:
+                    self.value = ""
+                    self.html_buf = None
+                else:
+                    self.html_buf = []
+                    self.html_depth = depth
+                    self.html_open = []
             else:
                 self.value = attrs.get(self.proj, "")
+
+    def on_markup(self, tag: str, attrs: dict, void: bool):
+        """Serialize one start-tag event into an ACTIVE @html buffer
+        (callers route only when ``html_buf`` is live — every such
+        event is strictly inside the anchored element, since the
+        buffer seals the moment that element closes). Independent
+        streaming twin of css.node_html's tree walk: same canonical
+        form, no tree."""
+        a = "".join(
+            f' {k}="{_oracle_esc_attr(v)}"' for k, v in attrs.items()
+        )
+        if tag in _ORACLE_VOID:
+            self.html_buf.append(f"<{tag}{a}/>")
+        elif void:  # <foo/> on a non-void tag: childless element
+            self.html_buf.append(f"<{tag}{a}></{tag}>")
+        else:
+            self.html_buf.append(f"<{tag}{a}>")
+            self.html_open.append(tag)
 
     def feed(self, path, depth, void, attrs, container_depth):
         if not self.stages:
@@ -340,6 +391,8 @@ class _FieldMachine:
                     self.dead_at = None
                     self.value = None
                     self.text_buf = None
+                    self.html_buf = None
+                    self.html_open = []
                     self._anchor(t, depth, void, attrs)
                     return
                 if t == len(self.anchors):
@@ -360,6 +413,17 @@ class _FieldMachine:
         if self.text_buf is not None and self.text_depth >= new_depth:
             self.value = "".join(self.text_buf)
             self.text_buf = None
+        if self.html_buf is not None:
+            # elements inside the buffer occupy stack indices
+            # html_depth+1 .. ; a pop to new_depth implies their close
+            # tags (tag soup gets its implied close exactly where the
+            # tree builder's stack pops it — same canonical output)
+            keep = max(0, new_depth - 1 - self.html_depth)
+            while len(self.html_open) > keep:
+                self.html_buf.append(f"</{self.html_open.pop()}>")
+            if self.html_depth >= new_depth:  # anchored element closed
+                self.value = "".join(self.html_buf)
+                self.html_buf = None
         while self.anchors and self.anchors[-1] >= new_depth:
             t = len(self.anchors) - 1
             self.anchors.pop()
@@ -369,6 +433,10 @@ class _FieldMachine:
     def result(self) -> str:
         if self.text_buf is not None:  # sealed at EOF / container close
             return "".join(self.text_buf)
+        if self.html_buf is not None:  # EOF with unclosed elements
+            while self.html_open:
+                self.html_buf.append(f"</{self.html_open.pop()}>")
+            return "".join(self.html_buf)
         return self.value if self.value is not None else ""
 
 
@@ -417,6 +485,15 @@ def _css_items(text: str, er) -> list[dict]:
         el = (tag, amap, counters[-1])
         path = stack + [el]
         depth = len(stack)
+        # stream this start tag into buffers opened by EARLIER events
+        # first (a buffer never includes its own anchor element; feed()
+        # below may anchor/re-anchor machines on THIS element, and a
+        # @last re-anchor wipes the buffer we just appended to — the
+        # fresh capture correctly starts empty)
+        for cap in captures:
+            for m in cap.machines:
+                if m.html_buf is not None:
+                    m.on_markup(tag, amap, void)
         # feed existing captures' field machines
         for cap in captures:
             for m in cap.machines:
@@ -461,10 +538,15 @@ def _css_items(text: str, er) -> list[dict]:
         def handle_data(self, data):
             if not data:
                 return
+            esc = None
             for cap in captures:
                 for m in cap.machines:
                     if m.text_buf is not None:
                         m.text_buf.append(data)
+                    elif m.html_buf is not None:
+                        if esc is None:
+                            esc = _oracle_esc_text(data)
+                        m.html_buf.append(esc)
 
     p = _P(convert_charrefs=True)
     p.feed(text)

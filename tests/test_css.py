@@ -136,6 +136,11 @@ def test_parse_field_spec_grammar():
     assert parse_field_spec("img@eq(2)@src") == ([("img", 2)], "src")
     assert parse_field_spec("b@last@text") == ([("b", -1)], "text")
     assert parse_field_spec("b@last") == ([("b", -1)], "text")
+    assert parse_field_spec(".articleContent@html") == (
+        [(".articleContent", 0)],
+        "html",
+    )
+    assert parse_field_spec("@html") == ([], "html")
     # the shunfenghaitao.go:98 chain shape
     assert parse_field_spec(".goods-c2 ul@eq(0) li@eq(2)@text") == (
         [(".goods-c2 ul", 0), ("li", 2)],
@@ -170,6 +175,90 @@ def test_indexed_projection_engine_equals_oracle():
     for spec, want in cases:
         er = ExtractRule(
             rule="r", kind="css", item_pattern="div.doc",
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+
+
+def test_html_projection_engine_equals_oracle():
+    """`@html` — goquery `.Html()`, 7 uses in the reference rules
+    (jiban.go:104, zhihu_daily.go:108, taobaosearch.go:152,
+    zhihu_bianji.go:163,184,187, baidunews.go:203). Both engines must
+    emit the SAME canonical serialization, including implied closes on
+    tag soup and at EOF."""
+    cases = [
+        # (html, container, spec, expected)
+        (
+            '<div class="c"><p>Hello <b>world</b></p><img src="x.png">t</div>',
+            "div.c", "@html",
+            '<p>Hello <b>world</b></p><img src="x.png"/>t',
+        ),
+        (  # jiban.go:104 shape: Find(".articleContent").Html()
+            '<div class="c"><div class="articleContent"><p>a</p><p>b</p>'
+            "</div></div>",
+            "div.c", ".articleContent@html",
+            "<p>a</p><p>b</p>",
+        ),
+        (  # tag soup: implied closes where the parser stack pops
+            '<div class="c"><ul><li>1<li>2</ul></div>',
+            "div.c", "ul@eq(0)@html",
+            "<li>1<li>2</li></li>",
+        ),
+        (  # entity round-trip: parsed then re-escaped
+            '<div class="c"><span>x &amp; y &lt; z</span></div>',
+            "div.c", "span@html",
+            "x &amp; y &lt; z",
+        ),
+        (  # EOF with unclosed elements
+            '<div class="c"><p>open<b>never closed',
+            "div.c", "p@html",
+            "open<b>never closed</b>",
+        ),
+        (  # @last re-anchor discards the earlier buffer
+            '<div class="c"><p>one</p><p>two <em>2</em></p></div>',
+            "div.c", "p@last@html",
+            "two <em>2</em>",
+        ),
+        (  # void target: no children -> ''
+            '<div class="c"><img src="a" alt="x>y"></div>',
+            "div.c", "img@eq(0)@html",
+            "",
+        ),
+        (  # attr escaping + first-occurrence-wins + explicit self-close
+            '<div class="c"><i/><span a="1" A="2">q</span></div>',
+            "div.c", "@html",
+            '<i></i><span a="1">q</span>',
+        ),
+    ]
+    for html, cont, spec, want in cases:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern=cont,
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+
+
+def test_children_eq_idiom_engine_equals_oracle():
+    """goquery `.Children().Eq(n)` (fang_resell_list.go:106-108) is the
+    `"<sel> > *@eq(n)"` spec — all elements whose parent matches sel,
+    document order, n-th picked."""
+    html = """<html><body><dl class="list"><dd class="info">
+    <div class="area"><p>70m</p><span>south</span></div>
+    <div class="moreInfo"><b>100w</b><i>1.4w/m</i></div>
+    </dd></dl></body></html>"""
+    cases = [
+        ("dd.info div.area > *@eq(0)@text", "70m"),
+        ("dd.info div.moreInfo > *@eq(0)@text", "100w"),
+        ("dd.info div.moreInfo > *@eq(1)@text", "1.4w/m"),
+        ("dd.info div.moreInfo > *@eq(9)@text", ""),  # out of range
+    ]
+    for spec, want in cases:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="dl.list",
             fields=("f",), field_css=(("f", spec),),
         )
         got = _apply_engine(html, er)
@@ -254,6 +343,11 @@ _PROJ = st.sampled_from(
         "div@eq(0) span@last@text", "div@last em@eq(0)@text",
         "div@eq(1) img@eq(0)@src", "span@last div@last@text",
         "div@last .a@eq(0)@data-k",
+        # inner-HTML projection (.Html() — jiban/zhihu/taobaosearch)
+        "@html", "div@html", "span@eq(0)@html", "div@last@html",
+        "img@eq(0)@html", "div@eq(0) span@last@html",
+        # Children().Eq(n) idiom (fang_resell_list)
+        "div > *@eq(0)@text", "span > *@last@text",
     ]
 )
 

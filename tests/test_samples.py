@@ -87,3 +87,51 @@ def test_image_gallery_sample_runs(spark):
         assert imgs.where("NOT valid").count() == 0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_jiban_html_sample_matches_oracle(spark):
+    """The jiban port: the @html (.Html()) projection through the full
+    crawl loop (jiban.go:104). Engine items — including the serialized
+    inner HTML of .articleContent — must equal the independent
+    SAX-matcher oracle's on the same corpus."""
+    sys.path.insert(0, "samples")
+    from jiban_css_spider import JIBAN_SPIDER, build_corpus, run
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-jiban-")
+    try:
+        catalog, state = run(workdir, spark=spark, n_news=3)
+        assert state["stopped"]
+        assert state["totals"]["fetched"] == 4  # 1 list + 3 news
+        items = catalog.read("items")
+        news = items.where("rule = 'news'").collect()
+        assert len(news) == 3
+        for r in news:
+            d = r["data"]
+            i = int(r["url"].rsplit("/", 1)[1])
+            assert d["title"] == f"新闻标题 {i}"
+            assert d["time"] == f"2016-07-{i + 1:02d}"
+            assert d["img_url"].endswith(f"/img/{i}-a.jpg")
+            # canonical inner HTML: entity re-escaped, void img
+            # self-closed, nested <b> intact
+            assert d["content"] == (
+                f"<p>段落一 {i} &amp; 细节</p>"
+                f'<img src="http://jiban.test/img/{i}-a.jpg"/>'
+                f"<p>段落二 <b>重点 {i}</b></p>"
+                f'<img src="http://jiban.test/img/{i}-b.jpg"/>'
+            )
+        # engine == oracle on the full items set (both css matchers,
+        # including both @html serializers)
+        res = testkit.run_oracle(build_corpus(3), JIBAN_SPIDER)
+        eng = {
+            (r.rule, r.url, tuple(sorted(r.data.items())))
+            for r in items.collect()
+        }
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
