@@ -226,7 +226,7 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
     ]
 
 
-_IDX_EQ_RE = re.compile(r"^eq\((\d+)\)(.*)$", re.S)
+_IDX_EQ_RE = re.compile(r"^eq\((-?\d+)\)(.*)$", re.S)
 _IDX_LAST_RE = re.compile(r"^last(?![\w-])(.*)$", re.S)
 
 
@@ -248,6 +248,14 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
     - ``"@<proj>"``                 — project from the container itself
 
     ``index`` is the 0-based match ordinal, or ``-1`` for ``@last``.
+    Negative ordinals count from the end like goquery's ``Eq(-n)``
+    (selection.go: "If index is negative, it counts from the end") —
+    ``@eq(-2)`` is second-to-last, the miyabaobei.go:90 idiom
+    ``urls.Eq(urls.Length() - 2)``. ``@eq(-1)`` ≡ ``@last``. Ordinals
+    ≤ -2 are only accepted on the FINAL segment of a chain (the SAX
+    oracle evaluates them with a bounded last-n buffer, which cannot
+    fork deeper Find stages; both parsers reject non-final uses
+    identically, keeping the two-implementation property).
     The final token is the projection: ``text``, ``html`` (inner HTML
     — goquery ``.Html()``, e.g. ``jiban.go:104``
     ``jo.Find(".articleContent").Html()`` →
@@ -284,6 +292,12 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
             proj = tok.strip() or "text"
     if sel:
         segments.append((sel, 0))
+    for s, idx in segments[:-1]:
+        if idx <= -2:
+            raise ValueError(
+                f"bad field spec {spec!r}: @eq({idx}) (negative,"
+                " from-end) is only supported on the final segment"
+            )
     return segments, proj
 
 
@@ -350,8 +364,8 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
                 target = node
                 for sub, idx in segments:
                     found = css_mod.select(target, sub)
-                    if idx == -1:
-                        target = found[-1] if found else None
+                    if idx < 0:  # from-end (@last / @eq(-n), goquery Eq(-n))
+                        target = found[idx] if len(found) >= -idx else None
                     else:
                         target = found[idx] if idx < len(found) else None
                     if target is None:

@@ -258,14 +258,17 @@ def _oracle_parse_field_spec(spec: str):
     algorithm is not): ``([(compiled-selector, index), ...], proj)``
     where index is the 0-based ``@eq(n)`` ordinal or -1 for ``@last``;
     a bare ``<sel>@<proj>`` segment defaults to index 0. The ``html``
-    projection (goquery ``.Html()``) is reserved like ``text``."""
+    projection (goquery ``.Html()``) is reserved like ``text``.
+    Negative ordinals count from the end (goquery ``Eq(-n)``,
+    miyabaobei.go:90); ≤ -2 only on the final segment — evaluated
+    streaming with a bounded last-n candidate buffer."""
     re_mod = __import__("re")
     parts = spec.split("@")
     segments: list[tuple[list, int]] = []
     sel = parts[0].strip()
     proj = "text"
     for i, tok in enumerate(parts[1:]):
-        m_eq = re_mod.match(r"eq\((\d+)\)(.*)\Z", tok, re_mod.S)
+        m_eq = re_mod.match(r"eq\((-?\d+)\)(.*)\Z", tok, re_mod.S)
         m_last = re_mod.match(r"last(?![\w-])(.*)\Z", tok, re_mod.S)
         if m_eq:
             segments.append((_oracle_parse_selector(sel), int(m_eq.group(1))))
@@ -279,6 +282,12 @@ def _oracle_parse_field_spec(spec: str):
             proj = tok.strip() or "text"
     if sel:
         segments.append((_oracle_parse_selector(sel), 0))
+    for _s, idx in segments[:-1]:
+        if idx <= -2:
+            raise ValueError(
+                f"bad field spec {spec!r}: @eq({idx}) (negative,"
+                " from-end) is only supported on the final segment"
+            )
     return segments, proj
 
 
@@ -300,6 +309,7 @@ class _FieldMachine:
         "stages", "proj", "anchors", "counts",
         "value", "text_buf", "text_depth", "dead_at",
         "html_buf", "html_depth", "html_open",
+        "lastn", "lastn_n",
     )
 
     def __init__(self, stages, proj, container_depth, container_attrs,
@@ -308,6 +318,14 @@ class _FieldMachine:
         self.proj = proj
         self.anchors: list[int] = []
         self.counts = [0] * len(stages)
+        # final-segment @eq(-n), n>=2 (goquery Eq(-n), from the end):
+        # streaming can't know "n-th from end" until the scope closes,
+        # so keep the last n matches' candidate projections (bounded
+        # ring); at result time the OLDEST retained candidate is the
+        # answer iff >= n matches were seen (goquery out-of-range -> '')
+        last_idx = stages[-1][1] if stages else 0
+        self.lastn_n = -last_idx if last_idx <= -2 else 0
+        self.lastn: list[dict] | None = [] if self.lastn_n else None
         self.value = None
         self.text_buf = None
         self.text_depth = None
@@ -353,23 +371,62 @@ class _FieldMachine:
             else:
                 self.value = attrs.get(self.proj, "")
 
+    def _push_candidate(self, depth: int, void: bool, attrs: dict):
+        """One final-segment @eq(-n) match → a self-contained candidate
+        projection (own value/text/html buffer, sealed at its own
+        depth). Ring-bounded at n: the oldest retained candidate is the
+        n-th-from-end once the stream ends."""
+        c = {"value": None, "tbuf": None, "tdepth": None,
+             "hbuf": None, "hdepth": None, "hopen": None}
+        if self.proj == "text":
+            if void:
+                c["value"] = ""
+            else:
+                c["tbuf"] = []
+                c["tdepth"] = depth
+        elif self.proj == "html":
+            if void:
+                c["value"] = ""
+            else:
+                c["hbuf"] = []
+                c["hdepth"] = depth
+                c["hopen"] = []
+        else:
+            c["value"] = attrs.get(self.proj, "")
+        self.lastn.append(c)
+        if len(self.lastn) > self.lastn_n:
+            self.lastn.pop(0)
+
     def on_markup(self, tag: str, attrs: dict, void: bool):
-        """Serialize one start-tag event into an ACTIVE @html buffer
-        (callers route only when ``html_buf`` is live — every such
-        event is strictly inside the anchored element, since the
-        buffer seals the moment that element closes). Independent
+        """Serialize one start-tag event into every ACTIVE @html buffer
+        (the anchored one and/or live last-n candidates; no-op when
+        none is live — every appended event is strictly inside its
+        buffer's element, since buffers seal the moment that element
+        closes and feed() anchors only AFTER this routing). Independent
         streaming twin of css.node_html's tree walk: same canonical
         form, no tree."""
+        bufs = []
+        if self.html_buf is not None:
+            bufs.append((self.html_buf, self.html_open))
+        if self.lastn:
+            for c in self.lastn:
+                if c["hbuf"] is not None:
+                    bufs.append((c["hbuf"], c["hopen"]))
+        if not bufs:
+            return
         a = "".join(
             f' {k}="{_oracle_esc_attr(v)}"' for k, v in attrs.items()
         )
         if tag in _ORACLE_VOID:
-            self.html_buf.append(f"<{tag}{a}/>")
+            piece, opened = f"<{tag}{a}/>", None
         elif void:  # <foo/> on a non-void tag: childless element
-            self.html_buf.append(f"<{tag}{a}></{tag}>")
+            piece, opened = f"<{tag}{a}></{tag}>", None
         else:
-            self.html_buf.append(f"<{tag}{a}>")
-            self.html_open.append(tag)
+            piece, opened = f"<{tag}{a}>", tag
+        for buf, op in bufs:
+            buf.append(piece)
+            if opened is not None:
+                op.append(opened)
 
     def feed(self, path, depth, void, attrs, container_depth):
         if not self.stages:
@@ -393,11 +450,21 @@ class _FieldMachine:
                     self.text_buf = None
                     self.html_buf = None
                     self.html_open = []
+                    if self.lastn is not None:
+                        self.lastn = []
                     self._anchor(t, depth, void, attrs)
                     return
                 if t == len(self.anchors):
                     return
                 t += 1
+            elif idx <= -2:
+                # final-segment from-end @eq(-n): never anchors — every
+                # match pushes a candidate into the bounded ring
+                if self.dead_at is not None:
+                    return  # an @eq ancestor closed — frozen
+                if _oracle_any_match(path, chains, floor):
+                    self._push_candidate(depth, void, attrs)
+                return
             else:
                 if t == len(self.anchors):  # the segment being sought
                     if self.dead_at is not None:
@@ -424,6 +491,18 @@ class _FieldMachine:
             if self.html_depth >= new_depth:  # anchored element closed
                 self.value = "".join(self.html_buf)
                 self.html_buf = None
+        if self.lastn:
+            for c in self.lastn:
+                if c["tbuf"] is not None and c["tdepth"] >= new_depth:
+                    c["value"] = "".join(c["tbuf"])
+                    c["tbuf"] = None
+                if c["hbuf"] is not None:
+                    keep = max(0, new_depth - 1 - c["hdepth"])
+                    while len(c["hopen"]) > keep:
+                        c["hbuf"].append(f"</{c['hopen'].pop()}>")
+                    if c["hdepth"] >= new_depth:
+                        c["value"] = "".join(c["hbuf"])
+                        c["hbuf"] = None
         while self.anchors and self.anchors[-1] >= new_depth:
             t = len(self.anchors) - 1
             self.anchors.pop()
@@ -431,6 +510,19 @@ class _FieldMachine:
                 self.dead_at = t
 
     def result(self) -> str:
+        if self.lastn_n:
+            # last n matches retained; n-th-from-end exists iff the
+            # ring filled (>= n matches) and is then its oldest entry
+            if len(self.lastn) < self.lastn_n:
+                return ""
+            c = self.lastn[0]
+            if c["tbuf"] is not None:  # sealed at EOF
+                return "".join(c["tbuf"])
+            if c["hbuf"] is not None:  # EOF with unclosed elements
+                while c["hopen"]:
+                    c["hbuf"].append(f"</{c['hopen'].pop()}>")
+                return "".join(c["hbuf"])
+            return c["value"] if c["value"] is not None else ""
         if self.text_buf is not None:  # sealed at EOF / container close
             return "".join(self.text_buf)
         if self.html_buf is not None:  # EOF with unclosed elements
@@ -492,8 +584,7 @@ def _css_items(text: str, er) -> list[dict]:
         # fresh capture correctly starts empty)
         for cap in captures:
             for m in cap.machines:
-                if m.html_buf is not None:
-                    m.on_markup(tag, amap, void)
+                m.on_markup(tag, amap, void)  # no-op when no live buffer
         # feed existing captures' field machines
         for cap in captures:
             for m in cap.machines:
@@ -547,6 +638,14 @@ def _css_items(text: str, er) -> list[dict]:
                         if esc is None:
                             esc = _oracle_esc_text(data)
                         m.html_buf.append(esc)
+                    if m.lastn:
+                        for c in m.lastn:
+                            if c["tbuf"] is not None:
+                                c["tbuf"].append(data)
+                            elif c["hbuf"] is not None:
+                                if esc is None:
+                                    esc = _oracle_esc_text(data)
+                                c["hbuf"].append(esc)
 
     p = _P(convert_charrefs=True)
     p.feed(text)

@@ -25,7 +25,7 @@ from pholcus_spark.extract import (
     compile_rule_specs,
     rule_spec_tuples,
 )
-from pholcus_spark.oracle import _css_items
+from pholcus_spark.oracle import _css_items, _oracle_parse_field_spec
 from pholcus_spark.spiderspec import ExtractRule
 
 DOC = """<html><head><title>t</title></head><body>
@@ -175,6 +175,67 @@ def test_indexed_projection_engine_equals_oracle():
     for spec, want in cases:
         er = ExtractRule(
             rule="r", kind="css", item_pattern="div.doc",
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+
+
+def test_negative_eq_engine_equals_oracle():
+    """`@eq(-n)` — goquery `Eq(-n)` counts from the end; the reference's
+    pagination idiom `urls.Eq(urls.Length() - 2)` (miyabaobei.go:90) is
+    `@eq(-2)`. Streaming oracle keeps a bounded last-n candidate ring."""
+    html = """<html><body><div class="pager">
+    <a href="/p1">1</a><a href="/p2">2</a><a href="/p3">3</a>
+    <a href="/p17">17</a><a href="/next">next</a>
+    <span class="head"><b>w1</b><b>w2 <i>deep</i></b><b>w3</b></span>
+    <img src="i1.png"><img src="i2.png"><img src="i3.png">
+    </div></body></html>"""
+    cases = [
+        # miyabaobei.go:90: total page count = second-to-last pager link
+        ("a@eq(-2)@text", "17"),
+        ("a@eq(-2)@href", "/p17"),
+        ("a@eq(-5)@text", "1"),  # exactly-n edge: oldest retained
+        ("a@eq(-6)@text", ""),   # fewer than n matches -> ''
+        ("a@eq(-1)@text", "next"),  # @eq(-1) == @last
+        ("b@eq(-2)@text", "w2 deep"),  # text spans nested elements
+        ("b@eq(-2)@html", "w2 <i>deep</i>"),  # html candidate buffer
+        ("img@eq(-3)@src", "i1.png"),
+        ("span.head@eq(0) b@eq(-2)@text", "w2 deep"),  # chained final
+        ("span.head@last b@eq(-1)@text", "w3"),
+    ]
+    for spec, want in cases:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="div.pager",
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+    # non-final negative eq rejected symmetrically by both parsers
+    from pholcus_spark.extract import parse_field_spec
+
+    for bad in ("a@eq(-2) b@text", "div@eq(-3) span@last@text"):
+        with pytest.raises(ValueError):
+            parse_field_spec(bad)
+        with pytest.raises(ValueError):
+            _oracle_parse_field_spec(bad)
+
+
+def test_negative_eq_nested_matches_seal_independently():
+    """Nested elements matching the same selector hold simultaneously
+    live candidate buffers, each sealed at its own depth."""
+    html = ('<div class="c"><div class="x">outer <div class="x">inner'
+            "</div> tail</div><div class=\"x\">final</div></div>")
+    for spec, want in [
+        ("div.x@eq(-3)@text", "outer inner tail"),
+        ("div.x@eq(-2)@text", "inner"),
+        ("div.x@eq(-1)@text", "final"),
+        ("div.x@eq(-3)@html", 'outer <div class="x">inner</div> tail'),
+    ]:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="div.c",
             fields=("f",), field_css=(("f", spec),),
         )
         got = _apply_engine(html, er)
@@ -348,6 +409,10 @@ _PROJ = st.sampled_from(
         "img@eq(0)@html", "div@eq(0) span@last@html",
         # Children().Eq(n) idiom (fang_resell_list)
         "div > *@eq(0)@text", "span > *@last@text",
+        # from-end indexing (goquery Eq(-n), miyabaobei pagination)
+        "div@eq(-2)@text", "span@eq(-1)@text", "img@eq(-2)@src",
+        "div@eq(-3)@html", "div@eq(0) span@eq(-2)@text",
+        "span@last div@eq(-2)@text",
     ]
 )
 
