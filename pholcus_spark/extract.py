@@ -259,8 +259,11 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
     The final token is the projection: ``text``, ``html`` (inner HTML
     — goquery ``.Html()``, e.g. ``jiban.go:104``
     ``jo.Find(".articleContent").Html()`` →
-    ``".articleContent@html"``), or an attribute name (``eq(...)``/
-    ``last``/``html`` are reserved and never attribute names).
+    ``".articleContent@html"``), ``count`` (match count as a decimal
+    string — goquery ``.Length()``, e.g. miyabaobei.go:88
+    ``urls.Length()`` → ``"a@count"``; must follow a bare selector),
+    or an attribute name (``eq(...)``/``last``/``html``/``count`` are
+    reserved and never attribute names).
     An out-of-range index yields '' at apply time, like goquery's empty
     selection -> ``Text()``/``Attr()`` defaults.
 
@@ -290,6 +293,15 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
                     "must be final"
                 )
             proj = tok.strip() or "text"
+    if proj == "count" and not sel:
+        # goquery .Length() (miyabaobei.go:88 urls.Length()): counts
+        # the FULL match set of a trailing bare selector; an explicit
+        # @eq/@last right before @count (a 0/1-element selection) is
+        # rejected — write the index step one segment earlier instead
+        raise ValueError(
+            f"bad field spec {spec!r}: @count must follow a bare "
+            "selector (no @eq/@last on the counted segment)"
+        )
     if sel:
         segments.append((sel, 0))
     for s, idx in segments[:-1]:
@@ -362,6 +374,28 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
             row = {}
             for f, segments, proj in projections:
                 target = node
+                if proj == "count":
+                    # goquery .Length(): walk the chain, count the full
+                    # match set of the final segment (empty upstream
+                    # selection counts 0, like Find on empty selection)
+                    n = 0
+                    for si, (sub, idx) in enumerate(segments):
+                        found = css_mod.select(target, sub)
+                        if si == len(segments) - 1:
+                            n = len(found)
+                            break
+                        if idx < 0:
+                            target = (
+                                found[idx] if len(found) >= -idx else None
+                            )
+                        else:
+                            target = (
+                                found[idx] if idx < len(found) else None
+                            )
+                        if target is None:
+                            break
+                    row[f] = str(n)
+                    continue
                 for sub, idx in segments:
                     found = css_mod.select(target, sub)
                     if idx < 0:  # from-end (@last / @eq(-n), goquery Eq(-n))

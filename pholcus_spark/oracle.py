@@ -280,6 +280,11 @@ def _oracle_parse_field_spec(spec: str):
             if i != len(parts) - 2:
                 raise ValueError(f"bad field spec {spec!r}")
             proj = tok.strip() or "text"
+    if proj == "count" and not sel:
+        raise ValueError(
+            f"bad field spec {spec!r}: @count must follow a bare "
+            "selector (no @eq/@last on the counted segment)"
+        )
     if sel:
         segments.append((_oracle_parse_selector(sel), 0))
     for _s, idx in segments[:-1]:
@@ -457,6 +462,15 @@ class _FieldMachine:
                 if t == len(self.anchors):
                     return
                 t += 1
+            elif self.proj == "count" and t == len(self.stages) - 1:
+                # @count (goquery .Length()): the final segment never
+                # anchors — every match within the anchored chain bumps
+                # the counter; an earlier @last re-anchor resets it
+                if self.dead_at is not None:
+                    return  # an @eq ancestor closed — frozen
+                if _oracle_any_match(path, chains, floor):
+                    self.counts[t] += 1
+                return
             elif idx <= -2:
                 # final-segment from-end @eq(-n): never anchors — every
                 # match pushes a candidate into the bounded ring
@@ -510,6 +524,8 @@ class _FieldMachine:
                 self.dead_at = t
 
     def result(self) -> str:
+        if self.proj == "count":  # stages always non-empty (parse)
+            return str(self.counts[-1])
         if self.lastn_n:
             # last n matches retained; n-th-from-end exists iff the
             # ring filled (>= n matches) and is then its oldest entry

@@ -223,6 +223,42 @@ def test_negative_eq_engine_equals_oracle():
             _oracle_parse_field_spec(bad)
 
 
+def test_count_projection_engine_equals_oracle():
+    """`@count` — goquery `.Length()` (miyabaobei.go:88 pagination:
+    `urls.Length()` gates the totalPage pull). Decimal-string count of
+    the final bare segment's full match set."""
+    html = """<html><body><div class="pager">
+    <a href="/p1">1</a><a href="/p2">2</a><a href="/p3">3</a>
+    <span class="head"><b>w1</b><b>w2</b></span>
+    <span class="tail"><b>z</b></span>
+    </div></body></html>"""
+    cases = [
+        ("a@count", "3"),
+        ("b@count", "3"),                      # across both spans
+        ("span.head@eq(0) b@count", "2"),      # chained: scoped count
+        ("span@last b@count", "1"),            # @last re-anchor resets
+        ("span.missing@count", "0"),
+        ("span.missing@eq(0) b@count", "0"),   # empty upstream -> 0
+        ("div@count", "0"),                    # no div INSIDE container
+    ]
+    for spec, want in cases:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="div.pager",
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+    # @count needs a bare counted segment — both parsers reject
+    from pholcus_spark.extract import parse_field_spec
+
+    for bad in ("@count", "a@eq(2)@count", "a@last@count"):
+        with pytest.raises(ValueError):
+            parse_field_spec(bad)
+        with pytest.raises(ValueError):
+            _oracle_parse_field_spec(bad)
+
+
 def test_negative_eq_nested_matches_seal_independently():
     """Nested elements matching the same selector hold simultaneously
     live candidate buffers, each sealed at its own depth."""
@@ -413,6 +449,9 @@ _PROJ = st.sampled_from(
         "div@eq(-2)@text", "span@eq(-1)@text", "img@eq(-2)@src",
         "div@eq(-3)@html", "div@eq(0) span@eq(-2)@text",
         "span@last div@eq(-2)@text",
+        # match-count projection (.Length(), miyabaobei pagination)
+        "div@count", "span@count", "div@eq(0) span@count",
+        "span@last div@count", "img@count",
     ]
 )
 
