@@ -784,6 +784,17 @@ def q_pair_phash_neardup(spark, sf_dir):
     return pair_phash_neardup(_derived_pairs(spark, sf_dir), max_hamming=4)
 
 
+def q_aspect_bucket(spark, sf_dir):
+    """SDXL-style aspect-ratio bucket assignment: integer-exact rational
+    argmin over the literal bucket list — zero shuffle, zero UDF; the
+    DuckDB oracle replays the same integers via cross join + window."""
+    from pholcus_spark.ops.imagecaption import aspect_bucket
+
+    return aspect_bucket(_derived_pairs(spark, sf_dir)).select(
+        "image_id", "w", "h", "bucket_id", "bucket_w", "bucket_h"
+    )
+
+
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition filters over a derived multi-line view
     (10-word lines; every 4th doc gets its first line planted twice
@@ -912,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_filter": q_pair_filter,
         "q_caption_dedup": q_caption_dedup,
         "q_pair_phash_neardup": q_pair_phash_neardup,
+        "q_aspect_bucket": q_aspect_bucket,
         "text_repetition": text_repetition,
         "q_curation_pipeline": q_curation_pipeline,
         "q_doc_chunks": q_doc_chunks,
@@ -1057,6 +1069,22 @@ _SQL_CAPTION = (
     "WHEN 3 THEN 'stock photo of a sunset over water' "
     "WHEN 7 THEN 'logo placeholder image' ELSE text END"
 )
+# DuckDB twin of ops.imagecaption.aspect_bucket's literal bucket list:
+# same (i, bw, bh, L/bh) integers, so the rational argmin is bit-exact
+def _sql_bucket_values() -> str:
+    import math
+
+    from pholcus_spark.ops.imagecaption import DEFAULT_ASPECT_BUCKETS
+
+    L = math.lcm(*[bh for _bw, bh in DEFAULT_ASPECT_BUCKETS])
+    return ", ".join(
+        f"({i}, {bw}, {bh}, {L // bh})"
+        for i, (bw, bh) in enumerate(DEFAULT_ASPECT_BUCKETS)
+    )
+
+
+_SQL_BUCKET_VALUES = _sql_bucket_values()
+
 _SQL_PAIRS = f"""
 pairs AS (
   SELECT 'img' || CAST(doc_id AS VARCHAR) AS image_id,
@@ -1491,6 +1519,23 @@ f AS (
 SELECT image_id, w, h, fmt, aspect_q4, caption_tokens FROM f
 WHERE w >= 64 AND h >= 64 AND aspect_q4 <= 30000
   AND caption_tokens BETWEEN 2 AND 128
+""",
+        "q_aspect_bucket": f"""
+WITH {_SQL_PAIRS},
+b (i, bw, bh, m) AS (VALUES {_SQL_BUCKET_VALUES}),
+d AS (
+  SELECT p.image_id, p.w, p.h, b.i, b.bw, b.bh,
+    abs(CAST(p.w AS BIGINT) * b.bh - b.bw * CAST(p.h AS BIGINT)) * b.m
+      AS dist
+  FROM pairs p CROSS JOIN b
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY dist, i)
+    AS rn
+  FROM d
+)
+SELECT image_id, w, h, i AS bucket_id, bw AS bucket_w, bh AS bucket_h
+FROM r WHERE rn = 1
 """,
         "q_caption_dedup": f"""
 WITH {_SQL_PAIRS},

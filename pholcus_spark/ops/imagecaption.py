@@ -32,7 +32,26 @@ from pyspark.sql.window import Window
 
 from .text import norm_text
 
-__all__ = ["pair_filter", "caption_dedup", "pair_phash_neardup"]
+__all__ = [
+    "pair_filter",
+    "caption_dedup",
+    "pair_phash_neardup",
+    "aspect_bucket",
+    "DEFAULT_ASPECT_BUCKETS",
+]
+
+# SDXL-style aspect-ratio buckets (w, h): square plus landscape/
+# portrait steps out to ~2.2:1 — batches are formed per bucket so
+# every sample in a batch shares one crop shape
+DEFAULT_ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (512, 512),
+    (576, 448),
+    (448, 576),
+    (640, 384),
+    (384, 640),
+    (704, 320),
+    (320, 704),
+)
 
 
 def pair_filter(
@@ -73,6 +92,72 @@ def caption_dedup(pairs: DataFrame) -> DataFrame:
         F.min("image_id").over(Window.partitionBy("caption_fp")),
     )
     return ranked.where(F.col("image_id") == F.col("_min_id")).drop("_min_id")
+
+
+def aspect_bucket(
+    pairs: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS,
+) -> DataFrame:
+    """Assign every image to the training bucket with the closest
+    aspect ratio (SDXL-style aspect-ratio bucketed batching: each batch
+    draws from ONE bucket so all samples share a crop shape).
+
+    Adds ``bucket_id`` (index into ``buckets``), ``bucket_w``,
+    ``bucket_h``. Pure per-row JVM fold over a literal bucket array —
+    zero shuffle, zero UDF; downstream batch formation is then a single
+    ``repartition("bucket_id")``.
+
+    INTEGER-exact argmin: comparing |w/h − bw_i/bh_i| across buckets is
+    done on the common scale L = lcm(bh_i):
+
+        dist_i = |w·bh_i − bw_i·h| · (L / bh_i)
+
+    (the shared 1/(h·L) factor cancels), so the choice is bit-exact in
+    any engine — no float log-aspect anywhere, and the DuckDB oracle
+    replays the same integers. Ties pick the lowest bucket index
+    (strictly-less fold keeps the first)."""
+    import math
+
+    L = math.lcm(*[bh for _bw, bh in buckets])
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(bw).cast("long").alias("bw"),
+                F.lit(bh).cast("long").alias("bh"),
+                F.lit(L // bh).cast("long").alias("m"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    w = F.col("w").cast("long")
+    h = F.col("h").cast("long")
+    best = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(-1).alias("i"), F.lit(1 << 62).cast("long").alias("d")
+        ),
+        lambda acc, b: F.when(
+            F.abs(w * b["bh"] - b["bw"] * h) * b["m"] < acc["d"],
+            F.struct(
+                b["i"].alias("i"),
+                (F.abs(w * b["bh"] - b["bw"] * h) * b["m"]).alias("d"),
+            ),
+        ).otherwise(acc),
+    )
+    dims = F.array(
+        *[
+            F.struct(F.lit(bw).alias("bw"), F.lit(bh).alias("bh"))
+            for bw, bh in buckets
+        ]
+    )
+    out = pairs.withColumn("_best", best)
+    return (
+        out.withColumn("bucket_id", F.col("_best.i"))
+        .withColumn("bucket_w", F.element_at(dims, F.col("bucket_id") + 1)["bw"])
+        .withColumn("bucket_h", F.element_at(dims, F.col("bucket_id") + 1)["bh"])
+        .drop("_best")
+    )
 
 
 def pair_phash_neardup(pairs: DataFrame, max_hamming: int = 4) -> DataFrame:

@@ -740,6 +740,41 @@ def test_stratified_sample_and_split(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_aspect_bucket_assignment(spark):
+    """Integer-exact rational argmin: hand-checked picks, ties to the
+    lowest bucket index, out-of-gamut aspect clamps to the extreme
+    bucket — and the whole op is shuffle-free."""
+    from pholcus_spark.ops import imagecaption as ic
+
+    rows = [
+        ("sq", 1000, 1000),     # exactly 1:1 -> (512, 512)
+        ("land", 1290, 1000),   # 1.29 ~ 576/448=1.2857 -> bucket 1
+        ("port", 1000, 1290),   # inverse -> (448, 576)
+        ("wide", 9000, 1000),   # 9:1, beyond 2.2 -> clamps to (704, 320)
+        ("tall", 1000, 9000),   # -> (320, 704)
+        ("mid", 1440, 1000),    # 1.44: 576/448=1.2857 vs 640/384=1.6667
+                                # dists .1543 vs .2267 -> bucket 1
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    out = {r.image_id: r for r in ic.aspect_bucket(df).collect()}
+    assert (out["sq"].bucket_w, out["sq"].bucket_h) == (512, 512)
+    assert out["land"].bucket_id == 1
+    assert (out["port"].bucket_w, out["port"].bucket_h) == (448, 576)
+    assert (out["wide"].bucket_w, out["wide"].bucket_h) == (704, 320)
+    assert (out["tall"].bucket_w, out["tall"].bucket_h) == (320, 704)
+    assert out["mid"].bucket_id == 1
+    # exact tie -> lowest index: two buckets with the SAME ratio
+    tie = ic.aspect_bucket(
+        spark.createDataFrame([("t", 2, 1)], "image_id string, w int, h int"),
+        buckets=((512, 256), (1024, 512), (512, 512)),
+    ).collect()[0]
+    assert tie.bucket_id == 0
+    # pure per-row fold: no shuffle, no Python in the plan
+    plan = ic.aspect_bucket(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_pair_filter_bounds(spark):
     from pholcus_spark.ops import imagecaption as ic
 
