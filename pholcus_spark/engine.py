@@ -1208,6 +1208,14 @@ class CrawlEngine:
                 "post_data": post_col,
             }
         ).where(F.col("rule").isNotNull())
+        # extract-count pagination (PaginateRule — the reference's
+        # Aid-loop idiom): expanded JVM-side, pushed after the page's
+        # other children via the ordinal block offset; joins the same
+        # robots / temp-carry / key pipeline below
+        if getattr(spec, "paginate_rules", ()) or ():
+            pag = self._paginate_children(parsed)
+            if pag is not None:
+                links = links.unionByName(pag)
         # robots disallow filter (north-rule extension): broadcast dim join
         links = (
             links.join(
@@ -1290,6 +1298,93 @@ class CrawlEngine:
             }
         ).drop("caption", "image_id")
         return links
+
+    def _paginate_children(self, parsed: DataFrame) -> DataFrame | None:
+        """PaginateRule expansion — the reference's extract-count-then-
+        Aid-loop pagination (miyabaobei.go:86-105 ``ctx.Aid({"loop":
+        [1, total]})``; same shape in taobao.go / jdSpider.go /
+        lewa.go), fully distributed: the count rides the page's
+        extracted items (dsl_items), ``sequence`` + ``format_string``
+        expand pages ``start..min(count, max_pages)`` inside whole-stage
+        codegen — no driver loop, no Python stage, no extra body pass.
+
+        Generated children carry ``target_rule``/``priority``/
+        ``method`` directly (ctx.Aid names the rule — LinkRule routing
+        is bypassed) and an ordinal in a dedicated block per item
+        (``(ipos+1)·2^20 + page``) so push order is: anchors, figure
+        srcs, link_fields children, then pagination — FIFO-stable and
+        mirrored independently by the conformance oracle. Returns rows
+        shaped exactly like the routed-links frame at the union point
+        (post canonical_split + routing, pre robots)."""
+        spec = self.spec
+        parts: list[DataFrame] = []
+        for pr in getattr(spec, "paginate_rules", ()) or ():
+            src = parsed.where(F.col("rule") == pr.rule).select(
+                "spider",
+                F.col("url").alias("parent_url"),
+                "depth",
+                F.col("priority").alias("p_prio"),
+                F.col("seq").alias("p_seq"),
+                F.posexplode("dsl_items").alias("ipos", "_data"),
+            )
+            if spec.max_depth is not None:
+                src = src.where(F.col("depth") < spec.max_depth)
+            # non-numeric / missing count → no pages (the reference's
+            # strconv.Atoi err branch leaves total = 0)
+            cnt = F.col("_data").getItem(pr.count_field).try_cast("int")
+            last = (
+                F.least(cnt, F.lit(pr.max_pages))
+                if pr.max_pages is not None
+                else cnt
+            )
+            # guard: sequence(a, b) with b < a steps DOWNWARD in Spark —
+            # an exhausted range must be empty, not reversed
+            pages = F.when(
+                last >= F.lit(pr.start), F.sequence(F.lit(pr.start), last)
+            ).otherwise(F.array().cast("array<int>"))
+            src = src.select(
+                "spider", "parent_url", "depth", "p_prio", "p_seq",
+                "ipos", "_data",
+                F.explode(pages).alias("_page"),
+            )
+            base = (
+                F.coalesce(
+                    F.col("_data").getItem(pr.base_field),
+                    F.col("parent_url"),
+                )
+                if pr.base_field is not None
+                else F.col("parent_url")
+            )
+            raw = (
+                F.format_string(pr.url_template, base, F.col("_page"))
+                if "%s" in pr.url_template
+                else F.format_string(pr.url_template, F.col("_page"))
+            )
+            part = src.select(
+                "spider", "parent_url", "depth", "p_prio", "p_seq",
+                ((F.col("ipos") + 1) * F.lit(1 << 20) + F.col("_page"))
+                .alias("ordinal"),
+                raw.alias("raw_link"),
+            )
+            part = canonical_split(part, "raw_link").where(
+                F.col("curl").isNotNull()
+            )
+            parts.append(
+                part.withColumns(
+                    {
+                        "rule": F.lit(pr.target_rule),
+                        "priority": F.lit(pr.priority).cast("int"),
+                        "method": F.lit(pr.method),
+                        "post_data": F.lit(""),
+                    }
+                )
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _seen_dirs(self) -> list[str]:
         m = self.catalog.current()

@@ -982,6 +982,65 @@ def crawl(
                             temp=img_link_caption.get(canon),
                         )
                         push(child)
+                    # PaginateRule expansion (Aid-loop pagination,
+                    # miyabaobei.go:86-105): pushed AFTER the page's
+                    # anchors / figure srcs / link_fields children, in
+                    # (item order, page asc) — mirrors the engine's
+                    # per-item ordinal blocks. ctx.Aid names the rule:
+                    # LinkRule routing is bypassed.
+                    for pr in getattr(spec, "paginate_rules", ()) or ():
+                        if pr.rule != req.rule:
+                            continue
+                        pag_items: list[dict] = []
+                        for er in spec.extract_rules:
+                            if er.rule == pr.rule:
+                                pag_items.extend(_extract_items(page, er))
+                        for data in pag_items:
+                            try:
+                                cnt = int(data.get(pr.count_field, ""))
+                            except ValueError:
+                                continue  # strconv.Atoi err → no pages
+                            last = (
+                                min(cnt, pr.max_pages)
+                                if pr.max_pages is not None
+                                else cnt
+                            )
+                            base = (
+                                (data.get(pr.base_field) or req.url)
+                                if pr.base_field is not None
+                                else req.url
+                            )
+                            for pg in range(pr.start, last + 1):
+                                u = (
+                                    pr.url_template % (base, pg)
+                                    if "%s" in pr.url_template
+                                    else pr.url_template % pg
+                                )
+                                canon = canonicalize_url_safe(u)
+                                if canon is None:
+                                    continue
+                                push(
+                                    Req(
+                                        spider=req.spider,
+                                        rule=pr.target_rule,
+                                        url=canon,
+                                        host=host_of(canon),
+                                        method=pr.method,
+                                        priority=pr.priority,
+                                        seq=-1,
+                                        depth=req.depth + 1,
+                                        parent_url=req.url,
+                                        key=request_key(
+                                            req.spider,
+                                            pr.target_rule,
+                                            canon,
+                                            pr.method,
+                                        ),
+                                        reloadable=canon
+                                        in spec.reloadable_urls,
+                                        temp=None,
+                                    )
+                                )
             else:
                 failed += 1
                 if req.key in failures:  # second failure → permanent

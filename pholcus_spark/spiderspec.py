@@ -86,6 +86,42 @@ class ExtractRule:
 
 
 @dataclasses.dataclass(frozen=True)
+class PaginateRule:
+    """Declarative totalPage pagination — the reference's
+    extract-count-then-Aid-loop idiom (miyabaobei.go:86-105:
+    ``totalPage = urls.Eq(urls.Length()-2).Text()`` then
+    ``ctx.Aid({"loop": [1, total], ...})``; the same shape appears in
+    taobao.go, jdSpider.go and lewa.go).
+
+    An ExtractRule on ``rule`` extracts the page count into
+    ``count_field`` (the new ``@count`` / ``@eq(-n)`` / ``@last``
+    projections express every reference variant); the engine then
+    expands pages ``start..min(count, max_pages)`` into child requests
+    ENTIRELY JVM-side — ``sequence`` + ``format_string``, no driver
+    loop, no Python — pushed after the page's anchors / figure srcs /
+    link_fields children in FIFO order.
+
+    ``url_template`` is a printf template: ``%d`` receives the page
+    number; an optional leading ``%s`` receives ``base_field``'s value
+    from the same item (the reference's ``ctx.GetTemp("baseUrl")``
+    carry) or, when ``base_field`` is None, the emitting page's own
+    URL. Generated requests take ``target_rule``/``priority``/
+    ``method`` directly (ctx.Aid names the rule — LinkRule routing is
+    bypassed) but still pass canonicalization, robots, limit and
+    history dedup like every child."""
+
+    rule: str  # rule whose extracted items carry the count
+    count_field: str  # item field holding the decimal page count
+    url_template: str  # printf: '%d' = page, optional leading '%s' = base
+    target_rule: str  # rule assigned to generated page requests
+    base_field: str | None = None  # '%s' source field (None = page URL)
+    start: int = 2  # first generated page (page 1 is the page itself)
+    max_pages: int | None = None  # hard cap on the expansion
+    priority: int = 0
+    method: str = "GET"
+
+
+@dataclasses.dataclass(frozen=True)
 class SpiderSpec:
     name: str
     link_rules: tuple[LinkRule, ...] = (
@@ -101,6 +137,8 @@ class SpiderSpec:
     # user-authored extraction rules (see ExtractRule); items they emit
     # land in the same items table alongside the built-in figure items
     extract_rules: tuple[ExtractRule, ...] = ()
+    # extract-count-then-expand pagination (see PaginateRule)
+    paginate_rules: tuple[PaginateRule, ...] = ()
 
     def route(self, url: str) -> LinkRule | None:
         for lr in self.link_rules:

@@ -177,6 +177,12 @@ def _build_scenarios() -> dict[str, dict]:
     from avatar_css_spider import AVATAR_SPIDER, build_corpus as _avatar_corpus
 
     scenarios["avatar"] = dict(corpus=_avatar_corpus(), spec=AVATAR_SPIDER)
+    # the ported miyabaobei sample: Aid-loop pagination — the page
+    # count is EXTRACTED (via @eq(-2)/@count) and every list page
+    # request is PaginateRule-generated (no hrefs in the corpus at all)
+    from miya_paginate_spider import MIYA_SPIDER, build_corpus as _miya_corpus
+
+    scenarios["paginate"] = dict(corpus=_miya_corpus(), spec=MIYA_SPIDER)
     scenarios["post"] = dict(
         corpus=fixtures.generate(
             fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
@@ -335,6 +341,33 @@ def test_avatar_link_fields_conformance(runs):
     check_conformance(run, res)
     assert len(res.images) == 6
     assert sum(1 for o in res.order if "/img/" in o["url"]) == 6
+
+
+def test_paginate_rule_conformance(runs):
+    """miyabaobei port (miyabaobei.go:82-135): totalPage extracted from
+    the pager via @eq(-2) (urls.Eq(urls.Length()-2).Text()), pages
+    2..total generated by PaginateRule (the ctx.Aid loop) — schedule,
+    url_seen and items match the oracle exactly; every non-seed fetch
+    is pagination-generated."""
+    import miya_paginate_spider as miya  # samples/ on sys.path via runs
+
+    _, run, res = runs["paginate"]
+    check_conformance(run, res)
+    # all pages crawled exactly once: seed + TOTAL_PAGES-1 generated
+    assert len(res.order) == miya.TOTAL_PAGES
+    assert sorted(o["url"] for o in res.order) == sorted(
+        f"http://{miya.HOST}/cat?page={p}"
+        for p in range(1, miya.TOTAL_PAGES + 1)
+    )
+    # the pager probe item carries the extracted count and Length()
+    pager_items = [i for i in res.items if "total_pages" in i["data"]]
+    assert len(pager_items) == 1
+    assert pager_items[0]["data"]["total_pages"] == str(miya.TOTAL_PAGES)
+    assert pager_items[0]["data"]["n_links"] == str(miya.TOTAL_PAGES + 1)
+    # goods items from every page (page 1 re-parsed under the list rule
+    # shape: ctx.Parse("商品列表"))
+    goods = [i for i in res.items if "price" in i["data"]]
+    assert len(goods) == miya.TOTAL_PAGES * miya.GOODS_PER_PAGE
 
 
 def test_css_extract_rule_conformance(runs):
