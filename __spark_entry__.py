@@ -784,6 +784,39 @@ def q_pair_phash_neardup(spark, sf_dir):
     return pair_phash_neardup(_derived_pairs(spark, sf_dir), max_hamming=4)
 
 
+def q_paginate_expand(spark, sf_dir):
+    """PaginateRule's count→pages→URL expansion (the Aid-loop operator,
+    engine.paginate_expand) on a derived item table: counts cycle 0..8
+    with every 13th non-numeric (the strconv.Atoi err edge), start=2,
+    max_pages=6 clamps — every edge the DuckDB range() oracle replays."""
+    from pholcus_spark.engine import paginate_expand
+    from pholcus_spark.spiderspec import PaginateRule
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    src = docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("http://ex.test/cat?id="), d.cast("string")).alias(
+            "parent_url"
+        ),
+        F.create_map(
+            F.lit("total"),
+            F.when(d % 13 == 0, F.lit("x")).otherwise(
+                (d % 9).cast("string")
+            ),
+        ).alias("_data"),
+    )
+    pr = PaginateRule(
+        rule="r", count_field="total", url_template="%s&page=%d",
+        target_rule="list", start=2, max_pages=6,
+    )
+    return paginate_expand(src, pr).select(
+        "doc_id",
+        F.col("_page").alias("page"),
+        F.col("raw_link").alias("url"),
+    )
+
+
 def q_aspect_bucket(spark, sf_dir):
     """SDXL-style aspect-ratio bucket assignment: integer-exact rational
     argmin over the literal bucket list — zero shuffle, zero UDF; the
@@ -924,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_caption_dedup": q_caption_dedup,
         "q_pair_phash_neardup": q_pair_phash_neardup,
         "q_aspect_bucket": q_aspect_bucket,
+        "q_paginate_expand": q_paginate_expand,
         "text_repetition": text_repetition,
         "q_curation_pipeline": q_curation_pipeline,
         "q_doc_chunks": q_doc_chunks,
@@ -1519,6 +1553,20 @@ f AS (
 SELECT image_id, w, h, fmt, aspect_q4, caption_tokens FROM f
 WHERE w >= 64 AND h >= 64 AND aspect_q4 <= 30000
   AND caption_tokens BETWEEN 2 AND 128
+""",
+        "q_paginate_expand": """
+WITH src AS (
+  SELECT doc_id,
+    'http://ex.test/cat?id=' || CAST(doc_id AS VARCHAR) AS base,
+    CASE WHEN doc_id % 13 = 0 THEN NULL
+         ELSE least(CAST(doc_id % 9 AS INTEGER), 6) END AS lastpg
+  FROM documents
+)
+SELECT doc_id,
+  CAST(u.pg AS INTEGER) AS page,
+  base || '&page=' || CAST(u.pg AS VARCHAR) AS url
+FROM src, unnest(range(2, lastpg + 1)) AS u(pg)
+WHERE lastpg >= 2
 """,
         "q_aspect_bucket": f"""
 WITH {_SQL_PAIRS},

@@ -51,6 +51,8 @@ HEADLINE = [
     "q_pair_filter",
     "q_caption_dedup",
     "q_pair_phash_neardup",
+    "q_aspect_bucket",
+    "q_paginate_expand",
     "q_doc_chunks",
     "q_pack_sequences",
     "q_curation_pipeline",

@@ -83,6 +83,47 @@ _FAST_CANON_RE = r"^https?://[a-z0-9\.\-]+/[^?#\s]*$"
 _FAST_HOST_RE = r"^https?://([a-z0-9\.\-]+)/"
 
 
+def paginate_expand(src: DataFrame, pr) -> DataFrame:
+    """The PaginateRule count→pages→URL expansion, as a standalone
+    DataFrame transform (shared by the engine's ``_paginate_children``
+    and the DuckDB correctness gate). Input rows carry ``_data``
+    (map<string,string> — the extracted item) and ``parent_url``;
+    output explodes one row per page ``start..min(count, max_pages)``
+    with ``_page`` (int) and ``raw_link`` columns appended. Non-numeric
+    or missing counts expand to zero pages (strconv.Atoi err branch,
+    miyabaobei.go:96). All whole-stage codegen: try_cast + sequence +
+    format_string — no driver loop, no Python."""
+    cnt = F.col("_data").getItem(pr.count_field).try_cast("int")
+    last = (
+        F.least(cnt, F.lit(pr.max_pages))
+        if pr.max_pages is not None
+        else cnt
+    )
+    # guards: sequence(a, b) with b < a steps DOWNWARD in Spark — an
+    # exhausted range must be empty, not reversed; and least() SKIPS
+    # nulls (least(NULL, max_pages) = max_pages), so the non-numeric-
+    # count case must be gated on cnt itself or it would expand to
+    # max_pages pages instead of zero (caught by gate q_paginate_expand)
+    pages = F.when(
+        cnt.isNotNull() & (last >= F.lit(pr.start)),
+        F.sequence(F.lit(pr.start), last),
+    ).otherwise(F.array().cast("array<int>"))
+    out = src.select("*", F.explode(pages).alias("_page"))
+    base = (
+        F.coalesce(
+            F.col("_data").getItem(pr.base_field), F.col("parent_url")
+        )
+        if pr.base_field is not None
+        else F.col("parent_url")
+    )
+    raw = (
+        F.format_string(pr.url_template, base, F.col("_page"))
+        if "%s" in pr.url_template
+        else F.format_string(pr.url_template, F.col("_page"))
+    )
+    return out.withColumn("raw_link", raw)
+
+
 def canonical_split(df: DataFrame, src_col: str) -> DataFrame:
     """Add ``curl`` (canonical URL) + ``host`` columns: JVM expression
     for already-canonical URLs, vectorized UDF for the rest; rows whose
@@ -1329,42 +1370,11 @@ class CrawlEngine:
             )
             if spec.max_depth is not None:
                 src = src.where(F.col("depth") < spec.max_depth)
-            # non-numeric / missing count → no pages (the reference's
-            # strconv.Atoi err branch leaves total = 0)
-            cnt = F.col("_data").getItem(pr.count_field).try_cast("int")
-            last = (
-                F.least(cnt, F.lit(pr.max_pages))
-                if pr.max_pages is not None
-                else cnt
-            )
-            # guard: sequence(a, b) with b < a steps DOWNWARD in Spark —
-            # an exhausted range must be empty, not reversed
-            pages = F.when(
-                last >= F.lit(pr.start), F.sequence(F.lit(pr.start), last)
-            ).otherwise(F.array().cast("array<int>"))
-            src = src.select(
-                "spider", "parent_url", "depth", "p_prio", "p_seq",
-                "ipos", "_data",
-                F.explode(pages).alias("_page"),
-            )
-            base = (
-                F.coalesce(
-                    F.col("_data").getItem(pr.base_field),
-                    F.col("parent_url"),
-                )
-                if pr.base_field is not None
-                else F.col("parent_url")
-            )
-            raw = (
-                F.format_string(pr.url_template, base, F.col("_page"))
-                if "%s" in pr.url_template
-                else F.format_string(pr.url_template, F.col("_page"))
-            )
-            part = src.select(
+            part = paginate_expand(src, pr).select(
                 "spider", "parent_url", "depth", "p_prio", "p_seq",
                 ((F.col("ipos") + 1) * F.lit(1 << 20) + F.col("_page"))
                 .alias("ordinal"),
-                raw.alias("raw_link"),
+                F.col("raw_link"),
             )
             part = canonical_split(part, "raw_link").where(
                 F.col("curl").isNotNull()

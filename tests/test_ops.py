@@ -740,6 +740,49 @@ def test_stratified_sample_and_split(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_paginate_expand_edges(spark):
+    """PaginateRule expansion edges: clamp at max_pages, count < start
+    -> empty, and the least()-skips-nulls trap — a NON-NUMERIC count
+    with max_pages set must expand to ZERO pages (least(NULL, m) = m in
+    Spark; regression pinned by gate q_paginate_expand)."""
+    from pholcus_spark.engine import paginate_expand
+    from pholcus_spark.spiderspec import PaginateRule
+
+    src = spark.createDataFrame(
+        [
+            ("a", "http://h/x", {"n": "4"}),     # pages 2..4
+            ("b", "http://h/y", {"n": "9"}),     # clamped 2..6
+            ("c", "http://h/z", {"n": "1"}),     # < start -> none
+            ("d", "http://h/w", {"n": "x"}),     # non-numeric -> none
+            ("e", "http://h/v", {}),             # missing -> none
+        ],
+        "id string, parent_url string, _data map<string,string>",
+    )
+    pr = PaginateRule(
+        rule="r", count_field="n", url_template="%s?p=%d",
+        target_rule="t", start=2, max_pages=6,
+    )
+    rows = paginate_expand(src, pr).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.id, []).append((r._page, r.raw_link))
+    assert sorted(got) == ["a", "b"]
+    assert [p for p, _ in sorted(got["a"])] == [2, 3, 4]
+    assert [p for p, _ in sorted(got["b"])] == [2, 3, 4, 5, 6]
+    assert sorted(got["a"])[0][1] == "http://h/x?p=2"
+    # no max_pages: count alone bounds; non-numeric still empty
+    pr2 = PaginateRule(
+        rule="r", count_field="n", url_template="%s?p=%d",
+        target_rule="t", start=2,
+    )
+    rows2 = paginate_expand(src, pr2).collect()
+    by_id = {}
+    for r in rows2:
+        by_id.setdefault(r.id, 0)
+        by_id[r.id] += 1
+    assert by_id == {"a": 3, "b": 8}
+
+
 def test_aspect_bucket_assignment(spark):
     """Integer-exact rational argmin: hand-checked picks, ties to the
     lowest bucket index, out-of-gamut aspect clamps to the extreme
