@@ -784,6 +784,36 @@ def q_pair_phash_neardup(spark, sf_dir):
     return pair_phash_neardup(_derived_pairs(spark, sf_dir), max_hamming=4)
 
 
+def _sharded_pairs(spark, sf_dir):
+    from pholcus_spark.ops.imagecaption import shard_pairs
+
+    return shard_pairs(
+        _derived_pairs(spark, sf_dir),
+        target_bytes=4 << 20,
+        n_buckets=8,
+        # pixel count as the size proxy — the derived pair table carries
+        # no binary column (metadata sharding, bytes stay on disk)
+        size=F.col("w").cast("long") * F.col("h"),
+    )
+
+
+def q_shard_pairs(spark, sf_dir):
+    """WebDataset-style shard assignment: portable-hash bucket +
+    running-bytes window → deterministic pre-shuffled, size-bounded
+    shards; DuckDB replays the identical hash/order/cumsum integers."""
+    return _sharded_pairs(spark, sf_dir).select(
+        "image_id", "row_bytes", "bucket", "shard_ix", "shard"
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    from pholcus_spark.ops.imagecaption import shard_manifest
+
+    return shard_manifest(_sharded_pairs(spark, sf_dir)).select(
+        "bucket", "shard_ix", "shard", "n_rows", "total_bytes"
+    )
+
+
 def q_paginate_expand(spark, sf_dir):
     """PaginateRule's count→pages→URL expansion (the Aid-loop operator,
     engine.paginate_expand) on a derived item table: counts cycle 0..8
@@ -958,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_phash_neardup": q_pair_phash_neardup,
         "q_aspect_bucket": q_aspect_bucket,
         "q_paginate_expand": q_paginate_expand,
+        "q_shard_pairs": q_shard_pairs,
+        "q_shard_manifest": q_shard_manifest,
         "text_repetition": text_repetition,
         "q_curation_pipeline": q_curation_pipeline,
         "q_doc_chunks": q_doc_chunks,
@@ -1553,6 +1585,50 @@ f AS (
 SELECT image_id, w, h, fmt, aspect_q4, caption_tokens FROM f
 WHERE w >= 64 AND h >= 64 AND aspect_q4 <= 30000
   AND caption_tokens BETWEEN 2 AND 128
+""",
+        "q_shard_pairs": f"""
+WITH {_SQL_PAIRS},
+s AS (
+  SELECT image_id,
+    CAST(w AS BIGINT) * h AS row_bytes,
+    CAST(({_H.format(x="image_id")}) % 8 AS INTEGER) AS bucket,
+    ({_H.format(x="image_id")}) AS hsh
+  FROM pairs
+),
+c AS (
+  SELECT image_id, row_bytes, bucket,
+    CAST(coalesce(sum(row_bytes) OVER (
+      PARTITION BY bucket ORDER BY hsh, image_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // {4 << 20} AS INTEGER) AS shard_ix
+  FROM s
+)
+SELECT image_id, row_bytes, bucket, shard_ix,
+  CAST(bucket AS VARCHAR) || '-' || CAST(shard_ix AS VARCHAR) AS shard
+FROM c
+""",
+        "q_shard_manifest": f"""
+WITH {_SQL_PAIRS},
+s AS (
+  SELECT image_id,
+    CAST(w AS BIGINT) * h AS row_bytes,
+    CAST(({_H.format(x="image_id")}) % 8 AS INTEGER) AS bucket,
+    ({_H.format(x="image_id")}) AS hsh
+  FROM pairs
+),
+c AS (
+  SELECT row_bytes, bucket,
+    CAST(coalesce(sum(row_bytes) OVER (
+      PARTITION BY bucket ORDER BY hsh, image_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // {4 << 20} AS INTEGER) AS shard_ix
+  FROM s
+)
+SELECT bucket, shard_ix,
+  CAST(bucket AS VARCHAR) || '-' || CAST(shard_ix AS VARCHAR) AS shard,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(row_bytes) AS BIGINT) AS total_bytes
+FROM c GROUP BY 1, 2, 3
 """,
         "q_paginate_expand": """
 WITH src AS (

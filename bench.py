@@ -53,6 +53,8 @@ HEADLINE = [
     "q_pair_phash_neardup",
     "q_aspect_bucket",
     "q_paginate_expand",
+    "q_shard_pairs",
+    "q_shard_manifest",
     "q_doc_chunks",
     "q_pack_sequences",
     "q_curation_pipeline",

@@ -38,6 +38,8 @@ __all__ = [
     "pair_phash_neardup",
     "aspect_bucket",
     "DEFAULT_ASPECT_BUCKETS",
+    "shard_pairs",
+    "shard_manifest",
 ]
 
 # SDXL-style aspect-ratio buckets (w, h): square plus landscape/
@@ -157,6 +159,75 @@ def aspect_bucket(
         .withColumn("bucket_w", F.element_at(dims, F.col("bucket_id") + 1)["bw"])
         .withColumn("bucket_h", F.element_at(dims, F.col("bucket_id") + 1)["bh"])
         .drop("_best")
+    )
+
+
+def shard_pairs(
+    pairs: DataFrame,
+    target_bytes: int = 1 << 30,
+    n_buckets: int = 64,
+    size: "F.Column | None" = None,
+) -> DataFrame:
+    """Assign pairs to size-bounded training shards (the WebDataset-
+    style ingest prep: a trainer streams whole shards, so shards must
+    be ~equal-sized and pre-shuffled).
+
+    Deterministic two-level id: ``bucket`` = portable_hash64(image_id)
+    mod ``n_buckets`` (the cross-engine md5 hash, so the DuckDB oracle
+    replays it bit-exact), then within a bucket rows are ordered by
+    (hash, image_id) — a deterministic pseudo-random interleave, which
+    is exactly the pre-shuffle a training loader wants — and
+    ``shard_ix`` = floor(running-bytes-before / target_bytes): a plain
+    window sum, no sequential fold. Adds ``bucket``, ``shard_ix``,
+    ``shard`` ("<bucket>-<shard_ix>") and ``row_bytes``.
+
+    One shuffle (hash on bucket). Scale sizing: a bucket sorts in one
+    task, so pick ``n_buckets`` ≈ corpus_bytes / (a few GB) the same
+    way the body store sizes its buckets; shards stay ~``target_bytes``
+    except the one straddling row per boundary (cumulative rule — a
+    row lands in the shard its PRECEDING bytes fill, so shards can
+    overshoot by at most one row, never undershoot fragmented).
+
+    ``size`` defaults to ``octet_length(bytes) +
+    octet_length(caption)`` — pass an expression to shard on metadata
+    when the binary column should stay on disk."""
+    from ..ops.text import portable_hash64
+
+    if size is None:
+        size = F.octet_length("bytes") + F.octet_length("caption")
+    h = portable_hash64(F.col("image_id"))
+    out = pairs.withColumns(
+        {
+            "row_bytes": size.cast("long"),
+            "bucket": F.pmod(h, F.lit(n_buckets)).cast("int"),
+            "_h": h,
+        }
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", "image_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("row_bytes").over(w), F.lit(0))
+    return (
+        out.withColumn(
+            "shard_ix",
+            F.floor(cum_before / F.lit(target_bytes)).cast("int"),
+        )
+        .withColumn(
+            "shard",
+            F.concat_ws("-", F.col("bucket"), F.col("shard_ix")),
+        )
+        .drop("_h")
+    )
+
+
+def shard_manifest(sharded: DataFrame) -> DataFrame:
+    """Per-shard manifest for the ingest loader: row count + byte
+    total (one hash aggregation over shard_pairs' output)."""
+    return sharded.groupBy("bucket", "shard_ix", "shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("row_bytes").alias("total_bytes"),
     )
 
 

@@ -740,6 +740,47 @@ def test_stratified_sample_and_split(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_shard_pairs_size_bound(spark):
+    """Shard invariants: every shard's total stays under target_bytes +
+    its largest row (the cumulative rule overshoots by at most the
+    straddling row), shard indexes are contiguous from 0 per bucket,
+    and the assignment is deterministic across runs."""
+    from pholcus_spark.ops import imagecaption as ic
+
+    rows = [(f"img{i:04d}", b"x" * ((i * 37) % 900 + 100), f"cap {i}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, caption string"
+    )
+    out = ic.shard_pairs(df, target_bytes=2000, n_buckets=4)
+    man = {
+        (r.bucket, r.shard_ix): r
+        for r in ic.shard_manifest(out).collect()
+    }
+    per_shard_max = {
+        (r.bucket, r.shard_ix): r
+        for r in out.groupBy("bucket", "shard_ix")
+        .agg(F.max("row_bytes").alias("mx"))
+        .collect()
+    }
+    assert len(man) > 10
+    for k, m in man.items():
+        assert m.total_bytes < 2000 + per_shard_max[k].mx, k
+    # contiguous shard_ix per bucket, starting at 0
+    by_bucket = {}
+    for b, ix in man:
+        by_bucket.setdefault(b, []).append(ix)
+    for b, ixs in by_bucket.items():
+        assert sorted(ixs) == list(range(len(ixs))), b
+    # deterministic: identical assignment on re-evaluation
+    a = sorted((r.image_id, r.shard) for r in out.collect())
+    b = sorted(
+        (r.image_id, r.shard)
+        for r in ic.shard_pairs(df, target_bytes=2000, n_buckets=4).collect()
+    )
+    assert a == b
+
+
 def test_paginate_expand_edges(spark):
     """PaginateRule expansion edges: clamp at max_pages, count < start
     -> empty, and the least()-skips-nulls trap — a NON-NUMERIC count
