@@ -790,7 +790,7 @@ class CrawlEngine:
                 html_ok.withColumn(
                     "_ex",
                     extract_all_vec(self.spec.extract_rules)(
-                        "body", "content_type", "url", "rule"
+                        "body", "content_type", "url", "rule", "temp"
                     ),
                 )
                 .withColumns(
@@ -799,6 +799,7 @@ class CrawlEngine:
                         "figures": F.col("_ex.figures"),
                         "dsl_items": F.col("_ex.dsl_items"),
                         "dsl_links": F.col("_ex.dsl_links"),
+                        "dsl_carry": F.col("_ex.dsl_carry"),
                     }
                 )
                 .drop("_ex", "body")  # bodies leave the plan before the cache
@@ -836,6 +837,9 @@ class CrawlEngine:
             dsl_rules = sorted({er.rule for er in self.spec.extract_rules})
             # both modes: the fused parse already computed dsl_items in
             # the same body pass as links/figures
+            # temp_fields merged task-side inside the fused parse (the
+            # UDF/kernel receives the request temp), so items here are
+            # already carry-complete — including multi-hop re-carry
             dsl_src = parsed.where(F.col("rule").isin(dsl_rules)).select(
                 "spider", "rule", "url", "parent_url",
                 F.explode("dsl_items").alias("data"),
@@ -1311,21 +1315,73 @@ class CrawlEngine:
             (links["parent_url"] == figs["fparent"]) & (links["curl"] == figs["fsrc"]),
             "left",
         ).drop("fparent", "fsrc")
+        # rule-authored Temp carry (AddQueue Temp map,
+        # shunfenghaitao.go:60, zhihu_daily.go:45,58): carry_fields of
+        # the emitting item attach to its link_fields children — joined
+        # on (parent, canonical url) like the figure carry, last
+        # emitter wins deterministically
+        if any(
+            getattr(er, "carry_fields", ()) or ()
+            for er in spec.extract_rules
+        ):
+            carries = (
+                parsed.select(
+                    F.col("url").alias("cparent"),
+                    F.posexplode(
+                        F.arrays_zip("dsl_links", "dsl_carry")
+                    ).alias("cpos", "_z"),
+                )
+                .select(
+                    "cparent",
+                    "cpos",
+                    F.col("_z.dsl_links").alias("_rawl"),
+                    F.col("_z.dsl_carry").alias("ctemp"),
+                )
+                .where(F.col("ctemp").isNotNull())
+            )
+            carries = (
+                canonical_split(carries, "_rawl")
+                .withColumnRenamed("curl", "ccurl")
+                .drop("host", "_rawl")
+                .withColumn(
+                    "_crn",
+                    F.row_number().over(
+                        Window.partitionBy("cparent", "ccurl").orderBy(
+                            F.desc("cpos")
+                        )
+                    ),
+                )
+                .where(F.col("_crn") == 1)
+                .drop("_crn", "cpos")
+            )
+            links = links.join(
+                carries,
+                (links["parent_url"] == carries["cparent"])
+                & (links["curl"] == carries["ccurl"]),
+                "left",
+            ).drop("cparent", "ccurl")
+        else:
+            links = links.withColumn(
+                "ctemp", F.lit(None).cast("map<string,string>")
+            )
         # generic Temp carry-along (request.go:280-332, temp.go:11-44):
         # a map<string,string> column on the frontier row; the figure
         # carry (caption/image_id for image children) populates it here,
-        # and any future rule-authored carry lands in the same map
+        # a rule-authored carry (ctemp) REPLACES it when present
         reload_list = list(spec.reloadable_urls)
         # method is part of the identity key: the same URL under GET and
         # POST is two frontier entries (request.go:139-145)
         links = links.withColumns(
             {
-                "temp": F.map_filter(
-                    F.create_map(
-                        F.lit("caption"), F.col("caption"),
-                        F.lit("image_id"), F.col("image_id"),
+                "temp": F.coalesce(
+                    F.col("ctemp"),
+                    F.map_filter(
+                        F.create_map(
+                            F.lit("caption"), F.col("caption"),
+                            F.lit("image_id"), F.col("image_id"),
+                        ),
+                        lambda k, v: v.isNotNull(),
                     ),
-                    lambda k, v: v.isNotNull(),
                 ),
                 "reloadable": (
                     F.col("curl").isin(reload_list)
@@ -1337,7 +1393,7 @@ class CrawlEngine:
                 ),
                 "depth": F.col("depth") + 1,
             }
-        ).drop("caption", "image_id")
+        ).drop("caption", "image_id", "ctemp")
         return links
 
     def _paginate_children(self, parsed: DataFrame) -> DataFrame | None:

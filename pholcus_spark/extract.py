@@ -211,8 +211,9 @@ ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
 
 def rule_spec_tuples(extract_rules) -> list[tuple]:
     """ExtractRules → plain picklable (rule, kind, pattern, fields,
-    field_css, link_fields) tuples for UDF closures (compile
-    regexes/selectors task-side with :func:`compile_rule_specs`)."""
+    field_css, link_fields, carry_fields, temp_fields) tuples for UDF
+    closures (compile regexes/selectors task-side with
+    :func:`compile_rule_specs`)."""
     return [
         (
             er.rule,
@@ -221,6 +222,8 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(er.fields),
             tuple(getattr(er, "field_css", ()) or ()),
             tuple(getattr(er, "link_fields", ()) or ()),
+            tuple(getattr(er, "carry_fields", ()) or ()),
+            tuple(getattr(er, "temp_fields", ()) or ()),
         )
         for er in extract_rules
     ]
@@ -336,16 +339,17 @@ def _compile_css_spec(pat: str, fields: tuple, field_css: tuple):
 
 def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
     """Task-side: compile the regex/css kinds once per task. Output
-    tuples: (rule, kind, compiled-key, fields, link_fields)."""
+    tuples: (rule, kind, compiled-key, fields, link_fields,
+    carry_fields, temp_fields)."""
     out = []
-    for rule, kind, pat, fields, field_css, link_fields in specs:
+    for rule, kind, pat, fields, field_css, link_fields, carry, tf in specs:
         if kind == "regex":
             key = re.compile(pat, re.S)
         elif kind == "css":
             key = _compile_css_spec(pat, fields, field_css)
         else:
             key = pat
-        out.append((rule, kind, key, fields, link_fields))
+        out.append((rule, kind, key, fields, link_fields, carry, tf))
     return out
 
 
@@ -502,6 +506,10 @@ EXTRACT_FULL_TYPE = StructType(
         StructField("figures", FIGURES_TYPE),
         StructField("dsl_items", ArrayType(MapType(StringType(), StringType()))),
         StructField("dsl_links", ArrayType(StringType())),
+        # per-dsl-link carry temp (parallel to dsl_links; null = none)
+        StructField(
+            "dsl_carry", ArrayType(MapType(StringType(), StringType()))
+        ),
     ]
 )
 
@@ -521,15 +529,21 @@ def extract_all_vec(extract_rules=()):
         content_types: pd.Series,
         base_urls: pd.Series,
         rules: pd.Series,
+        temps: pd.Series,
     ) -> pd.DataFrame:
         compiled = compile_rule_specs(specs)
-        links_out, figs_out, dsl_out, dlinks_out = [], [], [], []
-        for b, ct, u, r in zip(bodies, content_types, base_urls, rules):
+        links_out, figs_out, dsl_out, dlinks_out, dcarry_out = (
+            [], [], [], [], [],
+        )
+        for b, ct, u, r, tp in zip(
+            bodies, content_types, base_urls, rules, temps
+        ):
             if b is None:
                 links_out.append([])
                 figs_out.append([])
                 dsl_out.append([])
                 dlinks_out.append([])
+                dcarry_out.append([])
                 continue
             text = decode_body(b, ct)
             links_out.append(
@@ -544,39 +558,74 @@ def extract_all_vec(extract_rules=()):
                     for src, cap in _FIGURE_RE.findall(text)
                 ]
             )
-            row_items, row_links = _apply_rules_for(compiled, text, r, u)
+            row_items, row_links, row_carries = _apply_rules_for(
+                compiled, text, r, u, tp
+            )
             dsl_out.append(row_items)
             dlinks_out.append(row_links)
+            dcarry_out.append(row_carries)
         return pd.DataFrame(
             {
                 "out_links": links_out,
                 "figures": figs_out,
                 "dsl_items": dsl_out,
                 "dsl_links": dlinks_out,
+                "dsl_carry": dcarry_out,
             }
         )
 
     return _udf
 
 
-def _apply_rules_for(compiled, text: str, rule: str, base_url: str):
+def _apply_rules_for(
+    compiled, text: str, rule: str, base_url: str, temp: dict | None = None
+):
     """All compiled ExtractRules matching `rule` over one decoded page:
-    (items, link_fields-emitted links in item order)."""
+    (items, link_fields-emitted links in item order, per-link carry
+    temps — ``carry_fields`` values of the emitting item, None when the
+    rule carries nothing: the reference's AddQueue ``Temp:`` map,
+    shunfenghaitao.go:60).
+
+    ``temp`` is the REQUEST's temp map: ``temp_fields`` values merge
+    into each item BEFORE carries are computed (ctx.GetTemp in Output,
+    shunfenghaitao.go:75), so a rule can re-carry an inherited temp to
+    its own children — the reference's multi-hop goodsType chain."""
+    if temp is not None and not isinstance(temp, dict):
+        # Arrow hands MapType over as a dict; normalize the
+        # list-of-pairs form some conversion paths produce (NaN → None)
+        try:
+            temp = dict(temp)
+        except TypeError:
+            temp = None
     row_items: list[dict] = []
     row_links: list[str] = []
-    for r, kind, key, fields, link_fields in compiled:
+    row_carries: list[dict | None] = []
+    for r, kind, key, fields, link_fields, carry_fields, tfs in compiled:
         if r != rule:
             continue
         items = apply_rule_spec(text, kind, key, fields)
+        # temp_fields consumer merge: request temp overrides any
+        # same-named extracted field (the reference authors the Output
+        # map explicitly, so the collision cannot arise there)
+        for f in tfs:
+            v = str((temp or {}).get(f) or "")
+            for it in items:
+                it[f] = v
         row_items.extend(items)
         # per-item then per-field, like the reference's AddQueue inside
         # the selection Each loop
         for it in items:
+            carry = (
+                {f: it.get(f, "") for f in carry_fields}
+                if carry_fields
+                else None
+            )
             for lf in link_fields:
                 v = it.get(lf)
                 if v:
                     row_links.append(absolutize(base_url, v))
-    return row_items, row_links
+                    row_carries.append(carry)
+    return row_items, row_links, row_carries
 
 
 @pandas_udf(EXTRACT_ALL_TYPE)
@@ -620,15 +669,23 @@ def parse_pages_kernel(extract_rules=()):
 
     def kernel(grp: pd.DataFrame) -> pd.DataFrame:
         compiled = compile_rule_specs(specs)
-        links_out, figs_out, dsl_out, dlinks_out = [], [], [], []
-        for b, ct, u, r in zip(
-            grp["body"], grp["content_type"], grp["url"], grp["rule"]
+        links_out, figs_out, dsl_out, dlinks_out, dcarry_out = (
+            [], [], [], [], [],
+        )
+        temps = (
+            grp["temp"]
+            if "temp" in grp.columns
+            else pd.Series([None] * len(grp))
+        )
+        for b, ct, u, r, tp in zip(
+            grp["body"], grp["content_type"], grp["url"], grp["rule"], temps
         ):
             if b is None:
                 links_out.append([])
                 figs_out.append([])
                 dsl_out.append([])
                 dlinks_out.append([])
+                dcarry_out.append([])
                 continue
             text = decode_body(bytes(b), ct)
             links_out.append(
@@ -643,14 +700,18 @@ def parse_pages_kernel(extract_rules=()):
                     for src, cap in _FIGURE_RE.findall(text)
                 ]
             )
-            row_items, row_links = _apply_rules_for(compiled, text, r, u)
+            row_items, row_links, row_carries = _apply_rules_for(
+                compiled, text, r, u, tp
+            )
             dsl_out.append(row_items)
             dlinks_out.append(row_links)
+            dcarry_out.append(row_carries)
         out = grp.drop(columns=["body"]).copy()
         out["out_links"] = links_out
         out["figures"] = figs_out
         out["dsl_items"] = dsl_out
         out["dsl_links"] = dlinks_out
+        out["dsl_carry"] = dcarry_out
         return out
 
     return kernel
@@ -660,5 +721,6 @@ PARSE_EXTRA_DDL = (
     "out_links array<string>, "
     "figures array<struct<src:string,caption:string>>, "
     "dsl_items array<map<string,string>>, "
-    "dsl_links array<string>"
+    "dsl_links array<string>, "
+    "dsl_carry array<map<string,string>>"
 )

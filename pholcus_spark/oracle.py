@@ -919,10 +919,17 @@ def crawl(
                 # per regex match over the decoded body; named capture
                 # groups → fields (spider.go:48-58 ParseFunc analog)
                 dsl_links: list[str] = []
+                dsl_carry: dict[str, dict] = {}  # canon url → carry temp
                 for er in spec.extract_rules:
                     if er.rule != req.rule:
                         continue
                     extracted = _extract_items(page, er)
+                    # temp_fields consumer merge (ctx.GetTemp in Output,
+                    # shunfenghaitao.go:75): request temp overrides any
+                    # same-named extracted field
+                    for f in tuple(getattr(er, "temp_fields", ()) or ()):
+                        for data in extracted:
+                            data[f] = str((req.temp or {}).get(f) or "")
                     for data in extracted:
                         items.append(
                             {
@@ -935,13 +942,28 @@ def crawl(
                         emitted += 1
                     # link_fields → AddQueue from rule data
                     # (avatar.go:95-101): per item, per field, appended
-                    # after the page's anchors and figure srcs
+                    # after the page's anchors and figure srcs; the
+                    # item's carry_fields ride along as the child's
+                    # temp (AddQueue Temp map, shunfenghaitao.go:60) —
+                    # last emitter wins, mirroring the engine's
+                    # (parent, curl) dedup
                     lfs = tuple(getattr(er, "link_fields", ()) or ())
+                    cfs = tuple(getattr(er, "carry_fields", ()) or ())
                     for data in extracted:
+                        carry = (
+                            {f: data.get(f, "") for f in cfs}
+                            if cfs
+                            else None
+                        )
                         for lf in lfs:
                             v = data.get(lf)
                             if v:
-                                dsl_links.append(absolutize(req.url, v))
+                                link = absolutize(req.url, v)
+                                dsl_links.append(link)
+                                if carry is not None:
+                                    c = canonicalize_url_safe(link)
+                                    if c is not None:
+                                        dsl_carry[c] = carry
                 if depth_ok:
                     img_link_caption = {}
                     if img_refs:
@@ -979,7 +1001,10 @@ def crawl(
                             # (request.go:139-145)
                             key=request_key(req.spider, lr.rule, canon, lr.method),
                             reloadable=canon in spec.reloadable_urls,
-                            temp=img_link_caption.get(canon),
+                            # rule-authored carry replaces the figure
+                            # carry when present (engine: coalesce)
+                            temp=dsl_carry.get(canon)
+                            or img_link_caption.get(canon),
                         )
                         push(child)
                     # PaginateRule expansion (Aid-loop pagination,

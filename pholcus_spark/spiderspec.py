@@ -83,6 +83,25 @@ class ExtractRule:
     # the page URL and routed through link_rules like any out-link,
     # appended after the page's anchors and figure srcs in push order
     link_fields: tuple[str, ...] = ()
+    # fields attached as the TEMP map of this item's link_fields
+    # children — the reference's AddQueue Temp carry
+    # (shunfenghaitao.go:60 `Temp: {"goodsType": s.Text()}`;
+    # zhihu_daily.go:45,58; car_home.go:46): each child request
+    # generated from this item's link_fields carries
+    # {f: item[f] for f in carry_fields} on its frontier row
+    carry_fields: tuple[str, ...] = ()
+    # temp keys merged INTO every item this rule emits — the consumer
+    # half (shunfenghaitao.go:75 re-carry + output via
+    # `ctx.GetTemp("goodsType")`): for each f the item gets
+    # data[f] = request.temp[f] (missing → ""). Declare f in ``fields``
+    # for sink column ordering; a temp_fields key overrides any
+    # same-named extracted field (the reference authors the Output map
+    # explicitly, so the collision cannot arise there). When several
+    # ExtractRules share one rule name, declare IDENTICAL temp_fields
+    # on all of them — the engine merges per rule name (the fused parse
+    # flattens their items), so differing declarations would diverge
+    # from the per-ExtractRule oracle
+    temp_fields: tuple[str, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,6 +106,132 @@ _CSS_RULE = ExtractRule(
 )
 
 
+# rule-authored Temp carry, the shunfenghaitao shape: the category rule
+# extracts (goodsType, link) per card, AddQueues the link with
+# Temp {goodsType} (carry_fields); the list rule extracts (name, price)
+# and re-emits goodsType from the request temp (temp_fields)
+_TEMP_CARRY_SPIDER = SpiderSpec(
+    "sfht",
+    link_rules=(
+        LinkRule("/cats", "类别", 0),
+        LinkRule("/g/", "商品列表", 1),
+        LinkRule("/d/", "商品详情", 2),
+    ),
+    item_rules=(),
+    image_rule="下载文件",
+    extract_rules=(
+        ExtractRule(
+            rule="类别",
+            kind="css",
+            item_pattern=".cat",
+            fields=("goodsType", "link"),
+            field_css=(("goodsType", "span.t@text"), ("link", "a@href")),
+            link_fields=("link",),
+            carry_fields=("goodsType",),
+        ),
+        # middle hop RE-CARRIES the inherited temp to its own children
+        # (shunfenghaitao.go:75 `Temp: {"goodsType":
+        # ctx.GetTemp("goodsType")}`): temp_fields merges it into the
+        # item BEFORE carry_fields reads it back out
+        ExtractRule(
+            rule="商品列表",
+            kind="css",
+            item_pattern=".goods",
+            fields=("name", "price", "goodsType", "dlink"),
+            field_css=(
+                ("name", "p.n@text"),
+                ("price", "em@text"),
+                ("dlink", "a.d@href"),
+            ),
+            temp_fields=("goodsType",),
+            link_fields=("dlink",),
+            carry_fields=("goodsType",),
+        ),
+        ExtractRule(
+            rule="商品详情",
+            kind="css",
+            item_pattern="body",
+            fields=("标题", "goodsType"),
+            field_css=(("标题", "h1@text"),),
+            temp_fields=("goodsType",),
+        ),
+    ),
+)
+
+
+def _temp_carry_corpus() -> fixtures.Corpus:
+    host = "sfht.test"
+    cats = ["母婴", "美妆", "数码"]
+    pages = [
+        {
+            "url": f"http://{host}/cats",
+            "host": host,
+            "depth": 0,
+            "status": 200,
+            "flaky": False,
+            "content_type": "text/html; charset=utf-8",
+            "body": (
+                "<html><body>"
+                + "".join(
+                    f'<div class="cat"><span class="t">{c}</span>'
+                    f'<a href="/g/{i}">go</a></div>'
+                    for i, c in enumerate(cats)
+                )
+                + "</body></html>"
+            ).encode(),
+            "out_links": [],
+            "image_refs": [],
+        }
+    ]
+    for i, c in enumerate(cats):
+        pages.append(
+            {
+                "url": f"http://{host}/g/{i}",
+                "host": host,
+                "depth": 1,
+                "status": 200,
+                "flaky": False,
+                "content_type": "text/html; charset=utf-8",
+                "body": (
+                    "<html><body>"
+                    + "".join(
+                        f'<div class="goods"><p class="n">{c}-g{g}</p>'
+                        f"<em>{(i + 1) * 10 + g}.5</em>"
+                        f'<a class="d" href="/d/{i}-{g}">详情</a></div>'
+                        for g in range(2)
+                    )
+                    + "</body></html>"
+                ).encode(),
+                "out_links": [],
+                "image_refs": [],
+            }
+        )
+        for g in range(2):
+            pages.append(
+                {
+                    "url": f"http://{host}/d/{i}-{g}",
+                    "host": host,
+                    "depth": 2,
+                    "status": 200,
+                    "flaky": False,
+                    "content_type": "text/html; charset=utf-8",
+                    "body": (
+                        f"<html><body><h1>{c}-g{g} 详情页</h1></body></html>"
+                    ).encode(),
+                    "out_links": [],
+                    "image_refs": [],
+                }
+            )
+    seeds = [
+        {"spider": "sfht", "url": f"http://{host}/cats", "rule": "类别",
+         "priority": 0}
+    ]
+    robots = [{"host": host, "disallow_prefixes": [], "crawl_delay_ms": None}]
+    return fixtures.Corpus(
+        pages=pages, images=[], images_truth=[], seeds=seeds, robots=robots
+    )
+
+
 def _build_scenarios() -> dict[str, dict]:
     """name -> run_pair kwargs (corpus generation is cheap and serial)."""
     clean = dict(flaky_rate=0.0, fail_404_rate=0.0)
@@ -183,6 +309,12 @@ def _build_scenarios() -> dict[str, dict]:
     from miya_paginate_spider import MIYA_SPIDER, build_corpus as _miya_corpus
 
     scenarios["paginate"] = dict(corpus=_miya_corpus(), spec=MIYA_SPIDER)
+    # rule-authored Temp carry (shunfenghaitao.go:60,75): category pages
+    # AddQueue child lists with Temp {goodsType}; the child rule outputs
+    # items that pull goodsType back out of the request temp
+    scenarios["temp_carry"] = dict(
+        corpus=_temp_carry_corpus(), spec=_TEMP_CARRY_SPIDER
+    )
     scenarios["post"] = dict(
         corpus=fixtures.generate(
             fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
@@ -368,6 +500,29 @@ def test_paginate_rule_conformance(runs):
     # shape: ctx.Parse("商品列表"))
     goods = [i for i in res.items if "price" in i["data"]]
     assert len(goods) == miya.TOTAL_PAGES * miya.GOODS_PER_PAGE
+
+
+def test_temp_carry_conformance(runs):
+    """carry_fields/temp_fields round-trip (the shunfenghaitao.go:60,75
+    AddQueue-Temp → GetTemp-Output idiom): category items AddQueue list
+    pages carrying goodsType; every list item re-emits the carried
+    value — engine (JVM carry join + map merge) == oracle exactly."""
+    _, run, res = runs["temp_carry"]
+    check_conformance(run, res)
+    goods = [i for i in res.items if "price" in i["data"]]
+    assert len(goods) == 6
+    # every goods item carries the category it was enqueued under
+    for it in goods:
+        assert it["data"]["goodsType"] in ("母婴", "美妆", "数码")
+        assert it["data"]["name"].startswith(it["data"]["goodsType"] + "-")
+    # MULTI-HOP: the list rule re-carries the inherited temp to its
+    # detail children (temp_fields merge happens before carry_fields
+    # reads it) — detail items two hops from the origin still carry it
+    details = [i for i in res.items if "标题" in i["data"]]
+    assert len(details) == 6
+    for it in details:
+        assert it["data"]["goodsType"] in ("母婴", "美妆", "数码")
+        assert it["data"]["标题"].startswith(it["data"]["goodsType"] + "-")
 
 
 def test_css_extract_rule_conformance(runs):
