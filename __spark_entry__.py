@@ -465,7 +465,7 @@ def q_css_extract(spark, sf_dir):
         "w2c string, hhtml string"
     )
     def _css(htmls: pd.Series) -> pd.DataFrame:
-        _r, kind, key, fields, _lf, _cf, _tf = compile_rule_specs(specs)[0]
+        _r, kind, key, fields, *_rest = compile_rule_specs(specs)[0]
         rows = [apply_rule_spec(h, kind, key, fields)[0] for h in htmls]
         return pd.DataFrame(
             rows,

@@ -211,9 +211,9 @@ ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
 
 def rule_spec_tuples(extract_rules) -> list[tuple]:
     """ExtractRules → plain picklable (rule, kind, pattern, fields,
-    field_css, link_fields, carry_fields, temp_fields) tuples for UDF
-    closures (compile regexes/selectors task-side with
-    :func:`compile_rule_specs`)."""
+    field_css, link_fields, carry_fields, temp_fields,
+    field_transforms) tuples for UDF closures (compile
+    regexes/selectors task-side with :func:`compile_rule_specs`)."""
     return [
         (
             er.rule,
@@ -224,9 +224,76 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "link_fields", ()) or ()),
             tuple(getattr(er, "carry_fields", ()) or ()),
             tuple(getattr(er, "temp_fields", ()) or ()),
+            tuple(getattr(er, "field_transforms", ()) or ()),
         )
         for er in extract_rules
     ]
+
+
+def _pick_part(parts: list[str], i: int, expect, on_mismatch: str, v: str) -> str:
+    """Shared guard semantics for split_pick/fields_pick (the
+    reference's ``if len(sp) == n`` branches, fang_resell_list.go:77-81)."""
+    ok = (
+        len(parts) == expect
+        if expect is not None
+        else -len(parts) <= i < len(parts)
+    )
+    if not ok:
+        return v if on_mismatch == "keep" else ""
+    return parts[i]
+
+
+def compile_transforms(field_transforms: tuple) -> dict:
+    """``ExtractRule.field_transforms`` spec → {field: str→str callable}.
+
+    The engine half of the declarative post-extraction munge surface
+    (spiderspec.ExtractRule.field_transforms documents the op grammar;
+    the conformance oracle interprets the same spec independently)."""
+    out = {}
+    for field, ops in field_transforms:
+        fns = []
+        for op in ops:
+            name, args = op[0], op[1:]
+            if name == "trim":
+                chars = args[0] if args else None
+                fns.append(lambda v, c=chars: v.strip(c))
+            elif name == "replace":
+                old, new = args[0], args[1]
+                n = args[2] if len(args) > 2 else -1
+                fns.append(lambda v, o=old, w=new, c=n: v.replace(o, w, c))
+            elif name == "split_pick":
+                sep, i = args[0], args[1]
+                expect = args[2] if len(args) > 2 else None
+                miss = args[3] if len(args) > 3 else "keep"
+                fns.append(
+                    lambda v, s=sep, i=i, e=expect, m=miss: _pick_part(
+                        v.split(s), i, e, m, v
+                    )
+                )
+            elif name == "fields_pick":
+                i = args[0]
+                expect = args[1] if len(args) > 1 else None
+                miss = args[2] if len(args) > 2 else "keep"
+                fns.append(
+                    lambda v, i=i, e=expect, m=miss: _pick_part(
+                        v.split(), i, e, m, v
+                    )
+                )
+            elif name == "regex_sub":
+                pat = re.compile(args[0], re.S)
+                repl = args[1]
+                n = args[2] if len(args) > 2 else 0
+                fns.append(lambda v, p=pat, r=repl, c=n: p.sub(r, v, count=c))
+            else:
+                raise ValueError(f"unknown transform op {name!r}")
+
+        def _chain(v: str, fns=tuple(fns)) -> str:
+            for f in fns:
+                v = f(v)
+            return v
+
+        out[field] = _chain
+    return out
 
 
 _IDX_EQ_RE = re.compile(r"^eq\((-?\d+)\)(.*)$", re.S)
@@ -340,16 +407,17 @@ def _compile_css_spec(pat: str, fields: tuple, field_css: tuple):
 def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
     """Task-side: compile the regex/css kinds once per task. Output
     tuples: (rule, kind, compiled-key, fields, link_fields,
-    carry_fields, temp_fields)."""
+    carry_fields, temp_fields, compiled-transforms)."""
     out = []
-    for rule, kind, pat, fields, field_css, link_fields, carry, tf in specs:
+    for rule, kind, pat, fields, field_css, link_fields, carry, tf, *rest in specs:
         if kind == "regex":
             key = re.compile(pat, re.S)
         elif kind == "css":
             key = _compile_css_spec(pat, fields, field_css)
         else:
             key = pat
-        out.append((rule, kind, key, fields, link_fields, carry, tf))
+        tfx = compile_transforms(rest[0]) if rest and rest[0] else {}
+        out.append((rule, kind, key, fields, link_fields, carry, tf, tfx))
     return out
 
 
@@ -600,10 +668,18 @@ def _apply_rules_for(
     row_items: list[dict] = []
     row_links: list[str] = []
     row_carries: list[dict | None] = []
-    for r, kind, key, fields, link_fields, carry_fields, tfs in compiled:
+    for r, kind, key, fields, link_fields, carry_fields, tfs, tfx in compiled:
         if r != rule:
             continue
         items = apply_rule_spec(text, kind, key, fields)
+        # field_transforms run FIRST (the reference munges the local
+        # variable before Output/AddQueue, fang_resell_list.go:74-135),
+        # so temp merge / carries / links all see the final form
+        if tfx:
+            for it in items:
+                for f, fn in tfx.items():
+                    if f in it:
+                        it[f] = fn(it[f])
         # temp_fields consumer merge: request temp overrides any
         # same-named extracted field (the reference authors the Output
         # map explicitly, so the collision cannot arise there)

@@ -672,6 +672,56 @@ def _css_items(text: str, er) -> list[dict]:
     return [row for _s, row in done]
 
 
+def _oracle_transform_value(v: str, ops: tuple) -> str:
+    """Independent interpreter for ``ExtractRule.field_transforms``
+    (spiderspec documents the op grammar; the engine compiles the same
+    spec into closures in extract.compile_transforms — this one
+    evaluates op tuples directly per value)."""
+    import re as re_mod
+
+    for op in ops:
+        name = op[0]
+        if name == "trim":
+            v = v.strip(op[1]) if len(op) > 1 else v.strip()
+        elif name == "replace":
+            count = op[3] if len(op) > 3 else -1
+            v = v.replace(op[1], op[2], count)
+        elif name in ("split_pick", "fields_pick"):
+            if name == "split_pick":
+                parts, i, rest = v.split(op[1]), op[2], op[3:]
+            else:
+                parts, i, rest = v.split(), op[1], op[2:]
+            expect = rest[0] if rest else None
+            on_mismatch = rest[1] if len(rest) > 1 else "keep"
+            n = len(parts)
+            if expect is not None:
+                hit = n == expect
+            else:
+                hit = (0 <= i < n) or (i < 0 and n + i >= 0)
+            if hit:
+                v = parts[i]
+            elif on_mismatch != "keep":
+                v = ""
+        elif name == "regex_sub":
+            count = op[3] if len(op) > 3 else 0
+            v = re_mod.sub(op[1], op[2], v, count=count, flags=re_mod.S)
+        else:
+            raise ValueError(f"unknown transform op {name!r}")
+    return v
+
+
+def _transform_items(items: list[dict], er) -> list[dict]:
+    """field_transforms over freshly-extracted items — runs BEFORE the
+    crawl loop's temp merge / carry / link / paginate reads, mirroring
+    the engine's ordering in extract._apply_rules_for."""
+    specs = tuple(getattr(er, "field_transforms", ()) or ())
+    for field, ops in specs:
+        for it in items:
+            if field in it:
+                it[field] = _oracle_transform_value(it[field], ops)
+    return items
+
+
 def _extract_items(page: dict, er) -> list[dict]:
     """Apply one ExtractRule to a fixture page: charset-decode the body,
     regex over the text, one item per match, named groups → fields
@@ -689,7 +739,7 @@ def _extract_items(page: dict, er) -> list[dict]:
     except LookupError:
         text = (page.get("body") or b"").decode("utf-8", errors="replace")
     if getattr(er, "kind", "regex") == "css":
-        return _css_items(text, er)
+        return _transform_items(_css_items(text, er), er)
     if getattr(er, "kind", "regex") == "json":
         # independent re-implementation of the json kind (dot-path to
         # the items array; non-string field values JSON-stringified)
@@ -720,14 +770,14 @@ def _extract_items(page: dict, er) -> list[dict]:
                         for f in er.fields
                     }
                 )
-        return out
+        return _transform_items(out, er)
     out = []
     for match in re_mod.finditer(er.item_pattern, text, re_mod.S):
         gd = match.groupdict()
         out.append(
             {f: html_mod.unescape(gd.get(f) or "") for f in er.fields}
         )
-    return out
+    return _transform_items(out, er)
 
 
 def crawl(

@@ -102,6 +102,38 @@ class ExtractRule:
     # flattens their items), so differing declarations would diverge
     # from the per-ExtractRule oracle
     temp_fields: tuple[str, ...] = ()
+    # declarative post-extraction string transforms — the
+    # extract-then-munge half of every reference ParseFunc
+    # (fang_resell_list.go:74-135 is the canonical shape:
+    # strings.Trim/Replace/Split/Fields on each extracted value before
+    # Output). ``(field, ((op, *args), ...))`` entries; per field the
+    # ops run in order over the extracted string:
+    #
+    #   ("trim",)                 strings.TrimSpace
+    #   ("trim", chars)           strings.Trim(v, chars)
+    #   ("replace", old, new)     strings.Replace(v, old, new, -1)
+    #   ("replace", old, new, n)  strings.Replace(v, old, new, n)
+    #   ("split_pick", sep, i[, expect_n[, on_mismatch]])
+    #       strings.Split(v, sep) then part i (negative = from end).
+    #       expect_n (default None) demands exactly that many parts —
+    #       the reference's `if len(sp) == 2` guards; None accepts any
+    #       count that covers i. On mismatch the value is kept
+    #       unchanged ("keep", default) or blanked ("empty") — the two
+    #       branches Go rules actually write (address keeps the whole
+    #       string, business stays "").
+    #   ("fields_pick", i[, expect_n[, on_mismatch]])
+    #       strings.Fields(v) (any-whitespace split, empties dropped)
+    #       then part i — same guard semantics as split_pick.
+    #   ("regex_sub", pattern, repl[, n])  re.sub, n=0 → all
+    #
+    # Transforms run BEFORE the temp_fields merge (an inherited temp
+    # was already transformed by its producing rule) and before
+    # carry_fields/link_fields/PaginateRule read the item, so carried
+    # values, emitted links, and page counts see the final form. Two
+    # fields may share one field_css projection and diverge here (the
+    # reference's split-one-string-into-two-columns idiom,
+    # fang_resell_list.go:77-81 address/business).
+    field_transforms: tuple[tuple[str, tuple[tuple, ...]], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

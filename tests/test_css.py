@@ -364,7 +364,7 @@ def test_children_eq_idiom_engine_equals_oracle():
 
 
 def _apply_engine(html: str, er: ExtractRule) -> list[dict]:
-    rule, kind, key, fields, _lf, _cf, _tf = compile_rule_specs(
+    rule, kind, key, fields, *_rest = compile_rule_specs(
         rule_spec_tuples([er])
     )[0]
     return apply_rule_spec(html, kind, key, fields)

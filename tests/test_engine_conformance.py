@@ -315,6 +315,15 @@ def _build_scenarios() -> dict[str, dict]:
     scenarios["temp_carry"] = dict(
         corpus=_temp_carry_corpus(), spec=_TEMP_CARRY_SPIDER
     )
+    # field_transforms (fang_resell_list.go:74-135): the
+    # extract-then-string-munge ParseFunc shape — Children().Eq via
+    # `> *@eq(n)`, one projection split into two columns, Fields/Split
+    # guard branches, unit-suffix strips
+    from fang_css_spider import FANG_SPIDER, build_corpus as _fang_corpus
+
+    scenarios["fang_transforms"] = dict(
+        corpus=_fang_corpus(), spec=FANG_SPIDER
+    )
     scenarios["post"] = dict(
         corpus=fixtures.generate(
             fixtures.SiteSpec(n_hosts=2, list_pages=5, **clean)
@@ -523,6 +532,38 @@ def test_temp_carry_conformance(runs):
     for it in details:
         assert it["data"]["goodsType"] in ("母婴", "美妆", "数码")
         assert it["data"]["标题"].startswith(it["data"]["goodsType"] + "-")
+
+
+def test_field_transforms_conformance(runs):
+    """field_transforms (the fang_resell_list.go:74-135 port): engine
+    (task-side compiled closures in the fused parse) == oracle
+    (independent op-tuple interpreter), and both equal hand-derived
+    expectations — incl. the split-one-projection-into-two-columns
+    idiom (address/business), the len(Fields)==4 guard branches, and
+    `.Children().Eq(n)` as `> *@eq(n)`."""
+    _, run, res = runs["fang_transforms"]
+    check_conformance(run, res)
+    items = sorted(
+        (i["data"] for i in res.items if i["data"].get("communityName")),
+        key=lambda d: (d["communityName"], d["remoteId"]),
+    )
+    # 3 houses × 2 listing pages
+    assert len(items) == 6
+    by_name = {d["communityName"]: d for d in items}
+    full = by_name["雅居乐花园"]
+    assert full == {
+        "communityName": "雅居乐花园", "totalFloor": "24", "rooms": "3",
+        "halls": "2", "buildTime": "2008", "address": "未来路",
+        "direction": "南", "area": "89", "price": "95",
+        "unitPrice": "10674", "locationType": "高层",
+        "remoteId": "94028391", "business": "金水",
+    }
+    # degenerate room line + no "-" in address + missing href: every
+    # guard takes its mismatch branch (keep for address, empty else)
+    degen = by_name["绿城小区"]
+    assert degen["address"] == "郑东新区" and degen["business"] == ""
+    assert degen["rooms"] == "" and degen["totalFloor"] == ""
+    assert degen["remoteId"] == "" and degen["area"] == "260"
 
 
 def test_css_extract_rule_conformance(runs):
