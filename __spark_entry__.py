@@ -956,6 +956,36 @@ def sim_quantize_int8(spark, sf_dir):
     )
 
 
+def q_kafka_payload(spark, sf_dir):
+    """Kafka-sink payload builder (`output_kafka.go:38-79`) over an
+    items-shaped frame derived from orders: topic = spider__rule with
+    the `^[0-9a-zA-Z_-]+$` skip filter, ItemFields-ordered JSON for the
+    declared rule, data-map fallback for the rest, url/parent_url
+    provenance appended — the JSON strings compared byte-exact vs the
+    oracle's struct_pack serialization."""
+    from pholcus_spark.sinks import kafka_items_payload
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    items = orders.select(
+        F.lit("site").alias("spider"),
+        F.when(k % 11 == 0, F.lit("bad rule!"))
+        .when(k % 3 == 0, F.lit("misc"))
+        .otherwise(F.lit("detail"))
+        .alias("rule"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("cust"), F.col("o_custkey").cast("string"),
+        ).alias("data"),
+        F.concat(F.lit("http://h.test/o/"), k.cast("string")).alias("url"),
+        F.lit("http://h.test/root").alias("parent_url"),
+    )
+    return kafka_items_payload(
+        items, field_order={"detail": ("status", "priority", "cust")}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -996,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_json_extract": q_json_extract,
         "q_css_extract": q_css_extract,
+        "q_kafka_payload": q_kafka_payload,
         "q_global_rank": q_global_rank,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1798,6 +1829,25 @@ SELECT doc_id,
                    w -> '<b>' || w || '</b>'),
     ' ') AS hhtml
 FROM documents
+""",
+        "q_kafka_payload": r"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'bad rule!'
+         WHEN o_orderkey % 3 = 0 THEN 'misc'
+         ELSE 'detail' END AS rule
+  FROM orders
+)
+SELECT 'site__' || rule AS topic,
+  CAST(to_json(struct_pack(
+    status := o_orderstatus,
+    priority := o_orderpriority,
+    cust := CAST(o_custkey AS VARCHAR),
+    url := 'http://h.test/o/' || CAST(o_orderkey AS VARCHAR),
+    parent_url := 'http://h.test/root'
+  )) AS VARCHAR) AS value
+FROM base
+WHERE rule <> 'bad rule!'
 """,
         "q_global_rank": r"""
 SELECT l_orderkey, l_linenumber,

@@ -91,32 +91,120 @@ def export_images_parquet(images: DataFrame, out_dir: str) -> None:
 SINKS = {"csv": export_items_csv, "parquet": export_images_parquet}
 
 
+# Kafka topic-name contract (`output_kafka.go:36,48-51`): the reference
+# validates `namespace__subnamespace` against this and SKIPS rows whose
+# topic does not match (it logs and continues) — we filter identically.
+TOPIC_PATTERN = "^[0-9a-zA-Z_-]+$"
+
+
+def kafka_items_payload(
+    items: DataFrame,
+    field_order=None,
+    out_default_field: bool = True,
+) -> DataFrame:
+    """Items table → Kafka-ready ``(topic, value)`` rows — the payload
+    half of the reference's kafka sink (`output_kafka.go:38-79`),
+    separated from the transport so it is oracle-testable without a
+    broker.
+
+    * ``topic`` = ``spider__rule`` (joinNamespaces,
+      `output_kafka.go:47`); rows whose topic fails
+      :data:`TOPIC_PATTERN` are dropped, mirroring the reference's
+      skip-and-continue (`output_kafka.go:48-51`).
+    * ``value`` = one JSON object per item. Rules listed in
+      ``field_order`` (rule → ordered field names, i.e.
+      ``spec.item_fields()``) serialize their data in declared
+      ItemFields order (`output_kafka.go:64-71`); other rules fall back
+      to the data map as-is. ``out_default_field`` appends the
+      url / parent_url / download_time provenance keys
+      (`output_kafka.go:73-77`); download_time rides only when the
+      items frame carries the column.
+
+    All JVM (`to_json` over struct/map) — no Python in the path; the
+    output is a narrow 2-column frame however wide the item data is.
+    """
+    field_order = field_order or {}
+    has_dlt = "download_time" in items.columns
+    topic = F.concat_ws("__", F.col("spider"), F.col("rule")).alias("topic")
+
+    def _prov():
+        cols = [
+            F.col("url").alias("url"),
+            F.col("parent_url").alias("parent_url"),
+        ]
+        if has_dlt:
+            cols.append(F.col("download_time").alias("download_time"))
+        return cols
+
+    parts = []
+    for rule, fields in field_order.items():
+        sub = items.where(F.col("rule") == rule)
+        cols = [
+            F.try_element_at(F.col("data"), F.lit(f)).alias(f) for f in fields
+        ]
+        if out_default_field:
+            cols += _prov()
+        parts.append(sub.select(topic, F.to_json(F.struct(*cols)).alias("value")))
+
+    listed = list(field_order)
+    rest = items.where(~F.col("rule").isin(listed)) if listed else items
+    payload = F.col("data")
+    if out_default_field:
+        prov_pairs = [F.lit("url"), F.col("url"),
+                      F.lit("parent_url"), F.col("parent_url")]
+        if has_dlt:
+            prov_pairs += [F.lit("download_time"), F.col("download_time")]
+        payload = F.map_concat(payload, F.create_map(*prov_pairs))
+    parts.append(rest.select(topic, F.to_json(payload).alias("value")))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("topic").rlike(TOPIC_PATTERN))
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, **options) -> None:
     """MySQL-sink analog (`output_mysql.go:37-87`). Requires a JDBC
-    driver + server — absent in this container."""
+    driver + server — absent in this container (the arg/mode/options
+    plumbing is pinned by a monkeypatched-writer test)."""
     df.write.mode("append").options(**options).jdbc(url, table)
 
 
-def write_kafka(df: DataFrame, servers: str, topic: str) -> None:
-    """Kafka-sink analog (`output_kafka.go:38-65`): JSON value per row,
-    topic = namespace__subnamespace."""
-    (
-        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
-        .write.format("kafka")
+def write_kafka(df: DataFrame, servers: str, topic: str | None = None,
+                fmt: str = "kafka", **options) -> None:
+    """Kafka-sink transport (`output_kafka.go:38-65`). ``df`` is either
+    a prebuilt :func:`kafka_items_payload` frame (per-row ``topic``
+    column — the connector routes on it) or any frame, JSON-serialized
+    whole with a fixed ``topic``. ``fmt`` is the Spark format to
+    dispatch to — tests substitute a broker-less Python data source and
+    exercise this exact path end-to-end."""
+    if "topic" in df.columns and "value" in df.columns:
+        payload = df
+    else:
+        payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    w = (
+        payload.write.format(fmt)
+        .mode("append")  # a queue push is an append by definition
         .option("kafka.bootstrap.servers", servers)
-        .option("topic", topic)
-        .save()
+        .options(**options)
     )
+    if topic is not None:
+        w = w.option("topic", topic)
+    w.save()
 
 
-def write_mongo(df: DataFrame, uri: str, database: str, collection: str) -> None:
-    """Mongo-sink analog (`output_mgo.go:19-70`). Needs the mongo-spark
-    connector jar — absent here."""
+def write_mongo(df: DataFrame, uri: str, database: str, collection: str,
+                fmt: str = "mongodb", **options) -> None:
+    """Mongo-sink analog (`output_mgo.go:19-70`): rows land 1:1 as
+    documents. Needs the mongo-spark connector jar — absent here;
+    ``fmt`` lets tests route the identical write through a Python data
+    source to pin the dispatch."""
     (
-        df.write.format("mongodb")
+        df.write.format(fmt)
         .option("connection.uri", uri)
         .option("database", database)
         .option("collection", collection)
+        .options(**options)
         .mode("append")
         .save()
     )

@@ -161,3 +161,184 @@ def test_kafka_payload_is_single_json_value_column(spark):
     import json as _json
 
     assert _json.loads(rows[0].value) == {"k": "a", "v": 1}
+
+
+def _capture_source():
+    """Broker-less Spark data source: each write task dumps its rows as
+    a JSON file under option `path`. Defined in a factory so cloudpickle
+    serializes the class BY VALUE (tests/ is not importable from Spark's
+    python workers)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.options = dict(options)
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            rows = [row.asDict() for row in iterator]
+            if rows:
+                fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.json")
+                with open(fn, "w") as f:
+                    json.dump(rows, f)
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            import json
+            import os
+
+            opts = {
+                k: v for k, v in self.options.items() if k != "path"
+            }
+            with open(os.path.join(self.path, "_committed.json"), "w") as f:
+                json.dump({"tasks": len(messages), "options": opts}, f)
+
+        def abort(self, messages):
+            pass
+
+    class Capture(DataSource):
+        @classmethod
+        def name(cls):
+            return "rowcapture"
+
+        def writer(self, schema, overwrite):
+            return _Writer(self.options)
+
+    return Capture
+
+
+def _read_captured(path):
+    import json
+
+    rows = []
+    for fn in sorted(glob.glob(f"{path}/part-*.json")):
+        rows.extend(json.load(open(fn)))
+    meta = json.load(open(f"{path}/_committed.json"))
+    return rows, meta
+
+
+ITEMS_DDL = (
+    "spider string, rule string, data map<string,string>, url string, "
+    "parent_url string, download_time string, superstep int"
+)
+
+
+def _items_df(spark):
+    return spark.createDataFrame(
+        [
+            ("site", "detail", {"caption": "x", "image_id": "i1"},
+             "http://h.test/d/1", "http://h.test/p/0", "t1", 2),
+            ("site", "detail", {"caption": "y", "image_id": "i2"},
+             "http://h.test/d/2", "http://h.test/p/0", "t2", 2),
+            ("site", "misc", {"k": "v"},
+             "http://h.test/m/1", "http://h.test/p/0", "t3", 2),
+            ("site", "bad rule!", {"k": "v"},
+             "http://h.test/b/1", "http://h.test/p/0", "t4", 2),
+        ],
+        ITEMS_DDL,
+    )
+
+
+def test_kafka_items_payload_contract(spark):
+    """output_kafka.go:38-79 payload semantics: topic=spider__rule with
+    the `^[0-9a-zA-Z_-]+$` skip filter, ItemFields-ordered JSON for
+    declared rules, data-map fallback otherwise, provenance keys
+    appended (incl. download_time when the frame carries it)."""
+    import json as _json
+
+    payload = sinks.kafka_items_payload(
+        _items_df(spark), field_order={"detail": ("image_id", "caption")}
+    )
+    rows = {(r.topic, r.value) for r in payload.collect()}
+    topics = {t for t, _ in rows}
+    assert topics == {"site__detail", "site__misc"}  # bad rule! dropped
+
+    detail = sorted(v for t, v in rows if t == "site__detail")
+    # exact string: ItemFields order then url/parent_url/download_time
+    assert detail[0] == (
+        '{"image_id":"i1","caption":"x","url":"http://h.test/d/1",'
+        '"parent_url":"http://h.test/p/0","download_time":"t1"}'
+    )
+    (misc,) = [v for t, v in rows if t == "site__misc"]
+    assert _json.loads(misc) == {
+        "k": "v", "url": "http://h.test/m/1",
+        "parent_url": "http://h.test/p/0", "download_time": "t3",
+    }
+
+    # out_default_field=False drops provenance (OutDefaultField() gate,
+    # output_kafka.go:73)
+    bare = sinks.kafka_items_payload(
+        _items_df(spark),
+        field_order={"detail": ("image_id", "caption")},
+        out_default_field=False,
+    )
+    vals = sorted(r.value for r in bare.where("topic='site__detail'").collect())
+    assert vals[0] == '{"image_id":"i1","caption":"x"}'
+
+
+def test_write_kafka_through_python_datasource(spark):
+    """Executed transport coverage: the EXACT write_kafka dispatch path
+    (format→bootstrap option→per-row topic routing→save) through a
+    registered Python data source instead of a broker."""
+    spark.dataSource.register(_capture_source())
+    out = tempfile.mkdtemp(prefix="pholcus-kafka-cap-")
+    try:
+        payload = sinks.kafka_items_payload(
+            _items_df(spark), field_order={"detail": ("image_id", "caption")}
+        )
+        sinks.write_kafka(payload, "k1:9092,k2:9092", fmt="rowcapture", path=out)
+        rows, meta = _read_captured(out)
+        assert len(rows) == 3
+        assert {r["topic"] for r in rows} == {"site__detail", "site__misc"}
+        assert all(r["value"].startswith("{") for r in rows)
+        assert meta["options"]["kafka.bootstrap.servers"] == "k1:9092,k2:9092"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_write_kafka_fixed_topic_wraps_df(spark):
+    """A non-payload frame with a fixed topic: rows are JSON-wrapped
+    whole and the topic rides as a writer option (single-topic form)."""
+    import json as _json
+
+    spark.dataSource.register(_capture_source())
+    out = tempfile.mkdtemp(prefix="pholcus-kafka-fix-")
+    try:
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        sinks.write_kafka(df, "k:9092", topic="site__misc",
+                          fmt="rowcapture", path=out)
+        rows, meta = _read_captured(out)
+        assert sorted(_json.loads(r["value"])["k"] for r in rows) == ["a", "b"]
+        assert meta["options"]["topic"] == "site__misc"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_write_mongo_through_python_datasource(spark):
+    """write_mongo's dispatch executed end-to-end: rows land 1:1 as
+    documents; connection.uri/database/collection ride as options."""
+    spark.dataSource.register(_capture_source())
+    out = tempfile.mkdtemp(prefix="pholcus-mongo-cap-")
+    try:
+        df = spark.createDataFrame(
+            [("i1", "x"), ("i2", "y")], "image_id string, caption string"
+        )
+        sinks.write_mongo(df, "mongodb://m:27017", "crawl", "items",
+                          fmt="rowcapture", path=out)
+        rows, meta = _read_captured(out)
+        assert sorted((r["image_id"], r["caption"]) for r in rows) == [
+            ("i1", "x"), ("i2", "y")
+        ]
+        assert meta["options"]["connection.uri"] == "mongodb://m:27017"
+        assert meta["options"]["database"] == "crawl"
+        assert meta["options"]["collection"] == "items"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
