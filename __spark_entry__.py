@@ -986,6 +986,39 @@ def q_kafka_payload(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """The engine's robots disallow gate (`robots.disallow_filter`, the
+    exact primitive every frontier push runs): URLs derived
+    deterministically from documents, a 5-host disallow dim covering
+    every shape — multiple prefixes, empty list, missing host row,
+    root-disallow — prefix-matched on the parsed path (query string
+    excluded, like Go's robots packages match on the path)."""
+    from pholcus_spark.robots import disallow_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".test")
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/"), F.col("source"), F.lit("/d"),
+        F.col("doc_id").cast("string"), F.lit("?ref=x"),
+    )
+    df = docs.select(
+        F.col("doc_id"), host.alias("host"), url.alias("url")
+    )
+    dim = spark.createDataFrame(
+        [
+            ("h0.test", ["/src1", "/src0/d0"]),  # two prefixes
+            ("h1.test", []),                      # empty list: all pass
+            ("h2.test", ["/src1"]),
+            # h3.test absent: permissive default
+            ("h4.test", ["/"]),                   # root disallow: none pass
+        ],
+        "host string, disallow_prefixes array<string>",
+    )
+    return disallow_filter(df, dim, "url").select("doc_id", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1027,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_css_extract": q_css_extract,
         "q_kafka_payload": q_kafka_payload,
+        "q_robots_filter": q_robots_filter,
         "q_global_rank": q_global_rank,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1848,6 +1882,26 @@ SELECT 'site__' || rule AS topic,
   )) AS VARCHAR) AS value
 FROM base
 WHERE rule <> 'bad rule!'
+""",
+        "q_robots_filter": r"""
+WITH d AS (
+  SELECT doc_id,
+    'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+    'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/' || source
+      || '/d' || CAST(doc_id AS VARCHAR) || '?ref=x' AS url,
+    '/' || source || '/d' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+dim(host, prefixes) AS (VALUES
+  ('h0.test', ['/src1', '/src0/d0']),
+  ('h1.test', CAST([] AS VARCHAR[])),
+  ('h2.test', ['/src1']),
+  ('h4.test', ['/'])
+)
+SELECT doc_id, url
+FROM d LEFT JOIN dim USING (host)
+WHERE prefixes IS NULL
+   OR len(list_filter(prefixes, p -> path ^@ p)) = 0
 """,
         "q_global_rank": r"""
 SELECT l_orderkey, l_linenumber,

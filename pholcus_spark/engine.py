@@ -378,26 +378,11 @@ class CrawlEngine:
     def _robots_disallow_filter(self, df: DataFrame, url_col: str) -> DataFrame:
         """Drop rows whose URL path matches a robots disallow prefix for
         its host (broadcast-dim equi-join; `df` must carry a `host`
-        column)."""
-        return (
-            df.join(
-                F.broadcast(self.robots.select("host", "disallow_prefixes")),
-                "host",
-                "left",
-            )
-            .withColumn(
-                "_path",
-                F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
-            )
-            .where(
-                F.col("disallow_prefixes").isNull()
-                | ~F.exists(
-                    "disallow_prefixes",
-                    lambda p: F.col("_path").startswith(p),
-                )
-            )
-            .drop("_path", "disallow_prefixes")
-        )
+        column). Delegates to :func:`robots.disallow_filter` — the
+        oracle-gated standalone form (`q_robots_filter`)."""
+        from . import robots as robots_mod
+
+        return robots_mod.disallow_filter(df, self.robots, url_col)
 
     def seed_range(
         self,

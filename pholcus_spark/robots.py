@@ -199,3 +199,31 @@ def fetch_robots_dim(spark, hosts: DataFrame, fetcher, agent: str = "pholcus") -
         ).alias("disallow_prefixes"),
         F.col("crawl_delay_ms"),
     )
+
+
+def disallow_filter(df: DataFrame, robots: DataFrame, url_col: str) -> DataFrame:
+    """Drop rows whose URL path matches a robots disallow prefix for its
+    host — the engine's frontier-push robots gate as a standalone
+    primitive (broadcast the robots dim, prefix-match the path inside
+    codegen; ``df`` must carry a ``host`` column). Hosts absent from the
+    dim or with a NULL prefix list pass (permissive default, matching
+    the reference's absent-robots behavior)."""
+    return (
+        df.join(
+            F.broadcast(robots.select("host", "disallow_prefixes")),
+            "host",
+            "left",
+        )
+        .withColumn(
+            "_path",
+            F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
+        )
+        .where(
+            F.col("disallow_prefixes").isNull()
+            | ~F.exists(
+                "disallow_prefixes",
+                lambda p: F.col("_path").startswith(p),
+            )
+        )
+        .drop("_path", "disallow_prefixes")
+    )
