@@ -221,38 +221,90 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> list:
     return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
 
 
-def _cell_scores(vec: Column, centroids: list) -> list:
-    """One (round6 cosine, -cell) orderable struct per centroid — the
-    centroid vectors are literal arrays, so scoring is pure map-side
-    projection (whole-stage codegen, no join, no shuffle)."""
-    out = []
-    for cell, cvec in centroids:
-        carr = F.array(*[F.lit(float(v)) for v in cvec])
-        out.append(
+def _cell_scores(vec: Column, centroids: list) -> Column:
+    """ARRAY of (round6 cosine, -cell) orderable structs, one per
+    centroid — still pure map-side projection (no join, no shuffle).
+
+    Built as ONE ``transform`` over a single literal array<struct>
+    rather than n_cells separate cosine expression trees: the literal
+    array constant-folds to one value and the lambda body is a single
+    cosine, so plan/codegen cost is CONSTANT in n_cells (the n-tree
+    form cost ~3 s of driver time per plan at 16 cells × 64 dims —
+    measured, and it grows with the index)."""
+    cent_arr = F.array(
+        *[
             F.struct(
-                F.round(cosine_col(vec, carr), 6).alias("c"),
-                F.lit(-cell).cast("long").alias("nc"),
+                F.lit(int(cell)).cast("long").alias("cell"),
+                F.array(*[F.lit(float(v)) for v in cvec]).alias("cvec"),
             )
-        )
-    return out
+            for cell, cvec in centroids
+        ]
+    )
+    return F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.round(cosine_col(vec, s["cvec"]), 6).alias("c"),
+            (-s["cell"]).cast("long").alias("nc"),
+        ),
+    )
 
 
 def assign_ivf_cell(vec: Column, centroids: list) -> Column:
-    """Nearest-centroid id by max cosine (ties -> smallest cell id),
-    computed as greatest() over orderable structs — embarrassingly
+    """Nearest-centroid id by max cosine (ties -> smallest cell id) via
+    ``array_max`` over the orderable score structs (identical
+    lexicographic comparison to a greatest() chain) — embarrassingly
     parallel, nothing leaves the input partition."""
-    scores = _cell_scores(vec, centroids)
-    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    best = F.array_max(_cell_scores(vec, centroids))
     return (-best["nc"]).cast("long")
 
 
 def probe_ivf_cells(vec: Column, centroids: list, nprobe: int) -> Column:
     """The query's ``nprobe`` nearest cells (cos desc, cell asc), as an
     array<long> — sort_array over the same literal structs, still fully
-    map-side."""
-    arr = F.sort_array(F.array(*_cell_scores(vec, centroids)), asc=False)
+    map-side.
+
+    Constant-size plan (one sort_array over the single-transform score
+    array); `knn_batch_ivf` instead probes via
+    :func:`probe_ivf_cells_df` (same arithmetic as rows) — this literal
+    form serves map-side/streaming contexts where a join is
+    unavailable."""
+    arr = F.sort_array(_cell_scores(vec, centroids), asc=False)
     return F.transform(
         F.slice(arr, 1, nprobe), lambda s: (-s["nc"]).cast("long")
+    )
+
+
+def centroids_df(spark, centroids: list) -> DataFrame:
+    """The coarse quantizer as an n_cells-row broadcastable dim
+    (cell, cvec) — the join-friendly twin of the literal-expression
+    form."""
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell long, cvec array<double>",
+    )
+
+
+def probe_ivf_cells_df(queries: DataFrame, centroids: list, nprobe: int) -> DataFrame:
+    """Queries expanded to their ``nprobe`` nearest cells as ROWS:
+    broadcast the n_cells centroid dim, score each (query, centroid)
+    pair with ONE cosine expression, keep the top ``nprobe`` per query
+    (cos desc, cell asc — byte-identical ordering to the literal
+    form's struct sort). The window shuffle touches only the query
+    batch × n_cells — small by definition; the corpus is untouched.
+    Unlike the literal form, the plan size is constant in n_cells and
+    dim, so driver planning cost does not grow with the index."""
+    from pyspark.sql.window import Window
+
+    cent = centroids_df(queries.sparkSession, centroids)
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("cell"))
+    return (
+        queries.join(F.broadcast(cent))
+        .withColumn(
+            "_c", F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6)
+        )
+        .withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") <= nprobe)
+        .drop("cvec", "_c", "_pr")
     )
 
 
@@ -295,10 +347,7 @@ def knn_batch_ivf(
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells)
     inv = indexed if indexed is not None else ivf_index(embeddings, centroids)
-    probed = queries.withColumn(
-        "cell",
-        F.explode(probe_ivf_cells(F.col("qvec"), centroids, nprobe)),
-    )
+    probed = probe_ivf_cells_df(queries, centroids, nprobe)
     cand = probed.join(inv, "cell").where(F.col("vec_id") != F.col("qid"))
     scored = cand.select(
         "qid",
