@@ -1340,7 +1340,24 @@ SELECT doc_id, n_email, n_ipv4, n_phone, md5(t4) AS clean_md5 FROM s3
 
 
 def oracle_sql() -> dict[str, str]:
-    h_shingle = _H.format(x="CAST(j AS VARCHAR) || '|' || shingle")
+    # universal MinHash family — the IDENTICAL literals the Spark op
+    # uses (one md5 per shingle, exact int64 fma per permutation)
+    from pholcus_spark.ops.dedup import MINHASH_P, minhash_coeffs
+
+    a_co, b_co = minhash_coeffs(16)
+    mh_cte = f"""mh AS (
+  SELECT doc_id, j,
+    min((
+      (CAST([{",".join(map(str, a_co))}] AS BIGINT[]))[CAST(j + 1 AS INT)]
+        * (x % 1073741824)
+      + (CAST([{",".join(map(str, b_co))}] AS BIGINT[]))[CAST(j + 1 AS INT)]
+        * (x >> 30)
+      + j
+    ) % {MINHASH_P}) AS minhash
+  FROM (SELECT doc_id, {_H.format(x="shingle")} AS x FROM sh),
+       range(0, 16) r(j)
+  GROUP BY doc_id, j
+)"""
     h_tok = _H.format(x="tok")
     norm = _NORM.format(x="text")
     dot_ab = _SQL_DOT.format(dim=EMB_DIM, a="a.embedding", b="b.embedding")
@@ -1931,11 +1948,7 @@ WHERE round(common / (x.sz + y.sz - common), 4) >= 0.1
 """,
         "dedup_minhash_lsh": f"""
 WITH {_SQL_SHINGLES},
-mh AS (
-  SELECT doc_id, j, min({h_shingle}) AS minhash
-  FROM sh, range(0, 16) r(j)
-  GROUP BY doc_id, j
-),
+{mh_cte},
 bs AS (
   SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
     md5(string_agg(CAST(j AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bsig
@@ -1951,11 +1964,7 @@ WHERE a.doc_id < b.doc_id
         # Spark side uses iterative min-label propagation instead)
         "dedup_components": f"""
 WITH RECURSIVE {_SQL_SHINGLES},
-mh AS (
-  SELECT doc_id, j, min({h_shingle}) AS minhash
-  FROM sh, range(0, 16) r(j)
-  GROUP BY doc_id, j
-),
+{mh_cte},
 bs AS (
   SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
     md5(string_agg(CAST(j AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ',' ORDER BY j)) AS bsig

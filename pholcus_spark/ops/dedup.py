@@ -18,7 +18,16 @@ Design for 100 TB (the whole point of each variant):
 
 Every operator is built-in-function only (JVM codegen; zero Python) and
 deterministic, with bit-exact DuckDB oracles in __spark_entry__.py.
-MinHash hash family: h_j(s) = portable_hash64(j || '|' || s).
+
+MinHash hash family: each shingle is md5-hashed ONCE
+(x = portable_hash64(s), split into two 30-bit halves x1/x2), then the
+16 per-permutation values are the universal-hash combos
+h_j(s) = (A_j*x1 + B_j*x2 + j) mod (2^31 - 1) with fixed md5-derived
+30-bit odd coefficients (:func:`minhash_coeffs`; see MINHASH_P on why
+the modulus must be small enough to wrap). One string hash +
+num_hashes integer fmas per shingle instead of num_hashes string
+hashes — every term stays below 2^61 so the arithmetic is exact in
+int64 in ANY engine (the DuckDB oracle replays it literally).
 """
 
 from __future__ import annotations
@@ -174,20 +183,62 @@ def ngram_jaccard_pairs(
     )
 
 
+# Mersenne-31 modulus (Carter–Wegman): the 30-bit-coefficient products
+# reach ~2^60, i.e. ~2^29 wraps around P — the wrapping is what makes
+# the permutations independent. (A 2^61-1 modulus with the same
+# coefficients NEVER wraps, leaving h_j monotone in (x1, x2) across all
+# j — measured: LSH candidate pairs inflated 25 → 139 on the sf0.01
+# gate corpus before being caught.)
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Fixed 30-bit odd coefficient pairs (A_j, B_j) for the universal
+    MinHash family, derived from md5 so any engine can re-derive (or
+    just inline) the identical literals."""
+    import hashlib
+
+    def c(tag: str, j: int) -> int:
+        h = hashlib.md5(f"minhash-{tag}-{j}".encode()).hexdigest()
+        return (int(h[:8], 16) % (1 << 30)) | 1
+
+    return (
+        [c("a", j) for j in range(num_hashes)],
+        [c("b", j) for j in range(num_hashes)],
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
-    """(doc_id, j, minhash): min over shingles of h_j(shingle)."""
+    """(doc_id, j, minhash): min over shingles of h_j(shingle).
+
+    One md5 per DISTINCT shingle, then cheap exact int64 arithmetic per
+    permutation (see module docstring) — at corpus scale the string
+    hashing is the dominant per-row cost and this cuts it by
+    num_hashes×. The j explode feeds a partially-aggregated groupBy, so
+    the shuffle carries only num_hashes rows per doc."""
+    a_co, b_co = minhash_coeffs(num_hashes)
     sh = word_shingles(docs, n)
-    hashed = sh.select(
+    x = portable_hash64(F.col("shingle"))
+    pre = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
-        F.col("shingle"),
-    ).select(
+        (x % F.lit(1 << 30)).alias("_x1"),
+        F.shiftright(x, 30).alias("_x2"),
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
+    a_arr = F.array(*[F.lit(v).cast("long") for v in a_co])
+    b_arr = F.array(*[F.lit(v).cast("long") for v in b_co])
+    hashed = pre.select("doc_id", "_x1", "_x2", j).select(
         "doc_id",
         "j",
-        portable_hash64(
-            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("shingle"))
+        (
+            (
+                F.element_at(a_arr, F.col("j") + 1) * F.col("_x1")
+                + F.element_at(b_arr, F.col("j") + 1) * F.col("_x2")
+                + F.col("j")
+            )
+            % F.lit(MINHASH_P)
         ).alias("h"),
     )
     return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
