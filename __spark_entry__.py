@@ -987,12 +987,13 @@ def q_kafka_payload(spark, sf_dir):
 
 
 def q_robots_filter(spark, sf_dir):
-    """The engine's robots disallow gate (`robots.disallow_filter`, the
-    exact primitive every frontier push runs): URLs derived
-    deterministically from documents, a 5-host disallow dim covering
-    every shape — multiple prefixes, empty list, missing host row,
-    root-disallow — prefix-matched on the parsed path (query string
-    excluded, like Go's robots packages match on the path)."""
+    """The engine's robots gate (`robots.disallow_filter`, the exact
+    primitive every frontier push runs): URLs derived deterministically
+    from documents, a 5-host dim covering every rule shape — multiple
+    prefixes, empty lists, missing host row, root-disallow, and Allow
+    carve-outs resolved by RFC 9309 longest-match-wins (allow on tie) —
+    prefix-matched on the parsed path (query string excluded, like Go's
+    robots packages match on the path)."""
     from pholcus_spark.robots import disallow_filter
 
     docs = _load(spark, sf_dir, "documents")
@@ -1006,15 +1007,24 @@ def q_robots_filter(spark, sf_dir):
     df = docs.select(
         F.col("doc_id"), host.alias("host"), url.alias("url")
     )
+    # host N holds sources src{N}, src{N+5}, src{N+10}, src{N+15}
+    # (source tracks doc_id), so these prefixes exercise the whole
+    # precedence ladder on real rows:
     dim = spark.createDataFrame(
         [
-            ("h0.test", ["/src1", "/src0/d0"]),  # two prefixes
-            ("h1.test", []),                      # empty list: all pass
-            ("h2.test", ["/src1"]),
+            # /src1 disallows src10+src15; /src15 allow carves src15
+            # back out (6 > 5); /src15/d1 re-disallows its d1* docs
+            # (9 > 6)
+            ("h0.test", ["/src1", "/src15/d1", "/src0/d0"], ["/src15"]),
+            ("h1.test", [], []),            # empty lists: all pass
+            # exact tie (same prefix both lists): allow wins
+            ("h2.test", ["/src1"], ["/src1"]),
             # h3.test absent: permissive default
-            ("h4.test", ["/"]),                   # root disallow: none pass
+            # root disallow with a /src9 carve-out
+            ("h4.test", ["/"], ["/src9"]),
         ],
-        "host string, disallow_prefixes array<string>",
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
     )
     return disallow_filter(df, dim, "url").select("doc_id", "url")
 
@@ -1909,16 +1919,22 @@ WITH d AS (
     '/' || source || '/d' || CAST(doc_id AS VARCHAR) AS path
   FROM documents
 ),
-dim(host, prefixes) AS (VALUES
-  ('h0.test', ['/src1', '/src0/d0']),
-  ('h1.test', CAST([] AS VARCHAR[])),
-  ('h2.test', ['/src1']),
-  ('h4.test', ['/'])
+dim(host, dis, alw) AS (VALUES
+  ('h0.test', ['/src1', '/src15/d1', '/src0/d0'], ['/src15']),
+  ('h1.test', CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])),
+  ('h2.test', ['/src1'], ['/src1']),
+  ('h4.test', ['/'], ['/src9'])
+),
+m AS (
+  SELECT doc_id, url,
+    list_max(list_transform(list_filter(dis, p -> path ^@ p), p -> len(p)))
+      AS dmax,
+    list_max(list_transform(list_filter(alw, p -> path ^@ p), p -> len(p)))
+      AS amax
+  FROM d LEFT JOIN dim USING (host)
 )
-SELECT doc_id, url
-FROM d LEFT JOIN dim USING (host)
-WHERE prefixes IS NULL
-   OR len(list_filter(prefixes, p -> path ^@ p)) = 0
+SELECT doc_id, url FROM m
+WHERE dmax IS NULL OR (amax IS NOT NULL AND amax >= dmax)
 """,
         "q_global_rank": r"""
 SELECT l_orderkey, l_linenumber,

@@ -285,7 +285,13 @@ class CrawlEngine:
             robots = spark.createDataFrame(
                 [], "host string, disallow_prefixes array<string>, crawl_delay_ms long"
             )
-        self.robots = robots.select("host", "disallow_prefixes", "crawl_delay_ms")
+        # allow_prefixes is optional in the dim (legacy all-Disallow
+        # shape) — disallow_filter applies RFC 9309 longest-match-wins
+        # when it is present
+        rcols = ["host", "disallow_prefixes", "crawl_delay_ms"]
+        if "allow_prefixes" in robots.columns:
+            rcols.insert(2, "allow_prefixes")
+        self.robots = robots.select(*rcols)
         self._bloom = None  # BloomSidecar handle (paths/params only)
         self._bloom_load_attempted = False
         self._uncovered_est: int | None = None  # keys not covered by sidecar
@@ -1246,23 +1252,9 @@ class CrawlEngine:
             pag = self._paginate_children(parsed)
             if pag is not None:
                 links = links.unionByName(pag)
-        # robots disallow filter (north-rule extension): broadcast dim join
-        links = (
-            links.join(
-                F.broadcast(self.robots.select("host", "disallow_prefixes")),
-                "host",
-                "left",
-            )
-            .withColumn("_path", F.parse_url(F.col("curl"), F.lit("PATH")))
-            .where(
-                F.col("disallow_prefixes").isNull()
-                | ~F.exists(
-                    "disallow_prefixes",
-                    lambda p: F.col("_path").startswith(p),
-                )
-            )
-            .drop("disallow_prefixes", "_path")
-        )
+        # robots filter (north-rule extension): the shared oracle-gated
+        # broadcast-dim primitive (RFC 9309 longest-match incl. Allow)
+        links = self._robots_disallow_filter(links, "curl")
         # temp caption carry for image children (request Temp, temp.go:11-44)
         figs = (
             parsed.select(

@@ -65,6 +65,7 @@ class SiteSpec:
     lossy_rate: float = 0.3  # images stored as quantized ("lossy") copies
     cross_host_every: int = 7
     robots_disallow: dict[str, list[str]] | None = None  # host -> prefixes
+    robots_allow: dict[str, list[str]] | None = None  # host -> carve-outs
     crawl_delay_ms: dict[str, int] | None = None  # host -> delay
     default_crawl_delay_ms: int = 375  # = 1.25 × reference Pausetime 300ms
     image_sizes: tuple[int, ...] = (32, 64, 128)  # candidate px dims
@@ -240,6 +241,7 @@ def generate(spec: SiteSpec, seed: int = SEED) -> Corpus:
             {
                 "host": host,
                 "disallow_prefixes": (spec.robots_disallow or {}).get(host, []),
+                "allow_prefixes": (spec.robots_allow or {}).get(host, []),
                 "crawl_delay_ms": (spec.crawl_delay_ms or {}).get(
                     host, spec.default_crawl_delay_ms
                 ),
@@ -262,7 +264,10 @@ IMAGES_DDL = (
     "caption string, phash long"
 )
 SEEDS_DDL = "spider string, url string, rule string, priority int"
-ROBOTS_DDL = "host string, disallow_prefixes array<string>, crawl_delay_ms long"
+ROBOTS_DDL = (
+    "host string, disallow_prefixes array<string>, "
+    "allow_prefixes array<string>, crawl_delay_ms long"
+)
 IMAGES_TRUTH_DDL = "image_id string, orig_png binary, lossy boolean"
 
 
@@ -295,7 +300,15 @@ def to_spark(spark, corpus: Corpus):
         SEEDS_DDL,
     )
     robots = spark.createDataFrame(
-        [(r["host"], r["disallow_prefixes"], r["crawl_delay_ms"]) for r in corpus.robots],
+        [
+            (
+                r["host"],
+                r["disallow_prefixes"],
+                r.get("allow_prefixes", []),
+                r["crawl_delay_ms"],
+            )
+            for r in corpus.robots
+        ],
         ROBOTS_DDL,
     )
     return pages, images, truth, seeds, robots

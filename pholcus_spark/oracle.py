@@ -798,11 +798,19 @@ def crawl(
         return max(1, config.wave_window_ms // int(delay))
 
     def robots_allows(host: str, url: str) -> bool:
-        prefixes = robots_by_host.get(host, {}).get("disallow_prefixes") or []
+        # RFC 9309 longest-match-wins, allow on tie — independent
+        # re-statement of robots.disallow_filter's broadcast-join form
+        r = robots_by_host.get(host, {})
+        dis = r.get("disallow_prefixes") or []
+        alw = r.get("allow_prefixes") or []
         from urllib.parse import urlsplit
 
         path = urlsplit(url).path
-        return not any(path.startswith(p) for p in prefixes)
+        dmax = max((len(p) for p in dis if path.startswith(p)), default=None)
+        if dmax is None:
+            return True
+        amax = max((len(p) for p in alw if path.startswith(p)), default=None)
+        return amax is not None and amax >= dmax
 
     seen: set[str] = set()
     temp: set[str] = set()

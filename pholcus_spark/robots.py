@@ -37,12 +37,16 @@ from pyspark.sql.types import (
 
 def parse_robots(text: str, agent: str = "pholcus") -> dict:
     """Parse one robots.txt body for ``agent``. Returns
-    ``{"disallow_prefixes": [...], "crawl_delay_ms": int | None}``.
+    ``{"disallow_prefixes": [...], "allow_prefixes": [...],
+    "crawl_delay_ms": int | None}``.
 
     Group selection: the group whose User-agent token is the longest
     (case-insensitive) substring match of ``agent`` wins; ``*`` is the
     fallback group. Records are separated by User-agent lines; multiple
-    consecutive User-agent lines share one group.
+    consecutive User-agent lines share one group. ``Allow`` lines are
+    collected per group; precedence against Disallow is decided at
+    match time by :func:`disallow_filter` (RFC 9309 longest-match-wins,
+    allow on tie).
     """
     groups: dict[str, dict] = {}
     current: list[str] = []
@@ -60,20 +64,25 @@ def parse_robots(text: str, agent: str = "pholcus") -> dict:
             expecting_agents = True
             token = value.lower()
             current.append(token)
-            groups.setdefault(token, {"disallow": [], "delay": None})
-        elif field in ("disallow", "crawl-delay"):
+            groups.setdefault(
+                token, {"disallow": [], "allow": [], "delay": None}
+            )
+        elif field in ("disallow", "allow", "crawl-delay"):
             expecting_agents = False
             for token in current:
                 g = groups[token]
                 if field == "disallow":
                     if value:
                         g["disallow"].append(value)
+                elif field == "allow":
+                    if value:
+                        g["allow"].append(value)
                 else:
                     try:
                         g["delay"] = float(value)
                     except ValueError:
                         pass
-        # other fields (Allow, Sitemap, ...) are ignored
+        # other fields (Sitemap, ...) are ignored
     agent_l = agent.lower()
     best = None
     for token in groups:
@@ -83,10 +92,15 @@ def parse_robots(text: str, agent: str = "pholcus") -> dict:
     if best is None and "*" in groups:
         best = "*"
     if best is None:
-        return {"disallow_prefixes": [], "crawl_delay_ms": None}
+        return {
+            "disallow_prefixes": [],
+            "allow_prefixes": [],
+            "crawl_delay_ms": None,
+        }
     g = groups[best]
     return {
         "disallow_prefixes": list(g["disallow"]),
+        "allow_prefixes": list(g["allow"]),
         "crawl_delay_ms": int(g["delay"] * 1000) if g["delay"] is not None else None,
     }
 
@@ -94,6 +108,7 @@ def parse_robots(text: str, agent: str = "pholcus") -> dict:
 _ROBOTS_TYPE = StructType(
     [
         StructField("disallow_prefixes", ArrayType(StringType())),
+        StructField("allow_prefixes", ArrayType(StringType())),
         StructField("crawl_delay_ms", LongType()),
     ]
 )
@@ -124,6 +139,7 @@ def robots_dim_from_pages(
         return pd.DataFrame(
             {
                 "disallow_prefixes": [o["disallow_prefixes"] for o in outs],
+                "allow_prefixes": [o["allow_prefixes"] for o in outs],
                 "crawl_delay_ms": [o["crawl_delay_ms"] for o in outs],
             }
         )
@@ -133,6 +149,7 @@ def robots_dim_from_pages(
     ).select(
         "host",
         F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("_r.allow_prefixes").alias("allow_prefixes"),
         F.col("_r.crawl_delay_ms").alias("crawl_delay_ms"),
     )
 
@@ -197,33 +214,64 @@ def fetch_robots_dim(spark, hosts: DataFrame, fetcher, agent: str = "pholcus") -
         F.coalesce(
             F.col("disallow_prefixes"), F.array().cast("array<string>")
         ).alias("disallow_prefixes"),
+        F.coalesce(
+            F.col("allow_prefixes"), F.array().cast("array<string>")
+        ).alias("allow_prefixes"),
         F.col("crawl_delay_ms"),
     )
 
 
-def disallow_filter(df: DataFrame, robots: DataFrame, url_col: str) -> DataFrame:
-    """Drop rows whose URL path matches a robots disallow prefix for its
-    host — the engine's frontier-push robots gate as a standalone
-    primitive (broadcast the robots dim, prefix-match the path inside
-    codegen; ``df`` must carry a ``host`` column). Hosts absent from the
-    dim or with a NULL prefix list pass (permissive default, matching
-    the reference's absent-robots behavior)."""
-    return (
-        df.join(
-            F.broadcast(robots.select("host", "disallow_prefixes")),
-            "host",
-            "left",
+def _longest_match_len(prefixes, path):
+    """Length of the longest prefix in ``prefixes`` matching ``path``
+    (NULL when none match) — the RFC 9309 rule-specificity measure,
+    computed inside the broadcast join projection."""
+    return F.array_max(
+        F.transform(
+            F.filter(prefixes, lambda p: path.startswith(p)),
+            F.length,
         )
-        .withColumn(
-            "_path",
-            F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
-        )
-        .where(
-            F.col("disallow_prefixes").isNull()
-            | ~F.exists(
-                "disallow_prefixes",
-                lambda p: F.col("_path").startswith(p),
-            )
-        )
-        .drop("_path", "disallow_prefixes")
     )
+
+
+def disallow_filter(df: DataFrame, robots: DataFrame, url_col: str) -> DataFrame:
+    """Drop rows disallowed by robots rules for their host — the
+    engine's frontier-push robots gate as a standalone primitive
+    (broadcast the robots dim, prefix-match the path inside codegen;
+    ``df`` must carry a ``host`` column).
+
+    Precedence is RFC 9309 longest-match-wins: among all Allow and
+    Disallow prefixes matching the path, the longest wins; on a length
+    tie Allow wins (least-restrictive). Hosts absent from the dim, NULL
+    prefix lists, or no matching rule at all pass (permissive default,
+    matching the reference's absent-robots behavior). A robots dim
+    without an ``allow_prefixes`` column behaves as all-Disallow
+    (legacy shape)."""
+    rcols = ["host", "disallow_prefixes"]
+    has_allow = "allow_prefixes" in robots.columns
+    if has_allow:
+        rcols.append("allow_prefixes")
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    dmax = F.when(
+        F.col("disallow_prefixes").isNotNull(),
+        _longest_match_len(F.col("disallow_prefixes"), F.col("_path")),
+    )
+    amax = (
+        F.when(
+            F.col("allow_prefixes").isNotNull(),
+            _longest_match_len(F.col("allow_prefixes"), F.col("_path")),
+        )
+        if has_allow
+        else F.lit(None).cast("int")
+    )
+    out = (
+        df.join(F.broadcast(robots.select(*rcols)), "host", "left")
+        .withColumn("_path", path)
+        .withColumn("_dmax", dmax)
+        .withColumn("_amax", amax)
+        .where(
+            F.col("_dmax").isNull()
+            | (F.col("_amax").isNotNull() & (F.col("_amax") >= F.col("_dmax")))
+        )
+        .drop("_path", "_dmax", "_amax", "disallow_prefixes")
+    )
+    return out.drop("allow_prefixes") if has_allow else out

@@ -264,6 +264,9 @@ def _build_scenarios() -> dict[str, dict]:
             fixtures.SiteSpec(
                 n_hosts=2, list_pages=7,
                 robots_disallow={"h000.test": ["/d/"], "h001.test": ["/p/3"]},
+                # RFC 9309 longest-match: /d/3 carves detail pages of
+                # list 3 back out of h000's /d/ disallow
+                robots_allow={"h000.test": ["/d/3"]},
                 **clean,
             )
         ),
@@ -447,10 +450,14 @@ def test_limit_guard_conformance(runs):
 def test_robots_disallow_conformance(runs):
     _, run, res = runs["robots"]
     check_conformance(run, res)
-    assert all(
-        "/d/" not in o["url"] or not o["url"].startswith("http://h000")
+    h000_details = [
+        o["url"]
         for o in res.order
-    )
+        if o["url"].startswith("http://h000") and "/d/" in o["url"]
+    ]
+    # /d/ disallowed EXCEPT the /d/3 Allow carve-out (longest match)
+    assert h000_details  # the carve-out is actually exercised
+    assert all(u.startswith("http://h000.test/d/3") for u in h000_details)
     assert res.dropped_robots > 0
 
 

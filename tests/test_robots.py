@@ -54,7 +54,7 @@ def test_parse_robots_empty_disallow_allows_all():
     assert r["disallow_prefixes"] == []
     assert r["crawl_delay_ms"] is None
     assert parse_robots("", "pholcus") == {
-        "disallow_prefixes": [], "crawl_delay_ms": None
+        "disallow_prefixes": [], "allow_prefixes": [], "crawl_delay_ms": None
     }
 
 
@@ -68,7 +68,9 @@ def test_robots_dim_from_pages_schema_matches_engine(spark):
         "host string, body binary",
     )
     dim = robots_dim_from_pages(pages, agent="pholcus")
-    assert dim.columns == ["host", "disallow_prefixes", "crawl_delay_ms"]
+    assert dim.columns == [
+        "host", "disallow_prefixes", "allow_prefixes", "crawl_delay_ms"
+    ]
     rows = {r.host: r for r in dim.collect()}
     assert rows["h000.test"].disallow_prefixes == ["/private/", "/tmp/"]
     assert rows["h000.test"].crawl_delay_ms == 1500
@@ -120,3 +122,68 @@ def test_fetch_robots_dim_scheme_aware(spark):
     rows2 = {r.host: r for r in dim2.collect()}
     assert rows2["plain.test"].disallow_prefixes == ["/old/"]
     assert rows2["secure.test"].disallow_prefixes == []  # http miss
+
+
+ALLOWED = """
+User-agent: *
+Disallow: /shop/
+Allow: /shop/sale/
+Allow: /shop/item
+Disallow: /shop/item/secret
+Disallow: /
+Allow: /public
+"""
+
+
+def test_parse_robots_allow_groups():
+    r = parse_robots(ALLOWED, "pholcus")
+    assert r["disallow_prefixes"] == ["/shop/", "/shop/item/secret", "/"]
+    assert r["allow_prefixes"] == ["/shop/sale/", "/shop/item", "/public"]
+
+
+def test_disallow_filter_longest_match_wins(spark):
+    """RFC 9309 precedence drilled through the broadcast-join filter:
+    longest matching prefix wins, Allow wins length ties, no-match
+    passes, missing host passes, legacy dims (no allow column) keep
+    pure-disallow semantics."""
+    from pholcus_spark.robots import disallow_filter
+
+    dim = spark.createDataFrame(
+        [("h.test", ["/shop/", "/shop/item/secret", "/"],
+          ["/shop/sale/", "/shop/item", "/public"])],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    urls = [
+        ("http://h.test/public/x", True),    # allow /public > dis /
+        ("http://h.test/anything", False),   # dis / only
+        ("http://h.test/shop/x", False),     # dis /shop/ > allow none
+        ("http://h.test/shop/sale/x", True), # allow /shop/sale/ longest
+        ("http://h.test/shop/item/1", True), # allow /shop/item > /shop/
+        ("http://h.test/shop/item/secret/1", False),  # dis longest
+        ("http://other.test/anything", True),  # host not in dim
+    ]
+    df = spark.createDataFrame(
+        [(u, "h.test" if "h.test" in u else "other.test") for u, _ in urls],
+        "url string, host string",
+    )
+    kept = {r.url for r in disallow_filter(df, dim, "url").collect()}
+    for u, want in urls:
+        assert (u in kept) == want, u
+
+    # equal-length Allow vs Disallow -> allow (least restrictive)
+    tie = spark.createDataFrame(
+        [("h.test", ["/a/"], ["/a/"])],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    df2 = spark.createDataFrame([("http://h.test/a/z", "h.test")],
+                                "url string, host string")
+    assert disallow_filter(df2, tie, "url").count() == 1
+
+    # legacy 3-col dim: everything under a disallow prefix drops
+    legacy = spark.createDataFrame(
+        [("h.test", ["/a/"], None)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms long",
+    )
+    assert disallow_filter(df2, legacy, "url").count() == 0
