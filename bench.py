@@ -37,6 +37,8 @@ HEADLINE = [
     "q_cube_rollup",
     "q_pivot",
     "q_url_canonical",
+    "q_robots_filter",
+    "q_kafka_payload",
     "text_token_count",
     "text_quality",
     "text_lang_id",
