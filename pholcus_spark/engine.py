@@ -1197,24 +1197,25 @@ class CrawlEngine:
         # children come from anchors AND embedded image srcs — the reference
         # enqueues file downloads from img srcs via ctx.AddQueue just like
         # page links (context.go:104-125, FileOutput path :247-284)
+        emit_arrays = (
+            [
+                F.col("out_links"),
+                F.transform(F.col("figures"), lambda f: f["src"]),
+            ]
+            if getattr(spec, "follow_anchors", True)
+            else []  # explicit-AddQueue-only ports (spec.follow_anchors)
+        ) + [
+            # link_fields-emitted children (ctx.AddQueue from rule
+            # data, avatar.go:95-101) — last in push order
+            F.coalesce(F.col("dsl_links"), F.array().cast("array<string>")),
+        ]
         links = parsed.select(
             "spider",
             F.col("url").alias("parent_url"),
             "depth",
             F.col("priority").alias("p_prio"),
             F.col("seq").alias("p_seq"),
-            F.posexplode(
-                F.concat(
-                    F.col("out_links"),
-                    F.transform(F.col("figures"), lambda f: f["src"]),
-                    # link_fields-emitted children (ctx.AddQueue from
-                    # rule data, avatar.go:95-101) — last in push order
-                    F.coalesce(
-                        F.col("dsl_links"),
-                        F.array().cast("array<string>"),
-                    ),
-                )
-            ).alias("ordinal", "raw_link"),
+            F.posexplode(F.concat(*emit_arrays)).alias("ordinal", "raw_link"),
         )
         if spec.max_depth is not None:
             links = links.where(F.col("depth") < spec.max_depth)

@@ -1022,6 +1022,11 @@ def crawl(
                                     c = canonicalize_url_safe(link)
                                     if c is not None:
                                         dsl_carry[c] = carry
+                if not getattr(spec, "follow_anchors", True):
+                    # explicit-AddQueue-only port: anchors/figure srcs
+                    # never reach the frontier (spiderspec docstring)
+                    out_links = []
+                    img_refs = []
                 if depth_ok:
                     img_link_caption = {}
                     if img_refs:

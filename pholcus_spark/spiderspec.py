@@ -188,6 +188,15 @@ class SpiderSpec:
     # user-authored extraction rules (see ExtractRule); items they emit
     # land in the same items table alongside the built-in figure items
     extract_rules: tuple[ExtractRule, ...] = ()
+    # the automatic anchor/figure crawl: every <a href> and <img src>
+    # on a fetched page is routed through link_rules (the fixture-site
+    # conformance model). The REFERENCE has no automatic following —
+    # ParseFuncs enqueue explicitly via ctx.AddQueue (context.go:104-125)
+    # — so 1:1 rule ports that enqueue exclusively through
+    # ``link_fields`` / PaginateRule set this False: only rule-authored
+    # children reach the frontier (a decoy anchor outside the rule's
+    # selector scope must NOT be crawled, zhihu_daily.go:70-74)
+    follow_anchors: bool = True
     # extract-count-then-expand pagination (see PaginateRule)
     paginate_rules: tuple[PaginateRule, ...] = ()
 

@@ -135,3 +135,54 @@ def test_jiban_html_sample_matches_oracle(spark):
         assert eng == orc
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_zhihu_sample_matches_oracle(spark):
+    """The zhihu_daily port (zhihu_daily.go): Temp-scoped selector
+    split into two rule names, explicit-AddQueue-only enqueueing
+    (follow_anchors=False — the weekly-tab decoys outside the
+    [data-type='daily'] scope must NOT be crawled), relative-href
+    absolutization, @eq(0)@html for .First().Html(), and frontier
+    dedup of a question reachable from two index pages."""
+    sys.path.insert(0, "samples")
+    from zhihu_css_spider import ZHIHU_SPIDER, build_corpus, run
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-zhihu-")
+    try:
+        catalog, state = run(workdir, spark=spark, limit=20)
+        assert state["stopped"]
+        # 4 seeds (explore + 3 offset pages) + 15 distinct questions;
+        # the decoys (/question/91, /question/92) never fetched
+        assert state["totals"]["fetched"] == 19
+        assert state["totals"]["failed"] == 0
+        seen = {r.key for r in catalog.read("url_seen").collect()}
+        assert len(seen) == 19
+        items = catalog.read("items")
+        landing = items.where("rule = '解析落地页'").collect()
+        assert len(landing) == 15
+        for r in landing:
+            q = int(r["url"].rsplit("/", 1)[1])
+            d = r["data"]
+            assert d["标题"] == f"问题标题 {q}"
+            assert d["提问内容"] == f"问题描述 {q} & 细节"
+            # .First().Html(): first AnswerCard only, canonical form
+            assert d["回答内容"] == f"<p>答案一 <b>{q}</b></p>"
+        urls = {r["url"] for r in landing}
+        assert not any(u.endswith(("/91", "/92")) for u in urls)
+        # engine == oracle across the whole items set
+        res = testkit.run_oracle(build_corpus(20), ZHIHU_SPIDER)
+        eng = {
+            (r.rule, r.url, tuple(sorted(r.data.items())))
+            for r in items.collect()
+        }
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        # oracle agrees on the url_seen membership too
+        assert res.seen == seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
