@@ -1029,6 +1029,55 @@ def q_robots_filter(spark, sf_dir):
     return disallow_filter(df, dim, "url").select("doc_id", "url")
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """The sitemap ingestion parse kernel (`sitemap.sitemap_locs`):
+    sitemap XML synthesized identically in both engines from documents
+    (one urlset per source, entries in doc_id order, an &amp; entity and
+    padding whitespace in every loc, plus one <sitemapindex> body) —
+    extraction, entity unescape, document-order ordinals, and the
+    index flag all compared exactly."""
+    from pholcus_spark.sitemap import sitemap_locs
+
+    docs = _load(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc> http://h.test/"), F.col("source"), F.lit("/d"),
+        F.col("doc_id").cast("string"), F.lit("?a=1&amp;b=2 </loc></url>"),
+    )
+    sm = docs.groupBy("source").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), entry.alias("e")))
+                    ),
+                    lambda s: s["e"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("body_s")
+    )
+    pages = sm.select(
+        F.concat(
+            F.lit("http://h.test/sm/"), F.col("source"), F.lit(".xml")
+        ).alias("url"),
+        F.col("body_s").cast("binary").alias("body"),
+    )
+    idx = spark.createDataFrame(
+        [(
+            "http://h.test/sitemap_index.xml",
+            b"<sitemapindex><sitemap><loc>http://h.test/sm/src0.xml</loc>"
+            b"</sitemap><sitemap><loc>http://h.test/sm/src1.xml</loc>"
+            b"</sitemap></sitemapindex>",
+        )],
+        "url string, body binary",
+    )
+    return sitemap_locs(pages.unionByName(idx)).select(
+        "sitemap_url", "loc", "ord", "is_index"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1071,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_css_extract": q_css_extract,
         "q_kafka_payload": q_kafka_payload,
         "q_robots_filter": q_robots_filter,
+        "q_sitemap_parse": q_sitemap_parse,
         "q_global_rank": q_global_rank,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1935,6 +1985,40 @@ m AS (
 )
 SELECT doc_id, url FROM m
 WHERE dmax IS NULL OR (amax IS NOT NULL AND amax >= dmax)
+""",
+        "q_sitemap_parse": r"""
+WITH e AS (
+  SELECT source, doc_id,
+    '<url><loc> http://h.test/' || source || '/d'
+      || CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2 </loc></url>' AS entry
+  FROM documents
+),
+sm AS (
+  SELECT 'http://h.test/sm/' || source || '.xml' AS sitemap_url,
+    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>'
+      AS body
+  FROM e GROUP BY source
+),
+allsm AS (
+  SELECT sitemap_url, body FROM sm
+  UNION ALL
+  SELECT 'http://h.test/sitemap_index.xml',
+    '<sitemapindex><sitemap><loc>http://h.test/sm/src0.xml</loc></sitemap>'
+    || '<sitemap><loc>http://h.test/sm/src1.xml</loc></sitemap>'
+    || '</sitemapindex>'
+),
+l AS (
+  SELECT sitemap_url, contains(body, '<sitemapindex') AS is_index,
+    regexp_extract_all(body, '<loc>\s*([^<]*[^<\s])\s*</loc>', 1) AS locs
+  FROM allsm
+)
+SELECT sitemap_url,
+  replace(replace(replace(replace(replace(replace(unnest(locs),
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+    '&#39;', ''''), '&amp;', '&') AS loc,
+  CAST(generate_subscripts(locs, 1) - 1 AS BIGINT) AS ord,
+  is_index
+FROM l
 """,
         "q_global_rank": r"""
 SELECT l_orderkey, l_linenumber,

@@ -38,6 +38,7 @@ HEADLINE = [
     "q_pivot",
     "q_url_canonical",
     "q_robots_filter",
+    "q_sitemap_parse",
     "q_kafka_payload",
     "text_token_count",
     "text_quality",

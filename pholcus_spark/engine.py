@@ -410,8 +410,6 @@ class CrawlEngine:
         printf-style template receiving the index, e.g.
         ``"http://h.test/page/%d"``.
         """
-        state0 = self._seed_prelude()
-        reload_list = list(self.spec.reloadable_urls)
         gen = (
             self.spark.range(start, stop)
             .select(
@@ -419,7 +417,43 @@ class CrawlEngine:
                 (F.col("id") - F.lit(start)).alias("_ord"),
             )
         )
+        self.seed_urls_df(gen, rule=rule, spider=spider, priority=priority)
+
+    def seed_urls_df(
+        self,
+        urls: DataFrame,
+        rule: str,
+        spider: str,
+        priority: int = 0,
+    ) -> None:
+        """Seed the frontier from ANY DataFrame of URLs — the general
+        distributed-seeding form behind :meth:`seed_range` (template
+        ranges) and :func:`sitemap.fetch_sitemap_urls` (sitemap
+        ingestion). ``urls`` carries ``raw_url`` plus an optional
+        ``_ord`` long column fixing FIFO order within the batch
+        (missing → one deterministic rank by canonical URL). Robots,
+        history dedup, and the in-batch first-wins dedup all apply
+        exactly as in every other push path; nothing materializes on
+        the driver."""
+        state0 = self._seed_prelude()
+        reload_list = list(self.spec.reloadable_urls)
+        has_ord = "_ord" in urls.columns
+        gen = urls.select(
+            "raw_url",
+            *([F.col("_ord").cast("long").alias("_ord")] if has_ord else []),
+        )
         gen = canonical_split(gen, "raw_url").where(F.col("curl").isNotNull())
+        if not has_ord:
+            # deterministic order for orderless sources: rank by
+            # canonical URL, shuffle-parallel (two-phase, no single
+            # partition anywhere)
+            gen = two_phase_rank(
+                gen,
+                [F.asc("curl")],
+                max(1, self.config.frontier_partitions),
+                "_ord",
+                unpersist_into=self._pending_unpersist,
+            )
         # robots disallow (same broadcast-dim filter as the push path)
         gen = self._robots_disallow_filter(gen, "curl")
         new_df = gen.select(
