@@ -1029,6 +1029,52 @@ def q_robots_filter(spark, sf_dir):
     return disallow_filter(df, dim, "url").select("doc_id", "url")
 
 
+def q_proxy_assign(spark, sf_dir):
+    """Proxy-pool rotation assignment (`proxy.assign_proxy` — the exact
+    broadcast join + rank filter the engine runs before a live fetch,
+    reference `proxy.go:141-197`): requests synthesized from orders
+    over 20 subdomained hosts, a 25-proxy pool dim from nation ranked
+    by a deterministic latency within 10 registered-domain pools; each
+    request picks its pool's (tick mod n)-th fastest proxy at tick=3.
+    Exercises the host_key strip-first-label pool keying; hosts whose
+    registered domain has no pool fetch direct (empty proxy)."""
+    from pyspark.sql import Window
+
+    from pholcus_spark.proxy import assign_proxy
+
+    orders = _load(spark, sf_dir, "orders")
+    reqs = orders.select(
+        F.col("o_orderkey").alias("req_id"),
+        F.concat(
+            F.lit("www.site"), (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+    )
+    nation = _load(spark, sf_dir, "nation")
+    pool = nation.select(
+        F.concat(
+            F.lit("site"), (F.col("n_nationkey") % 10).cast("string"),
+            F.lit(".test"),
+        ).alias("host_key"),
+        F.concat(
+            F.lit("http://10.0."),
+            (F.col("n_nationkey") % 10).cast("string"), F.lit("."),
+            F.col("n_nationkey").cast("string"), F.lit(":8080"),
+        ).alias("proxy"),
+        ((F.col("n_nationkey") * 37) % 101).cast("double").alias(
+            "latency_ms"
+        ),
+    )
+    w = Window.partitionBy("host_key").orderBy(
+        F.asc("latency_ms"), F.asc("proxy")
+    )
+    dim = pool.withColumn("rank", F.row_number().over(w)).withColumn(
+        "n_proxies",
+        F.count("*").over(Window.partitionBy("host_key")).cast("int"),
+    )
+    return assign_proxy(reqs, dim, tick=3).select("req_id", "host", "proxy")
+
+
 def q_sitemap_parse(spark, sf_dir):
     """The sitemap ingestion parse kernel (`sitemap.sitemap_locs`):
     sitemap XML synthesized identically in both engines from documents
@@ -1120,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_css_extract": q_css_extract,
         "q_kafka_payload": q_kafka_payload,
         "q_robots_filter": q_robots_filter,
+        "q_proxy_assign": q_proxy_assign,
         "q_sitemap_parse": q_sitemap_parse,
         "q_global_rank": q_global_rank,
         "dedup_exact": dedup_exact,
@@ -1985,6 +2032,38 @@ m AS (
 )
 SELECT doc_id, url FROM m
 WHERE dmax IS NULL OR (amax IS NOT NULL AND amax >= dmax)
+""",
+        "q_proxy_assign": r"""
+WITH req AS (
+  SELECT o_orderkey AS req_id,
+    'www.site' || CAST(o_custkey % 20 AS VARCHAR) || '.test' AS host
+  FROM orders
+),
+pool AS (
+  SELECT 'site' || CAST(n_nationkey % 10 AS VARCHAR) || '.test' AS host_key,
+    'http://10.0.' || CAST(n_nationkey % 10 AS VARCHAR) || '.'
+      || CAST(n_nationkey AS VARCHAR) || ':8080' AS proxy,
+    CAST((n_nationkey * 37) % 101 AS DOUBLE) AS latency_ms
+  FROM nation
+),
+ranked AS (
+  SELECT host_key, proxy,
+    ROW_NUMBER() OVER (
+      PARTITION BY host_key ORDER BY latency_ms, proxy
+    ) AS rnk,
+    COUNT(*) OVER (PARTITION BY host_key) AS n
+  FROM pool
+),
+pick AS (SELECT host_key, proxy FROM ranked WHERE rnk = (3 % n) + 1),
+keyed AS (
+  SELECT req_id, host,
+    CASE WHEN len(host) - len(replace(host, '.', '')) > 1
+         THEN substr(host, position('.' in host) + 1)
+         ELSE host END AS hk
+  FROM req
+)
+SELECT req_id, host, COALESCE(p.proxy, '') AS proxy
+FROM keyed LEFT JOIN pick p ON keyed.hk = p.host_key
 """,
         "q_sitemap_parse": r"""
 WITH e AS (

@@ -39,6 +39,7 @@ HEADLINE = [
     "q_url_canonical",
     "q_robots_filter",
     "q_sitemap_parse",
+    "q_proxy_assign",
     "q_kafka_payload",
     "text_token_count",
     "text_quality",

@@ -258,6 +258,11 @@ class EngineConfig:
     # overhead and small-file count down; scale with expected wave size
     append_partitions: int = 2
     frontier_partitions: int = 8
+    # User-Agent assignment for live fetchers (surfer/param.go:85-95):
+    # None = no UA column (transport default), "fixed" = pin the first
+    # common UA (the reference's cookie-enabled branch), "rotate" =
+    # deterministic per-request-key rotation over the common pool.
+    ua_mode: str | None = None
     # python-side images sink: when the fetcher exposes a body store
     # (StoreFetcher), decode+validate+write image rows inside the python
     # task that reads the bytes — body bytes never cross the JVM<->Python
@@ -275,12 +280,16 @@ class CrawlEngine:
         spec: SpiderSpec,
         robots: DataFrame | None,
         config: EngineConfig | None = None,
+        proxy_dim: DataFrame | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.fetcher = fetcher
         self.spec = spec
         self.config = config or EngineConfig()
+        # latency-sorted proxy pool dim (proxy.build_proxy_dim) — waves
+        # rotate through it per superstep; None = direct fetch
+        self.proxy_dim = proxy_dim
         if robots is None:
             robots = spark.createDataFrame(
                 [], "host string, disallow_prefixes array<string>, crawl_delay_ms long"
@@ -774,11 +783,24 @@ class CrawlEngine:
             fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=False)
         else:
             # live fetcher: fetch exactly once, cache bodies (idempotence)
-            fetched_full = self.fetcher.fetch(self._attach_cookies(wave)).persist()
+            wave_out = self._attach_cookies(wave)
+            if self.proxy_dim is not None:
+                from .proxy import assign_proxy
+
+                # tick = superstep: the rotation clock (proxy.go:162-173
+                # UpdateTicker advances curIndex per period)
+                wave_out = assign_proxy(wave_out, self.proxy_dim, superstep)
+            if self.config.ua_mode:
+                from .proxy import assign_user_agent
+
+                wave_out = assign_user_agent(wave_out, self.config.ua_mode)
+            fetched_full = self.fetcher.fetch(wave_out).persist()
             self._harvest_cookies(fetched_full)
-            # session columns leave the plan here: downstream stores /
-            # unions see the exact pre-cookie schema
-            fetched_full = fetched_full.drop("cookie", "set_cookies")
+            # session/transport columns leave the plan here: downstream
+            # stores / unions see the exact pre-attach schema
+            fetched_full = fetched_full.drop(
+                "cookie", "set_cookies", "proxy", "ua"
+            )
             fetched = fetched_full
         ok = fetched.where(F.col("ok"))
         failed = fetched.where(~F.col("ok"))

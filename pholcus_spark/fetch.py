@@ -216,14 +216,15 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
 
             from .httpfetch import async_fetch_one
 
-            async def fetch_all(urls, methods, bodies):
+            async def fetch_all(urls, methods, bodies, proxies, uas):
                 conn = aiohttp.TCPConnector(limit=max_conn)
                 tmo = aiohttp.ClientTimeout(total=timeout_s)
                 async with aiohttp.ClientSession(connector=conn, timeout=tmo) as s:
                     # the retry/redirect/encoding loop is the SAME
                     # async_fetch_one the stdlib fetcher runs (and the
                     # live-server suite pins); aiohttp's ClientSession
-                    # satisfies its session surface natively
+                    # satisfies its session surface natively (incl. the
+                    # per-request proxy= kwarg the loop forwards)
                     return await asyncio.gather(
                         *[
                             async_fetch_one(
@@ -231,8 +232,12 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
                                 try_times=try_times,
                                 retry_pause_s=retry_pause_s,
                                 redirect_times=redirect_times,
+                                ua=ua or "",
+                                proxy=px or "",
                             )
-                            for u, m, d in zip(urls, methods, bodies)
+                            for u, m, d, px, ua in zip(
+                                urls, methods, bodies, proxies, uas
+                            )
                         ]
                     )
 
@@ -247,8 +252,19 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
                     if "post_data" in pdf
                     else [None] * len(pdf)
                 )
+                proxies_in = (
+                    pdf["proxy"].tolist()
+                    if "proxy" in pdf
+                    else [None] * len(pdf)
+                )
+                uas_in = (
+                    pdf["ua"].tolist() if "ua" in pdf else [None] * len(pdf)
+                )
                 res = asyncio.run(
-                    fetch_all(pdf["url"].tolist(), methods, bodies_in)
+                    fetch_all(
+                        pdf["url"].tolist(), methods, bodies_in,
+                        proxies_in, uas_in,
+                    )
                 )
                 pdf = pdf.copy()
                 pdf["status"] = [r[0] for r in res]

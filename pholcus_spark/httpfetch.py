@@ -147,6 +147,8 @@ async def async_fetch_one(
     redirect_times: int = 0,
     cookie: str = "",
     cookies_out: list | None = None,
+    ua: str = "",
+    proxy: str = "",
 ) -> tuple[int, str, bytes]:
     """THE request loop — retry budget, redirect policy with Go's
     method conversion, POST/POST-M/HEAD encodings, cookie harvesting —
@@ -173,6 +175,13 @@ async def async_fetch_one(
     subsequent hops of the same chain; the Cookie header is only ever
     sent to the ORIGINAL host (a cross-host redirect must not leak the
     session, mirroring Go's http.Client domain check).
+
+    ``ua`` sets the User-Agent header when the caller provided none
+    (`surfer/param.go:85-95` only fills a missing header); ``proxy``
+    routes every hop of the chain through the given proxy URL
+    (`surf.go:139-152` sets the transport's proxy for the whole
+    request) — it is passed to the session only when non-empty, so
+    proxy-unaware session stubs keep working.
     """
     import asyncio
     from urllib.parse import urlsplit
@@ -195,11 +204,14 @@ async def async_fetch_one(
             hops = 0
             while True:
                 hdrs = dict(headers)
+                if ua:
+                    hdrs.setdefault("User-Agent", ua)
                 if jar and urlsplit(cur_url).netloc == home_host:
                     hdrs["Cookie"] = cookie_header(jar)
+                kw = {"proxy": proxy} if proxy else {}
                 async with session.request(
                     cur_method, cur_url, data=cur_data, headers=hdrs,
-                    allow_redirects=False,
+                    allow_redirects=False, **kw,
                 ) as r:
                     status = r.status
                     ctype = r.headers.get("Content-Type", "") or ""
@@ -260,11 +272,29 @@ class _UrllibSession:
             def redirect_request(self, req, fp, code, msg, headers, newurl):
                 return None  # surface the 3xx instead of auto-following
 
-        self._opener = urllib.request.build_opener(_NoRedirect)
+        self._no_redirect = _NoRedirect
+        # opener per proxy route ("" = direct), built lazily — one
+        # session serves a whole task batch whose rows may rotate
+        # through different proxies
+        self._openers = {"": urllib.request.build_opener(_NoRedirect)}
         self._timeout_s = timeout_s
 
+    def _opener_for(self, proxy: str):
+        import urllib.request
+
+        op = self._openers.get(proxy)
+        if op is None:
+            op = urllib.request.build_opener(
+                self._no_redirect,
+                urllib.request.ProxyHandler(
+                    {"http": proxy, "https": proxy}
+                ),
+            )
+            self._openers[proxy] = op
+        return op
+
     def request(self, method, url, data=None, headers=None,
-                allow_redirects=False):
+                allow_redirects=False, proxy=""):
         import urllib.error
         import urllib.request
 
@@ -273,7 +303,9 @@ class _UrllibSession:
             url, data=data, method=method, headers=dict(headers or {})
         )
         try:
-            with self._opener.open(req, timeout=self._timeout_s) as resp:
+            with self._opener_for(proxy or "").open(
+                req, timeout=self._timeout_s
+            ) as resp:
                 body = b"" if method == "HEAD" else resp.read()
                 return _UrllibResponse(resp.status, resp.headers, body)
         except urllib.error.HTTPError as he:
@@ -291,6 +323,8 @@ def fetch_one(
     redirect_times: int = 0,
     cookie: str = "",
     cookies_out: list | None = None,
+    ua: str = "",
+    proxy: str = "",
 ) -> tuple[int, str, bytes]:
     """Synchronous one-request entry point: :func:`async_fetch_one`
     over the urllib transport. See that function for the semantics."""
@@ -307,6 +341,8 @@ def fetch_one(
             redirect_times=redirect_times,
             cookie=cookie,
             cookies_out=cookies_out,
+            ua=ua,
+            proxy=proxy,
         )
     )
 
@@ -399,10 +435,20 @@ class StdlibHttpFetcher:
                     if with_cookies and "cookie" in pdf
                     else [""] * n
                 )
+                # optional per-row proxy / User-Agent columns (attached
+                # upstream by proxy.assign_proxy / assign_user_agent)
+                proxies = (
+                    pdf["proxy"].fillna("").tolist()
+                    if "proxy" in pdf
+                    else [""] * n
+                )
+                uas = (
+                    pdf["ua"].fillna("").tolist() if "ua" in pdf else [""] * n
+                )
                 outs: list[list] = [[] for _ in range(n)]
 
                 def one(t):
-                    i, url, meth, pd, ck = t
+                    i, url, meth, pd, ck, px, ua = t
                     return fetch_one(
                         url, meth, pd,
                         timeout_s=timeout_s,
@@ -411,6 +457,8 @@ class StdlibHttpFetcher:
                         redirect_times=redirect_times,
                         cookie=ck,
                         cookies_out=outs[i] if with_cookies else None,
+                        ua=ua,
+                        proxy=px,
                     )
 
                 with ThreadPoolExecutor(max_workers=max_conn) as pool:
@@ -418,7 +466,7 @@ class StdlibHttpFetcher:
                         pool.map(
                             one,
                             zip(range(n), pdf["url"].tolist(), methods,
-                                post, cookies),
+                                post, cookies, proxies, uas),
                         )
                     )
                 pdf = pdf.copy()
