@@ -603,6 +603,22 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (clustering-based semantic near-dup removal,
+    `ops/cluster.py`): Lloyd k-means over the int8-quantized embedding
+    corpus (k=4, 2 iterations, deterministic md5-sample init), then
+    within-cluster cosine ≥ 0.35 marks dups of the smallest same-cluster
+    id. Every sum is int64 (order-independent), the only floats are one
+    IEEE division/sqrt on identical integers — so the oracle replays the
+    ENTIRE iterative algorithm (quantize → init → 2×(assign, update) →
+    pair join) bit-exactly in unrolled SQL."""
+    from pholcus_spark.ops.cluster import semantic_dedup
+
+    return semantic_dedup(
+        _load(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.35
+    )
+
+
 def dedup_components(spark, sf_dir):
     """Near-dup clustering: connected components (iterative min-label
     propagation — one shuffle per round) over the MinHash/LSH candidate
@@ -1174,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_semantic": dedup_semantic,
         "dedup_components": dedup_components,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -2138,6 +2155,121 @@ FROM bs a JOIN bs b USING (band, bsig)
 WHERE a.doc_id < b.doc_id
 """,
         # components oracle: the same LSH pair CTE, then a recursive-CTE
+        # the FULL SemDeDup algorithm replayed in SQL: int8 quantize,
+        # md5-sample init, two unrolled Lloyd iterations (exact int64
+        # rational centroids; distances = one IEEE division on identical
+        # ints), within-cluster cosine pair join — bit-exact vs Spark
+        "dedup_semantic": """
+WITH am AS (
+  SELECT vec_id, embedding,
+    greatest(list_max(list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS am
+  FROM embeddings
+),
+qc AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / am) + 0.5) AS BIGINT)
+    ) AS q
+  FROM am
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS x FROM qc
+),
+nrm AS (SELECT vec_id, SUM(x * x) AS norm2 FROM ex GROUP BY vec_id),
+seed AS (
+  SELECT vec_id,
+    ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
+  FROM qc
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+),
+c0 AS (
+  SELECT s.cl, e.pos, e.x AS s, CAST(1 AS BIGINT) AS c
+  FROM seed s JOIN ex e USING (vec_id)
+),
+d1 AS (
+  SELECT e.vec_id, c.cl,
+    SUM((c.c * e.x - c.s) * (c.c * e.x - c.s)) AS num,
+    ANY_VALUE(c.c) AS cc
+  FROM ex e JOIN c0 c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cl
+),
+a1 AS (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(num AS DOUBLE) / CAST(cc * cc AS DOUBLE), cl) AS rn
+    FROM d1) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.cluster AS cl, e.pos, SUM(e.x) AS s, COUNT(*) AS c
+  FROM ex e JOIN a1 a USING (vec_id)
+  GROUP BY a.cluster, e.pos
+),
+c1 AS (
+  SELECT p.cl, p.pos, COALESCE(u.s, p.s) AS s, COALESCE(u.c, p.c) AS c
+  FROM c0 p LEFT JOIN u1 u ON u.cl = p.cl AND u.pos = p.pos
+),
+d2 AS (
+  SELECT e.vec_id, c.cl,
+    SUM((c.c * e.x - c.s) * (c.c * e.x - c.s)) AS num,
+    ANY_VALUE(c.c) AS cc
+  FROM ex e JOIN c1 c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cl
+),
+a2 AS (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(num AS DOUBLE) / CAST(cc * cc AS DOUBLE), cl) AS rn
+    FROM d2) WHERE rn = 1
+),
+u2 AS (
+  SELECT a.cluster AS cl, e.pos, SUM(e.x) AS s, COUNT(*) AS c
+  FROM ex e JOIN a2 a USING (vec_id)
+  GROUP BY a.cluster, e.pos
+),
+c2 AS (
+  SELECT p.cl, p.pos, COALESCE(u.s, p.s) AS s, COALESCE(u.c, p.c) AS c
+  FROM c1 p LEFT JOIN u2 u ON u.cl = p.cl AND u.pos = p.pos
+),
+d3 AS (
+  SELECT e.vec_id, c.cl,
+    SUM((c.c * e.x - c.s) * (c.c * e.x - c.s)) AS num,
+    ANY_VALUE(c.c) AS cc
+  FROM ex e JOIN c2 c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cl
+),
+a3 AS (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(num AS DOUBLE) / CAST(cc * cc AS DOUBLE), cl) AS rn
+    FROM d3) WHERE rn = 1
+),
+dots AS (
+  SELECT ea.vec_id AS aid, eb.vec_id AS bid, SUM(ea.x * eb.x) AS dot
+  FROM ex ea
+  JOIN a3 xa ON xa.vec_id = ea.vec_id
+  JOIN a3 xb ON xb.cluster = xa.cluster AND xb.vec_id > xa.vec_id
+  JOIN ex eb ON eb.vec_id = xb.vec_id AND eb.pos = ea.pos
+  GROUP BY ea.vec_id, eb.vec_id
+),
+dups AS (
+  SELECT d.bid AS vec_id, MIN(d.aid) AS dup_of
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.aid
+  JOIN nrm nb ON nb.vec_id = d.bid
+  WHERE na.norm2 > 0 AND nb.norm2 > 0
+    AND CAST(d.dot AS DOUBLE)
+        / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE)))
+        >= 0.35
+  GROUP BY d.bid
+)
+SELECT a.vec_id, a.cluster, d.dup_of
+FROM a3 a LEFT JOIN dups d USING (vec_id)
+""",
         # transitive closure with min-reachable as the canonical label
         # (closure is Σ|component|² rows — tractable at gate scale; the
         # Spark side uses iterative min-label propagation instead)

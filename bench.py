@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_semantic",
     "dedup_components",
     # dedup_embedding (the deliberate all-pairs exact-oracle twin of
     # dedup_embedding_lsh) stays a CORRECTNESS gate but is excluded

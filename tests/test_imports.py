@@ -15,15 +15,20 @@ PUBLIC_MODULES = [
     "pholcus_spark.bloom",
     "pholcus_spark.bodystore",
     "pholcus_spark.catalog",
+    "pholcus_spark.css",
     "pholcus_spark.engine",
     "pholcus_spark.extract",
     "pholcus_spark.fetch",
     "pholcus_spark.fixtures",
     "pholcus_spark.functions",
+    "pholcus_spark.functions.form",
+    "pholcus_spark.functions.html_clean",
+    "pholcus_spark.httpfetch",
     "pholcus_spark.imaging",
     "pholcus_spark.keys",
     "pholcus_spark.operators",
     "pholcus_spark.ops",
+    "pholcus_spark.ops.cluster",
     "pholcus_spark.ops.dedup",
     "pholcus_spark.ops.imagecaption",
     "pholcus_spark.ops.multimodal",
@@ -34,12 +39,15 @@ PUBLIC_MODULES = [
     "pholcus_spark.ops.text",
     "pholcus_spark.oracle",
     "pholcus_spark.plans",
+    "pholcus_spark.proxy",
     "pholcus_spark.robots",
     "pholcus_spark.session",
     "pholcus_spark.sinks",
+    "pholcus_spark.sitemap",
     "pholcus_spark.sources",
     "pholcus_spark.spiderspec",
     "pholcus_spark.streaming",
+    "pholcus_spark.streaming.stateful",
     "pholcus_spark.testkit",
     "pholcus_spark.validate",
 ]
@@ -48,6 +56,25 @@ PUBLIC_MODULES = [
 @pytest.mark.parametrize("mod", PUBLIC_MODULES)
 def test_imports(mod):
     importlib.import_module(mod)
+
+
+def test_module_list_is_complete():
+    """Every .py on disk under the package must appear in
+    PUBLIC_MODULES — a new module can't silently skip the smoke."""
+    import pathlib
+
+    import pholcus_spark
+
+    root = pathlib.Path(pholcus_spark.__file__).parent
+    on_disk = set()
+    for p in root.rglob("*.py"):
+        rel = p.relative_to(root.parent)
+        parts = list(rel.with_suffix("").parts)
+        if parts[-1] == "__init__":
+            parts = parts[:-1]
+        on_disk.add(".".join(parts))
+    missing = on_disk - set(PUBLIC_MODULES)
+    assert not missing, f"modules missing from import smoke: {sorted(missing)}"
 
 
 def test_operators_facade_exports():
