@@ -263,6 +263,10 @@ class EngineConfig:
     # common UA (the reference's cookie-enabled branch), "rotate" =
     # deterministic per-request-key rotation over the common pool.
     ua_mode: str | None = None
+    # when the engine was given a proxy-dim BUILDER, re-probe the pool
+    # every N supersteps (proxy.go:162-173 UpdateTicker re-sorts the
+    # pool each period); 0 = build once at the first wave and keep it
+    proxy_refresh_every: int = 0
     # python-side images sink: when the fetcher exposes a body store
     # (StoreFetcher), decode+validate+write image rows inside the python
     # task that reads the bytes — body bytes never cross the JVM<->Python
@@ -288,8 +292,16 @@ class CrawlEngine:
         self.spec = spec
         self.config = config or EngineConfig()
         # latency-sorted proxy pool dim (proxy.build_proxy_dim) — waves
-        # rotate through it per superstep; None = direct fetch
-        self.proxy_dim = proxy_dim
+        # rotate through it per superstep; None = direct fetch. A
+        # CALLABLE (superstep -> DataFrame) is the reference's
+        # UpdateTicker re-probe cycle (proxy.go:162-173): the engine
+        # invokes it at the first wave and again every
+        # config.proxy_refresh_every supersteps, so pool membership and
+        # latency ranks track the live network while each wave still
+        # sees one immutable broadcast dim.
+        self._proxy_builder = proxy_dim if callable(proxy_dim) else None
+        self.proxy_dim = None if callable(proxy_dim) else proxy_dim
+        self._proxy_built_at: int | None = None
         if robots is None:
             robots = spark.createDataFrame(
                 [], "host string, disallow_prefixes array<string>, crawl_delay_ms long"
@@ -329,6 +341,25 @@ class CrawlEngine:
         # hosts) per wave). Session-scoped, like the reference: not
         # persisted to the catalog across engine restarts.
         self._cookie_store: dict[str, dict[str, str]] = {}
+
+    def _proxy_dim_for(self, superstep: int) -> DataFrame | None:
+        """Resolve the proxy dim for this wave. Static dim: returned
+        as-is. Builder: (re)invoked at the first wave and thereafter
+        whenever ``config.proxy_refresh_every`` supersteps have passed
+        since the last probe — the engine-paced analog of the
+        reference's UpdateTicker re-probe (`proxy.go:162-173`,
+        `proxy.go:199-233` testAndSort per period)."""
+        if self._proxy_builder is None:
+            return self.proxy_dim
+        every = self.config.proxy_refresh_every
+        stale = (
+            self._proxy_built_at is None
+            or (every > 0 and superstep - self._proxy_built_at >= every)
+        )
+        if stale:
+            self.proxy_dim = self._proxy_builder(superstep)
+            self._proxy_built_at = superstep
+        return self.proxy_dim
 
     # ------------------------------------------------------------------
     # seeding
@@ -784,12 +815,13 @@ class CrawlEngine:
         else:
             # live fetcher: fetch exactly once, cache bodies (idempotence)
             wave_out = self._attach_cookies(wave)
-            if self.proxy_dim is not None:
+            dim = self._proxy_dim_for(superstep)
+            if dim is not None:
                 from .proxy import assign_proxy
 
                 # tick = superstep: the rotation clock (proxy.go:162-173
                 # UpdateTicker advances curIndex per period)
-                wave_out = assign_proxy(wave_out, self.proxy_dim, superstep)
+                wave_out = assign_proxy(wave_out, dim, superstep)
             if self.config.ua_mode:
                 from .proxy import assign_user_agent
 

@@ -259,13 +259,93 @@ class _UrllibResponse:
         return False
 
 
+class DnsCache:
+    """The reference surfer's DNS cache (`surf.go:80-135`):
+    ``host:port`` → resolved ip learned from the FIRST successful
+    connection's peer address, and EVICTED when a dial through the
+    cached ip fails (the next attempt re-resolves) — failure-driven
+    eviction instead of a TTL, exactly the Go Dial closure's two
+    deferred branches. Thread-safe; share one instance per fetch task
+    so a batch of requests to the same host resolves once."""
+
+    def __init__(self):
+        import threading
+
+        self._lib: dict[str, str] = {}
+        self._lock = threading.Lock()
+        self.resolves = 0   # connections that went through the resolver
+        self.hits = 0       # connections served from the cache
+        self.evictions = 0  # cached entries dropped on dial failure
+
+    def query(self, addr: str) -> str | None:
+        with self._lock:
+            return self._lib.get(addr)
+
+    def reg(self, addr: str, ip: str) -> None:
+        with self._lock:
+            self._lib[addr] = ip
+            self.resolves += 1
+
+    def delete(self, addr: str) -> None:
+        with self._lock:
+            if self._lib.pop(addr, None) is not None:
+                self.evictions += 1
+
+    def connect(self, host: str, port: int, timeout, source_address=None):
+        """Dial with the cache (the Go transport's Dial closure): a
+        cached ip is dialed directly; a miss resolves via the normal
+        stack and registers the peer ip on success."""
+        import socket
+
+        addr = f"{host}:{port}"
+        cached = self.query(addr)
+        if cached is not None:
+            try:
+                sock = socket.create_connection(
+                    (cached, port), timeout, source_address
+                )
+                with self._lock:
+                    self.hits += 1
+                return sock
+            except OSError:
+                self.delete(addr)  # surf.go:122-126 — evict, fail the
+                raise              # attempt; the retry loop re-dials
+        sock = socket.create_connection((host, port), timeout, source_address)
+        try:
+            self.reg(addr, sock.getpeername()[0])
+        except OSError:
+            pass  # peer gone before getpeername — skip registration
+        return sock
+
+
+def _cached_dns_handler(dns: "DnsCache"):
+    """urllib HTTPHandler whose connections dial through ``dns``.
+    http only: an https connection needs the hostname for SNI/verify,
+    and the resolver result wouldn't change the TLS handshake target —
+    the reference likewise only rewrites the TCP dial address."""
+    import http.client
+    import urllib.request
+
+    class _Conn(http.client.HTTPConnection):
+        def connect(self):
+            self.sock = dns.connect(
+                self.host, self.port, self.timeout, self.source_address
+            )
+
+    class _Handler(urllib.request.HTTPHandler):
+        def http_open(self, req):
+            return self.do_open(_Conn, req)
+
+    return _Handler()
+
+
 class _UrllibSession:
     """Blocking-urllib transport behind the ``async_fetch_one`` session
     surface. The call blocks the (per-request, throwaway) event loop —
     concurrency in :class:`StdlibHttpFetcher` comes from the task-local
     thread pool, not the loop."""
 
-    def __init__(self, timeout_s: float):
+    def __init__(self, timeout_s: float, dns_cache: DnsCache | None = None):
         import urllib.request
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -273,10 +353,17 @@ class _UrllibSession:
                 return None  # surface the 3xx instead of auto-following
 
         self._no_redirect = _NoRedirect
+        self._dns = dns_cache
+        direct = (
+            [_cached_dns_handler(dns_cache)] if dns_cache is not None else []
+        )
         # opener per proxy route ("" = direct), built lazily — one
         # session serves a whole task batch whose rows may rotate
-        # through different proxies
-        self._openers = {"": urllib.request.build_opener(_NoRedirect)}
+        # through different proxies. The DNS cache applies only to the
+        # direct route: a proxied request is resolved BY the proxy.
+        self._openers = {
+            "": urllib.request.build_opener(_NoRedirect, *direct)
+        }
         self._timeout_s = timeout_s
 
     def _opener_for(self, proxy: str):
@@ -325,6 +412,7 @@ def fetch_one(
     cookies_out: list | None = None,
     ua: str = "",
     proxy: str = "",
+    dns_cache: DnsCache | None = None,
 ) -> tuple[int, str, bytes]:
     """Synchronous one-request entry point: :func:`async_fetch_one`
     over the urllib transport. See that function for the semantics."""
@@ -332,7 +420,7 @@ def fetch_one(
 
     return asyncio.run(
         async_fetch_one(
-            _UrllibSession(timeout_s),
+            _UrllibSession(timeout_s, dns_cache=dns_cache),
             url,
             method,
             post_data,
@@ -372,6 +460,7 @@ class StdlibHttpFetcher:
         redirect_times: int = 0,
         max_conn_per_task: int = 16,
         enable_cookie: bool = False,
+        dns_cache: bool = False,
     ):
         self.timeout_s = timeout_s
         self.try_times = try_times
@@ -379,6 +468,10 @@ class StdlibHttpFetcher:
         self.redirect_times = redirect_times
         self.max_conn_per_task = max_conn_per_task
         self.enable_cookie = enable_cookie
+        # surf.go:80-135 DnsCache: one cache per fetch TASK (executor
+        # tasks are stateless/retryable, so the cache is warm within a
+        # wave batch and rebuilt on retry — never driver state)
+        self.dns_cache = dns_cache
 
     def fetch(self, wave: DataFrame) -> DataFrame:
         timeout_s = self.timeout_s
@@ -387,6 +480,7 @@ class StdlibHttpFetcher:
         redirect_times = self.redirect_times
         max_conn = self.max_conn_per_task
         with_cookies = self.enable_cookie
+        use_dns_cache = self.dns_cache
         from pyspark.sql.types import (
             ArrayType,
             BinaryType,
@@ -418,6 +512,7 @@ class StdlibHttpFetcher:
         def run(batches):
             from concurrent.futures import ThreadPoolExecutor
 
+            dns = DnsCache() if use_dns_cache else None
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -459,6 +554,7 @@ class StdlibHttpFetcher:
                         cookies_out=outs[i] if with_cookies else None,
                         ua=ua,
                         proxy=px,
+                        dns_cache=dns,
                     )
 
                 with ThreadPoolExecutor(max_workers=max_conn) as pool:

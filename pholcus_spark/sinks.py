@@ -88,7 +88,93 @@ def export_images_parquet(images: DataFrame, out_dir: str) -> None:
     images.write.mode("overwrite").parquet(out_dir)
 
 
-SINKS = {"csv": export_items_csv, "parquet": export_images_parquet}
+def export_items_xlsx(
+    items: DataFrame,
+    path: str,
+    field_order=None,
+    out_default_field: bool = True,
+) -> None:
+    """Excel export of the items table — the reference's "excel"
+    DataOutput (`output_excel.go:17-77`): one sheet per
+    namespace__subnamespace (spider__rule, illegal chars replaced), a
+    header row of the rule's declared ItemFields, string values as-is
+    and non-strings JSON-stringified (`output_excel.go:55-60`), and the
+    Url/ParentUrl/DownloadTime provenance columns when
+    ``out_default_field`` (`output_excel.go:44-47,62-66`).
+
+    Driver-scale BY DESIGN, exactly like the reference (which buffers
+    the whole batch in ``col.dataBuf`` before writing): rows stream
+    through ``toLocalIterator()`` so at most one partition is resident,
+    and Excel itself caps sheets at 2^20 rows. The data-plane sink is
+    parquet/Iceberg; this is the human-consumption export.
+
+    ``field_order`` maps rule → ordered field names (pass
+    ``spec.item_fields()``); rules without a declared order get a
+    single JSON ``data`` column, mirroring the CSV sink's fallback.
+    """
+    import json
+
+    from .xlsxlite import XlsxWriter
+
+    field_order = field_order or {}
+    prov = ("Url", "ParentUrl", "DownloadTime") if out_default_field else ()
+
+    def rows_for(sub_rows, fields):
+        for r in sub_rows:
+            data = r["data"] or {}
+            vals = []
+            for f in fields:
+                v = data.get(f)
+                vals.append(
+                    v if isinstance(v, str) or v is None
+                    else json.dumps(v, ensure_ascii=False)
+                )
+            if out_default_field:
+                vals += [
+                    r["url"],
+                    r["parent_url"],
+                    str(r["download_time"]),
+                ]
+            yield vals
+
+    w = XlsxWriter()
+    pairs = [
+        (r["spider"], r["rule"])
+        for r in items.select("spider", "rule").distinct()
+        .orderBy("spider", "rule").collect()
+    ]
+    for spider, rule in pairs:
+        fields = list(field_order.get(rule) or ())
+        sub = items.where(
+            (F.col("spider") == spider) & (F.col("rule") == rule)
+        )
+        if fields:
+            header = fields + list(prov)
+            it = rows_for(
+                sub.select("data", "url", "parent_url", "download_time")
+                .toLocalIterator(),
+                fields,
+            )
+        else:
+            header = ["data"] + list(prov)
+            it = rows_for(
+                sub.select(
+                    F.create_map(
+                        F.lit("data"), F.to_json("data")
+                    ).alias("data"),
+                    "url", "parent_url", "download_time",
+                ).toLocalIterator(),
+                ["data"],
+            )
+        w.add_sheet(f"{spider}__{rule}", header, it)
+    w.save(path)
+
+
+SINKS = {
+    "csv": export_items_csv,
+    "parquet": export_images_parquet,
+    "excel": export_items_xlsx,
+}
 
 
 # Kafka topic-name contract (`output_kafka.go:36,48-51`): the reference

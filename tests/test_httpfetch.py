@@ -619,3 +619,64 @@ def test_async_loop_cookie_harvest_getall_headers():
     assert s.calls[1]["headers"]["Cookie"] == "pre=0; sid=1; lang=en"
     # hop 3 (cross-host) must NOT leak the session
     assert "Cookie" not in s.calls[2]["headers"]
+
+
+# ---------------------------------------------------------------------------
+# DNS cache (surf.go:80-135 semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_dns_cache_resolves_once_and_serves_hits(server):
+    from pholcus_spark.httpfetch import DnsCache
+
+    _reset({"/ok": {"body": b"hello", "content_type": "text/plain"}})
+    port = server.split(":")[1]
+    dns = DnsCache()
+    for _ in range(3):
+        status, _, body = fetch_one(
+            f"http://localhost:{port}/ok", try_times=1, dns_cache=dns
+        )
+        assert status == 200 and body == b"hello"
+    # one real resolution, the rest served from the cache
+    assert dns.resolves == 1
+    assert dns.hits == 2
+    assert dns.query(f"localhost:{port}") == "127.0.0.1"
+
+
+def test_dns_cache_evicts_on_dial_failure_then_recovers(server):
+    """surf.go:122-126: a dial failure through a cached ip evicts the
+    entry and fails THAT attempt; the retry loop's next attempt
+    re-resolves and succeeds."""
+    from pholcus_spark.httpfetch import DnsCache
+
+    _reset({"/ok": {"body": b"back", "content_type": "text/plain"}})
+    port = server.split(":")[1]
+    dns = DnsCache()
+    # poison the cache: nothing listens on 127.1.2.3
+    dns.reg(f"localhost:{port}", "127.1.2.3")
+    dns.resolves = 0
+    status, _, body = fetch_one(
+        f"http://localhost:{port}/ok",
+        try_times=2, retry_pause_s=0.0, dns_cache=dns,
+    )
+    assert status == 200 and body == b"back"
+    assert dns.evictions == 1
+    assert dns.query(f"localhost:{port}") == "127.0.0.1"
+
+
+def test_stdlib_fetcher_dns_cache_end_to_end(spark, server):
+    """dns_cache=True on the fetcher: a wave of requests to one host
+    fetches correctly through the per-task cache."""
+    _reset({f"/d/{i}": {"body": f"b{i}".encode(),
+                        "content_type": "text/plain"}
+            for i in range(6)})
+    port = server.split(":")[1]
+    wave = spark.createDataFrame(
+        [(f"http://localhost:{port}/d/{i}",) for i in range(6)],
+        "url string",
+    ).coalesce(1)
+    fetched = StdlibHttpFetcher(try_times=1, dns_cache=True).fetch(wave)
+    rows = {r.url[-1]: r for r in fetched.collect()}
+    assert len(rows) == 6
+    assert all(r.ok and r.status == 200 for r in rows.values())
+    assert rows["3"].body == b"b3"

@@ -49,7 +49,9 @@ PUBLIC_MODULES = [
     "pholcus_spark.streaming",
     "pholcus_spark.streaming.stateful",
     "pholcus_spark.testkit",
+    "pholcus_spark.timer",
     "pholcus_spark.validate",
+    "pholcus_spark.xlsxlite",
 ]
 
 

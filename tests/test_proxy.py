@@ -398,3 +398,62 @@ def test_engine_proxy_rotation_conformance(spark, target, proxies):
     finally:
         dim.unpersist()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_engine_proxy_builder_refresh_cadence(spark, target, proxies):
+    """A CALLABLE proxy_dim is the UpdateTicker re-probe cycle
+    (proxy.go:162-173): invoked at the first wave and again every
+    proxy_refresh_every supersteps; 0 = build once."""
+    corpus = _localize(
+        fixtures.generate(
+            fixtures.SiteSpec(
+                n_hosts=1, list_pages=3, details_per_list=1,
+                images_per_detail=1, flaky_rate=0.0, fail_404_rate=0.0,
+            )
+        ),
+        target,
+    )
+    _reset({_path_of(p["url"]): p for p in corpus.pages})
+
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine, EngineConfig
+
+    hosts = spark.createDataFrame(
+        [(target.split(":")[0], "http", target)],
+        "host string, scheme string, probe_netloc string",
+    )
+    dim = build_proxy_dim(
+        spark, list(proxies.values()), hosts, timeout_s=5.0
+    ).cache()
+    assert dim.count() == 2
+    calls: list[int] = []
+
+    def builder(superstep: int):
+        calls.append(superstep)
+        return dim
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-proxyref-")
+    try:
+        _p, _i, _t, _s, robots = fixtures.to_spark(spark, corpus)
+        spec = SpiderSpec("site")
+        engine = CrawlEngine(
+            spark, SnapshotCatalog(workdir, spark),
+            StdlibHttpFetcher(timeout_s=15.0, try_times=1),
+            spec, robots,
+            EngineConfig(wave_window_ms=6000, proxy_refresh_every=2),
+            proxy_dim=builder,
+        )
+        engine.seed(corpus.seeds)
+        state = engine.run()
+        assert state["stopped"]
+        # supersteps are 1-based: the first wave (superstep 1) probes,
+        # then every 2nd superstep after it (3, 5, ...)
+        waves = state["superstep"]
+        assert calls == [s for s in range(1, waves + 1) if (s - 1) % 2 == 0]
+        # all traffic still went through the pool
+        log = list(_TargetHandler.log)
+        crawl_vias = {via for _, _, via in log if via}
+        assert crawl_vias <= {"p_fast", "p_slow"}
+    finally:
+        dim.unpersist()
+        shutil.rmtree(workdir, ignore_errors=True)

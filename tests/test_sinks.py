@@ -342,3 +342,76 @@ def test_write_mongo_through_python_datasource(spark):
         assert meta["options"]["collection"] == "items"
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Excel sink (xlsxlite, output_excel.go parity)
+# ---------------------------------------------------------------------------
+
+
+def test_xlsxlite_roundtrip_and_determinism():
+    from pholcus_spark.xlsxlite import XlsxWriter, read_xlsx, sheet_name
+
+    def build():
+        w = XlsxWriter()
+        w.add_sheet(
+            "site__detail", ["a", "b"], [["1", "x<y&z"], ["2", None]]
+        )
+        w.add_sheet("site__misc", ["only"], [["héllo"]])
+        return w.save_bytes()
+
+    data = build()
+    sheets = read_xlsx(data)
+    assert list(sheets) == ["site__detail", "site__misc"]
+    assert sheets["site__detail"] == [
+        ["a", "b"], ["1", "x<y&z"], ["2", ""],
+    ]
+    assert sheets["site__misc"] == [["only"], ["héllo"]]
+    # byte-identical on re-build (fixed zip timestamps, fixed part order)
+    assert build() == data
+    # sheet-name rules: illegal chars replaced, 31-char cap
+    assert sheet_name("a[b]:c*d?e/f\\g") == "a_b__c_d_e_f_g"
+    assert len(sheet_name("x" * 40)) == 31
+    # duplicate names deduped with a numeric suffix
+    w = XlsxWriter()
+    w.add_sheet("same", None, [])
+    w.add_sheet("same", None, [])
+    assert list(read_xlsx(w.save_bytes())) == ["same", "same_2"]
+
+
+def test_export_items_xlsx(spark):
+    import os
+    import tempfile
+
+    from pholcus_spark.xlsxlite import read_xlsx
+
+    items = spark.createDataFrame(
+        [
+            ("site", "detail", {"caption": "c1", "image_id": "i1"},
+             "http://h.test/d/1", "http://h.test/p/0", 2, "t1"),
+            ("site", "detail", {"caption": "c2", "image_id": "i2"},
+             "http://h.test/d/2", "http://h.test/p/0", 2, "t2"),
+            ("site", "misc", {"k": "v"},
+             "http://h.test/m/1", "http://h.test/p/0", 2, "t3"),
+        ],
+        "spider string, rule string, data map<string,string>, url string, "
+        "parent_url string, superstep int, download_time string",
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="pholcus-xlsx-"), "out.xlsx")
+    sinks.export_items_xlsx(
+        items, path, field_order={"detail": ("image_id", "caption")}
+    )
+    sheets = read_xlsx(path)
+    assert set(sheets) == {"site__detail", "site__misc"}
+    det = sheets["site__detail"]
+    # header = ItemFields order + provenance (output_excel.go:41-47)
+    assert det[0] == ["image_id", "caption", "Url", "ParentUrl",
+                      "DownloadTime"]
+    body = sorted(det[1:])
+    assert body[0] == ["i1", "c1", "http://h.test/d/1",
+                       "http://h.test/p/0", "t1"]
+    assert body[1][0] == "i2"
+    # undeclared rule falls back to one JSON data column
+    misc = sheets["site__misc"]
+    assert misc[0][0] == "data"
+    assert '"k":"v"' in misc[1][0]
