@@ -391,6 +391,10 @@ class CrawlEngine:
             # the body from these fields
             method = (s.get("method", "GET") or "GET").upper()
             post_data = s.get("post_data", "") or ""
+            # seed Temp carry (baidunews.go:96-103 AddQueue from Root
+            # with Temp {"src": k}): rides the frontier row and merges
+            # into items via temp_fields like any request temp
+            temp = {k: str(v) for k, v in (s.get("temp") or {}).items()}
             for k in parse_keyins(s.get("keyin", "") or "") or [""]:
                 spider = fanout_spider_name(s["spider"], k)
                 url = canonicalize_url(apply_keyin(s["url"], k))
@@ -402,7 +406,7 @@ class CrawlEngine:
                         key, spider, s["rule"], url, host, method,
                         post_data,
                         int(s.get("priority", 0)), len(rows), 0, None,
-                        0, False, reloadable, {}, "queued",
+                        0, False, reloadable, temp, "queued",
                     )
                 )
         new_df = self.spark.createDataFrame(rows, FRONTIER_DDL)
@@ -913,7 +917,18 @@ class CrawlEngine:
             # exploded into the same items table as the figure items.
             # Store mode: already computed in the fused parse kernel;
             # otherwise one vectorized body pass.
-            dsl_rules = sorted({er.rule for er in self.spec.extract_rules})
+            # emit=False rules (ParseFunc without ctx.Output —
+            # baidunews.go:121-136) drive links/carries/pagination but
+            # contribute no output rows; emit is per rule NAME (all
+            # ExtractRules sharing a name must declare it identically,
+            # like temp_fields — spiderspec docstring)
+            dsl_rules = sorted(
+                {
+                    er.rule
+                    for er in self.spec.extract_rules
+                    if getattr(er, "emit", True)
+                }
+            )
             # both modes: the fused parse already computed dsl_items in
             # the same body pass as links/figures
             # temp_fields merged task-side inside the fused parse (the

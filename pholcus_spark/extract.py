@@ -225,6 +225,7 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "carry_fields", ()) or ()),
             tuple(getattr(er, "temp_fields", ()) or ()),
             tuple(getattr(er, "field_transforms", ()) or ()),
+            bool(getattr(er, "emit", True)),
         )
         for er in extract_rules
     ]
@@ -241,6 +242,36 @@ def _pick_part(parts: list[str], i: int, expect, on_mismatch: str, v: str) -> st
     if not ok:
         return v if on_mismatch == "keep" else ""
     return parts[i]
+
+
+# CleanHtml(str, depth) — the reference's exact regex chain
+# (`app/spider/common/common.go:18-41`), case-sensitive post-lowercase
+# like the Go original. The JVM column twin is
+# functions.html_clean.clean_html; this pure-python form runs inside
+# the Arrow-batched transform closures (the baidunews.go:128-132 idiom
+# `spidercommon.CleanHtml(v.Title, 4)` applied to extracted values
+# before they ride AddQueue temps).
+_CH_TAG_RE = re.compile(r"<[\S\s]+?>")
+_CH_STYLE_RE = re.compile(r"<style[\S\s]+?</style>")
+_CH_SCRIPT_RE = re.compile(r"<script[\S\s]+?</script>")
+_CH_WS_RE = re.compile(r"\s{2,}")
+
+
+def clean_html_py(v: str, depth: int = 5) -> str:
+    """common.go:18-41 CleanHtml: depth>0 lowercases tags, >1 drops
+    <style> blocks, >2 drops <script> blocks, >3 replaces every
+    remaining tag with newline, >4 collapses whitespace runs."""
+    if depth > 0:
+        v = _CH_TAG_RE.sub(lambda m: m.group(0).lower(), v)
+    if depth > 1:
+        v = _CH_STYLE_RE.sub("", v)
+    if depth > 2:
+        v = _CH_SCRIPT_RE.sub("", v)
+    if depth > 3:
+        v = _CH_TAG_RE.sub("\n", v)
+    if depth > 4:
+        v = _CH_WS_RE.sub("\n", v)
+    return v
 
 
 def compile_transforms(field_transforms: tuple) -> dict:
@@ -284,6 +315,9 @@ def compile_transforms(field_transforms: tuple) -> dict:
                 repl = args[1]
                 n = args[2] if len(args) > 2 else 0
                 fns.append(lambda v, p=pat, r=repl, c=n: p.sub(r, v, count=c))
+            elif name == "clean_html":
+                depth = args[0] if args else 5
+                fns.append(lambda v, d=depth: clean_html_py(v, d))
             else:
                 raise ValueError(f"unknown transform op {name!r}")
 
@@ -407,7 +441,7 @@ def _compile_css_spec(pat: str, fields: tuple, field_css: tuple):
 def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
     """Task-side: compile the regex/css kinds once per task. Output
     tuples: (rule, kind, compiled-key, fields, link_fields,
-    carry_fields, temp_fields, compiled-transforms)."""
+    carry_fields, temp_fields, compiled-transforms, emit)."""
     out = []
     for rule, kind, pat, fields, field_css, link_fields, carry, tf, *rest in specs:
         if kind == "regex":
@@ -417,7 +451,8 @@ def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
         else:
             key = pat
         tfx = compile_transforms(rest[0]) if rest and rest[0] else {}
-        out.append((rule, kind, key, fields, link_fields, carry, tf, tfx))
+        emit = rest[1] if len(rest) > 1 else True
+        out.append((rule, kind, key, fields, link_fields, carry, tf, tfx, emit))
     return out
 
 
@@ -435,6 +470,16 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
     sub-selection then Text/Attr (goquery surface; missing sub-match,
     out-of-range index, or absent attribute → '' like the reference's
     empty-selection ``Text()``/``Attr`` defaults, ``property.go``).
+    xml: ``key`` is the dot-path (root-relative, root tag excluded —
+    Go's ``xml.Unmarshal`` binds the top struct to the document element
+    regardless of its name) to the repeated ITEM element, e.g.
+    ``"channel.item"`` for RSS (baidunews.go:53-66 BaiduNewsRss).
+    One item per path match; each field is the LAST direct child
+    element of that name (encoding/xml overwrite-on-repeat for scalar
+    fields) and its value is the element's DIRECT character data only —
+    nested elements' text is skipped, exactly encoding/xml's
+    ``saveData``-at-depth-1 rule. Malformed XML → no items (the
+    baidunews.go:118-120 Unmarshal-err branch logs and emits nothing).
     """
     if kind == "css":
         from . import css as css_mod
@@ -484,6 +529,32 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
                     row[f] = css_mod.node_html(target)
                 else:
                     row[f] = css_mod.node_attr(target, proj) or ""
+            items.append(row)
+        return items
+    if kind == "xml":
+        import xml.etree.ElementTree as ET
+
+        try:
+            root = ET.fromstring(text)
+        except ET.ParseError:
+            return []
+        path = "/".join(p for p in key.split(".") if p)
+        if not path:
+            return []
+        items = []
+        for el in root.findall(path):
+            row = {}
+            for f in fields:
+                subs = el.findall(f)  # direct children only
+                if not subs:
+                    row[f] = ""
+                else:
+                    sub = subs[-1]  # encoding/xml: repeated scalar → last wins
+                    # direct chardata: text before the first child +
+                    # tails between/after children (depth-1 only)
+                    row[f] = (sub.text or "") + "".join(
+                        c.tail or "" for c in sub
+                    )
             items.append(row)
         return items
     if kind == "json":
@@ -549,7 +620,7 @@ def extract_items_vec(
             row_items: list[dict] = []
             if b is not None:
                 text = None
-                for rule, kind, key, fields, _lf in compiled:
+                for rule, kind, key, fields, *_rest in compiled:
                     if rule != r:
                         continue
                     if text is None:
@@ -668,7 +739,7 @@ def _apply_rules_for(
     row_items: list[dict] = []
     row_links: list[str] = []
     row_carries: list[dict | None] = []
-    for r, kind, key, fields, link_fields, carry_fields, tfs, tfx in compiled:
+    for r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit in compiled:
         if r != rule:
             continue
         items = apply_rule_spec(text, kind, key, fields)
@@ -687,6 +758,12 @@ def _apply_rules_for(
             v = str((temp or {}).get(f) or "")
             for it in items:
                 it[f] = v
+        # emit=False rules still contribute their items here:
+        # dsl_items also feeds PaginateRule counts and conformance —
+        # the OUTPUT filter happens at the engine's items-table union
+        # (engine.superstep dsl_src, mirroring item_rules), so a
+        # ParseFunc with no ctx.Output (baidunews.go:121-136
+        # "XML列表页" AddQueues, never Outputs) keeps its links/pages
         row_items.extend(items)
         # per-item then per-field, like the reference's AddQueue inside
         # the selection Each loop

@@ -672,6 +672,81 @@ def _css_items(text: str, er) -> list[dict]:
     return [row for _s, row in done]
 
 
+def _xml_items(text: str, er) -> list[dict]:
+    """Independent second implementation of the ``kind="xml"``
+    ExtractRule (the engine builds an ElementTree and walks it,
+    extract.apply_rule_spec; this one is a single-pass expat SAX
+    matcher with a path stack and no tree — the same
+    two-distinct-algorithms property the css kinds have).
+
+    Semantics (encoding/xml parity, baidunews.go:53-66): the dot-path
+    is root-relative (document element excluded); one item per path
+    match; a field is the LAST direct child element of that name
+    (scalar overwrite-on-repeat) and its value is DIRECT character
+    data only (saveData-at-depth-1). Malformed XML → no items
+    (baidunews.go:118-120)."""
+    from xml.parsers import expat
+
+    path = [p for p in er.item_pattern.split(".") if p]
+    if not path:
+        return []
+    fields = frozenset(er.fields)
+    items: list[dict] = []
+    stack: list[str] = []  # names below the document element
+    st = {
+        "root_open": False,  # document element seen
+        "cur": None,  # dict while inside a path match
+        "fbuf": None,  # chardata chunks of the open field element
+        "fname": None,
+        "fdepth": 0,  # nesting below the open field element
+    }
+
+    def start(name, _attrs):
+        if not st["root_open"]:
+            st["root_open"] = True
+            return
+        stack.append(name)
+        if st["fname"] is not None:
+            st["fdepth"] += 1  # nested element inside a field: skipped
+        elif stack == path:
+            st["cur"] = {}
+        elif (
+            st["cur"] is not None
+            and len(stack) == len(path) + 1
+            and name in fields
+        ):
+            st["fname"] = name
+            st["fbuf"] = []
+
+    def end(_name):
+        if st["fname"] is not None:
+            if st["fdepth"] > 0:
+                st["fdepth"] -= 1
+            else:
+                st["cur"][st["fname"]] = "".join(st["fbuf"])
+                st["fname"] = None
+                st["fbuf"] = None
+        elif st["cur"] is not None and stack == path:
+            items.append({f: st["cur"].get(f, "") for f in er.fields})
+            st["cur"] = None
+        if stack:
+            stack.pop()
+
+    def chardata(data):
+        if st["fname"] is not None and st["fdepth"] == 0:
+            st["fbuf"].append(data)
+
+    p = expat.ParserCreate()
+    p.StartElementHandler = start
+    p.EndElementHandler = end
+    p.CharacterDataHandler = chardata
+    try:
+        p.Parse(text, True)
+    except expat.ExpatError:
+        return []  # Unmarshal-err parity: emit nothing
+    return items
+
+
 def _oracle_transform_value(v: str, ops: tuple) -> str:
     """Independent interpreter for ``ExtractRule.field_transforms``
     (spiderspec documents the op grammar; the engine compiles the same
@@ -705,6 +780,22 @@ def _oracle_transform_value(v: str, ops: tuple) -> str:
         elif name == "regex_sub":
             count = op[3] if len(op) > 3 else 0
             v = re_mod.sub(op[1], op[2], v, count=count, flags=re_mod.S)
+        elif name == "clean_html":
+            # common.go:18-41 CleanHtml, interpreted inline (the engine
+            # twin precompiles the chain in extract.clean_html_py)
+            d = op[1] if len(op) > 1 else 5
+            if d > 0:
+                v = re_mod.sub(
+                    r"<[\S\s]+?>", lambda m: m.group(0).lower(), v
+                )
+            if d > 1:
+                v = re_mod.sub(r"<style[\S\s]+?</style>", "", v)
+            if d > 2:
+                v = re_mod.sub(r"<script[\S\s]+?</script>", "", v)
+            if d > 3:
+                v = re_mod.sub(r"<[\S\s]+?>", "\n", v)
+            if d > 4:
+                v = re_mod.sub(r"\s{2,}", "\n", v)
         else:
             raise ValueError(f"unknown transform op {name!r}")
     return v
@@ -740,6 +831,8 @@ def _extract_items(page: dict, er) -> list[dict]:
         text = (page.get("body") or b"").decode("utf-8", errors="replace")
     if getattr(er, "kind", "regex") == "css":
         return _transform_items(_css_items(text, er), er)
+    if getattr(er, "kind", "regex") == "xml":
+        return _transform_items(_xml_items(text, er), er)
     if getattr(er, "kind", "regex") == "json":
         # independent re-implementation of the json kind (dot-path to
         # the items array; non-string field values JSON-stringified)
@@ -850,6 +943,8 @@ def crawl(
     # seeds (keyin fan-out: one spider clone per token, spiderqueue.go:56-90)
     for s in seeds:
         keyins = parse_keyins(s.get("keyin", "") or "") or [""]
+        method = (s.get("method", "GET") or "GET").upper()
+        seed_temp = {k: str(v) for k, v in (s.get("temp") or {}).items()} or None
         for k in keyins:
             spider = fanout_spider_name(s["spider"], k)
             url = canonicalize_url(apply_keyin(s["url"], k))
@@ -859,13 +954,14 @@ def crawl(
                     rule=s["rule"],
                     url=url,
                     host=host_of(url),
-                    method="GET",
+                    method=method,
                     priority=s.get("priority", 0),
                     seq=-1,
                     depth=0,
                     parent_url=None,
-                    key=request_key(spider, s["rule"], url),
+                    key=request_key(spider, s["rule"], url, method),
                     reloadable=url in spec.reloadable_urls,
+                    temp=seed_temp,
                 )
             )
 
@@ -988,16 +1084,20 @@ def crawl(
                     for f in tuple(getattr(er, "temp_fields", ()) or ()):
                         for data in extracted:
                             data[f] = str((req.temp or {}).get(f) or "")
-                    for data in extracted:
-                        items.append(
-                            {
-                                "rule": req.rule,
-                                "url": req.url,
-                                "parent_url": req.parent_url,
-                                "data": data,
-                            }
-                        )
-                        emitted += 1
+                    if getattr(er, "emit", True):
+                        # emit=False: ParseFunc without ctx.Output
+                        # (baidunews.go:121-136) — links/carries/pages
+                        # below still run
+                        for data in extracted:
+                            items.append(
+                                {
+                                    "rule": req.rule,
+                                    "url": req.url,
+                                    "parent_url": req.parent_url,
+                                    "data": data,
+                                }
+                            )
+                            emitted += 1
                     # link_fields → AddQueue from rule data
                     # (avatar.go:95-101): per item, per field, appended
                     # after the page's anchors and figure srcs; the

@@ -47,6 +47,19 @@ class ExtractRule:
     JSON-stringified, matching the reference sinks' stringification,
     ``output_csv.go:56-60``).
 
+    ``kind="xml"``: the page is an XML document (the reference's
+    ``encoding/xml`` Unmarshal rules — RSS feeds, baidunews.go:53-66);
+    ``item_pattern`` is the dot-path from the DOCUMENT ELEMENT (root
+    tag excluded, as ``xml.Unmarshal`` binds the top struct to the
+    document element regardless of name) to the repeated item element —
+    ``"channel.item"`` for RSS. Each field is the item's LAST direct
+    child element of that name (encoding/xml scalar
+    overwrite-on-repeat) and its value is the element's DIRECT
+    character data only (nested elements' text is skipped —
+    saveData-at-depth-1). Malformed XML emits nothing
+    (baidunews.go:118-120's Unmarshal-err branch). Plain (non-namespace-
+    prefixed) element names only.
+
     ``kind="css"``: goquery-style selector extraction — the form every
     reference sample rule is written in (``query.Find(...)`` then
     ``Attr/Text``, ``common/goquery/traversal.go:23-402``,
@@ -73,7 +86,7 @@ class ExtractRule:
     rule: str  # parse-rule name this extraction applies to
     item_pattern: str  # regex | dot-path (json) | container selector (css)
     fields: tuple[str, ...]  # ordered ItemFields
-    kind: str = "regex"  # "regex" | "json" | "css"
+    kind: str = "regex"  # "regex" | "json" | "css" | "xml"
     # css kind only: (field, "<sub-selector>@<text|attrname>") projections
     field_css: tuple[tuple[str, str], ...] = ()
     # fields whose extracted values are ALSO enqueued as child requests
@@ -125,6 +138,11 @@ class ExtractRule:
     #       strings.Fields(v) (any-whitespace split, empties dropped)
     #       then part i — same guard semantics as split_pick.
     #   ("regex_sub", pattern, repl[, n])  re.sub, n=0 → all
+    #   ("clean_html"[, depth])   spidercommon.CleanHtml(v, depth)
+    #       (common.go:18-41; depth default 5) — the reference's
+    #       standard cleanup applied to extracted values before they
+    #       ride AddQueue temps or Output (baidunews.go:128-132
+    #       CleanHtml(v.Title, 4); :203 CleanHtml(infoStr, 5))
     #
     # Transforms run BEFORE the temp_fields merge (an inherited temp
     # was already transformed by its producing rule) and before
@@ -134,6 +152,14 @@ class ExtractRule:
     # reference's split-one-string-into-two-columns idiom,
     # fang_resell_list.go:77-81 address/business).
     field_transforms: tuple[tuple[str, tuple[tuple, ...]], ...] = ()
+    # emit=False: a ParseFunc that never calls ctx.Output — the rule's
+    # items drive link_fields / carry_fields / PaginateRule but produce
+    # NO output rows (baidunews.go:121-136 "XML列表页": AddQueues each
+    # RSS entry, outputs nothing). Per rule NAME: when several
+    # ExtractRules share one rule name, declare the same emit on all of
+    # them (the engine filters the fused items table per rule, like
+    # temp_fields' merge note above)
+    emit: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,6 +225,13 @@ class SpiderSpec:
     follow_anchors: bool = True
     # extract-count-then-expand pagination (see PaginateRule)
     paginate_rules: tuple[PaginateRule, ...] = ()
+    # content-derived sub-namespace (spider.go:40-47 SubNamespace func;
+    # baidunews.go:80-82 returns dataCell["分类"]): when set, sinks
+    # group/partition output by THIS item-data field's value instead of
+    # the rule name — the reference's data-dependent table naming. The
+    # engine's items table always keeps the rule column; the sink layer
+    # (sinks.export_items_csv / export_items_xlsx sub_field=) applies it
+    sub_namespace_field: str | None = None
 
     def route(self, url: str) -> LinkRule | None:
         for lr in self.link_rules:
