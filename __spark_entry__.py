@@ -504,6 +504,72 @@ def q_css_extract(spark, sf_dir):
     )
 
 
+def q_xml_extract(spark, sf_dir):
+    """XML ExtractRule surface (SURVEY §2.5: the reference's
+    encoding/xml Unmarshal rules, baidunews.go:53-66 + 113-136): each
+    document is rendered into a small RSS-shaped XML JVM-side, then the
+    kind="xml" rule pulls the fields back out through one Arrow-batched
+    pandas UDF — exercising repeated-scalar last-wins, direct-chardata
+    (nested element skipped), entity decode, and absent-field → ''.
+    The oracle reconstructs the expected values from the raw text
+    columns with DuckDB string ops — the XML never exists oracle-side,
+    so a parser/semantics bug cannot cancel out."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pholcus_spark.extract import apply_rule_spec
+    from pholcus_spark.spiderspec import ExtractRule
+
+    er = ExtractRule(
+        rule="doc", kind="xml", item_pattern="channel.item",
+        fields=("title", "langd", "nc", "author"),
+    )
+
+    @pandas_udf("title string, langd string, nc string, author string")
+    def _xml(xmls: pd.Series) -> pd.DataFrame:
+        rows = [
+            (apply_rule_spec(x, er.kind, er.item_pattern, er.fields) or
+             [dict.fromkeys(er.fields, "")])[0]
+            for x in xmls
+        ]
+        return pd.DataFrame(rows, columns=list(er.fields))
+
+    def esc(c):
+        c = F.regexp_replace(c, "&", "&amp;")
+        c = F.regexp_replace(c, "<", "&lt;")
+        return F.regexp_replace(c, ">", "&gt;")
+
+    docs = _load(spark, sf_dir, "documents")
+    w1 = esc(F.element_at(F.split(F.col("text"), " "), 1))
+    xml = F.concat(
+        F.lit("<rss><channel><meta>x</meta><item>"
+              "<title>IGNORED</title><title>"),
+        w1,  # repeated scalar: last wins (encoding/xml overwrite)
+        F.lit("</title><langd>"),
+        esc(F.col("lang")),
+        # nested element's text must be SKIPPED (saveData-at-depth-1),
+        # its tail kept as direct chardata
+        F.lit("<skip>zz</skip>-t</langd><nc>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</nc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<author>"), esc(F.col("source")),
+                     F.lit("</author>")),
+        ).otherwise(F.lit("")),  # absent field → ''
+        F.lit("</item></channel></rss>"),
+    )
+    return (
+        docs.withColumn("_x", _xml(xml))
+        .select(
+            "doc_id",
+            F.col("_x.title").alias("title"),
+            F.col("_x.langd").alias("langd"),
+            F.col("_x.nc").alias("nc"),
+            F.col("_x.author").alias("author"),
+        )
+    )
+
+
 def q_global_rank(spark, sf_dir):
     """The engine's distributed global-ordering primitive
     (`engine.two_phase_rank` — seq assignment for seed merge, failure
@@ -1180,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_json_extract": q_json_extract,
         "q_css_extract": q_css_extract,
+        "q_xml_extract": q_xml_extract,
         "q_kafka_payload": q_kafka_payload,
         "q_robots_filter": q_robots_filter,
         "q_proxy_assign": q_proxy_assign,
@@ -2003,6 +2070,14 @@ SELECT doc_id,
     list_transform(list_slice(string_split(text, ' '), 1, 5),
                    w -> '<b>' || w || '</b>'),
     ' ') AS hhtml
+FROM documents
+""",
+        "q_xml_extract": r"""
+SELECT doc_id,
+  string_split(text, ' ')[1] AS title,
+  lang || '-t' AS langd,
+  CAST(n_chars AS VARCHAR) AS nc,
+  CASE WHEN doc_id % 2 = 0 THEN source ELSE '' END AS author
 FROM documents
 """,
         "q_kafka_payload": r"""

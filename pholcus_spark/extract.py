@@ -768,8 +768,16 @@ def _apply_rules_for(
         # per-item then per-field, like the reference's AddQueue inside
         # the selection Each loop
         for it in items:
+            # entry 'f' carries as-is; entry (src, dst) renames — the
+            # reference's AddQueue-time Temp key choice
+            # (baidunews.go:127-133 "releaseTime": v.PubDate)
             carry = (
-                {f: it.get(f, "") for f in carry_fields}
+                {
+                    (c if isinstance(c, str) else c[1]): it.get(
+                        c if isinstance(c, str) else c[0], ""
+                    )
+                    for c in carry_fields
+                }
                 if carry_fields
                 else None
             )

@@ -1108,11 +1108,13 @@ def crawl(
                     lfs = tuple(getattr(er, "link_fields", ()) or ())
                     cfs = tuple(getattr(er, "carry_fields", ()) or ())
                     for data in extracted:
-                        carry = (
-                            {f: data.get(f, "") for f in cfs}
-                            if cfs
-                            else None
-                        )
+                        if cfs:
+                            carry = {}
+                            for f in cfs:
+                                src, dst = (f, f) if isinstance(f, str) else f
+                                carry[dst] = data.get(src, "")
+                        else:
+                            carry = None
                         for lf in lfs:
                             v = data.get(lf)
                             if v:

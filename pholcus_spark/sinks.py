@@ -20,6 +20,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# FileNameReplace (`common/util/util.go:307-338`): Windows-illegal name
+# chars → fullwidth/typographic equivalents; '"' alternates “ ” ; the
+# USE_KEYIN placeholder ("\r\t\n", util.go:32) is stripped.
+_FNR_MAP = {
+    ":": "：", "*": "×", "<": "＜", ">": "＞",
+    "?": "？", "/": "／", "|": "∣", "\\": "╲",
+}
+
+
+def file_name_replace(name: str) -> str:
+    q = 1
+    out = []
+    for ch in name:
+        if ch == '"':
+            out.append("“" if q % 2 == 1 else "”")
+            q += 1
+        else:
+            out.append(_FNR_MAP.get(ch, ch))
+    return "".join(out).replace("\r\t\n", "")
+
+
+def sub_namespace_col(sub_field: str | None):
+    """The subNamespace column (`output_util.go:18-28`): rule name by
+    default; with a :class:`SpiderSpec.sub_namespace_field` set, the
+    item-data field's VALUE — the reference's data-dependent table
+    naming (baidunews.go:77-79 returns dataCell["分类"]). A missing
+    field yields '' exactly like the reference's recovered type-assert
+    panic → zero-value string (output_util.go:22-27)."""
+    if sub_field is None:
+        return F.col("rule")
+    return F.coalesce(
+        F.try_element_at(F.col("data"), F.lit(sub_field)), F.lit("")
+    )
+
 
 def rule_fields_df(spark, spec) -> DataFrame:
     """The ItemFields dimension: (rule, field, ordinal) — declared
@@ -34,7 +68,9 @@ def rule_fields_df(spark, spec) -> DataFrame:
     return spark.createDataFrame(rows, "rule string, field string, ordinal int")
 
 
-def export_items_csv(items: DataFrame, out_dir: str, field_order=None) -> None:
+def export_items_csv(
+    items: DataFrame, out_dir: str, field_order=None, sub_field=None
+) -> None:
     """CSV export of the items table, one partition dir per
     (spider, rule) — the namespace__subnamespace contract.
 
@@ -45,38 +81,53 @@ def export_items_csv(items: DataFrame, out_dir: str, field_order=None) -> None:
     declared order fall back to a JSON blob column (the reference
     JSON-stringifies unknown values, `output_csv.go:56-60`). The default
     provenance columns Url/ParentUrl ride along (`context.go:236-240`).
+
+    ``sub_field`` (= ``spec.sub_namespace_field``): data-dependent
+    sub-namespace (`output_util.go:18-28`, baidunews.go:77-79) — the
+    named item-data field's VALUE becomes the partition column ``sub``
+    in place of rule (one directory per (namespace, subnamespace) value,
+    the reference's one-file-per-join contract at partitioned-parquet
+    scale); ordered rules keep their ``rule=`` pivot scope — the header
+    set is per rule — with ``sub`` as a further partition level.
     """
     field_order = field_order or {}
     listed = [r for r in field_order if r is not None]
     rest = items.where(~F.col("rule").isin(listed)) if listed else items
+    sub_part = ["sub"] if sub_field is not None else []
+    sub_cols = (
+        [sub_namespace_col(sub_field).alias("sub")] if sub_field is not None
+        else []
+    )
     for rule, fields in field_order.items():
         sub = items.where(F.col("rule") == rule)
         cols = [
             F.try_element_at(F.col("data"), F.lit(f)).alias(f) for f in fields
         ]
         (
-            sub.select("spider", *cols,
+            sub.select("spider", *sub_cols, *cols,
                        F.col("url").alias("Url"),
                        F.col("parent_url").alias("ParentUrl"),
                        "superstep")
-            .repartition("spider")
+            .repartition("spider", *sub_part)
             .write.mode("overwrite")
-            .partitionBy("spider")
+            .partitionBy("spider", *sub_part)
             .option("header", True)
             .csv(f"{out_dir}/rule={rule}")
         )
+    rest_part = sub_part or ["rule"]
     (
         rest.select(
             "spider",
             "rule",
+            *sub_cols,
             F.to_json("data").alias("data_json"),
             F.col("url").alias("Url"),
             F.col("parent_url").alias("ParentUrl"),
             F.col("superstep"),
         )
-        .repartition("spider", "rule")
+        .repartition("spider", *rest_part)
         .write.mode("overwrite")
-        .partitionBy("spider", "rule")
+        .partitionBy("spider", *rest_part)
         .option("header", True)
         .csv(f"{out_dir}/unordered" if field_order else out_dir)
     )
@@ -93,6 +144,7 @@ def export_items_xlsx(
     path: str,
     field_order=None,
     out_default_field: bool = True,
+    sub_field=None,
 ) -> None:
     """Excel export of the items table — the reference's "excel"
     DataOutput (`output_excel.go:17-77`): one sheet per
@@ -111,6 +163,14 @@ def export_items_xlsx(
     ``field_order`` maps rule → ordered field names (pass
     ``spec.item_fields()``); rules without a declared order get a
     single JSON ``data`` column, mirroring the CSV sink's fallback.
+
+    ``sub_field`` (= ``spec.sub_namespace_field``): data-dependent
+    sheet naming (`output_excel.go:30-38` keys sheets on
+    ``FileNameReplace(subNamespace(datacell))``) — one sheet per
+    distinct value of the named item-data field instead of per rule,
+    spider-prefixed like the default sheets; headers still come from
+    the row's rule (the reference builds the header from whichever
+    datacell creates the sheet).
     """
     import json
 
@@ -138,15 +198,18 @@ def export_items_xlsx(
             yield vals
 
     w = XlsxWriter()
+    sub_col = sub_namespace_col(sub_field).alias("_sub")
     pairs = [
-        (r["spider"], r["rule"])
-        for r in items.select("spider", "rule").distinct()
-        .orderBy("spider", "rule").collect()
+        (r["spider"], r["rule"], r["_sub"])
+        for r in items.select("spider", "rule", sub_col).distinct()
+        .orderBy("spider", "rule", "_sub").collect()
     ]
-    for spider, rule in pairs:
+    for spider, rule, subns in pairs:
         fields = list(field_order.get(rule) or ())
         sub = items.where(
-            (F.col("spider") == spider) & (F.col("rule") == rule)
+            (F.col("spider") == spider)
+            & (F.col("rule") == rule)
+            & (sub_namespace_col(sub_field) == subns)
         )
         if fields:
             header = fields + list(prov)
@@ -166,7 +229,7 @@ def export_items_xlsx(
                 ).toLocalIterator(),
                 ["data"],
             )
-        w.add_sheet(f"{spider}__{rule}", header, it)
+        w.add_sheet(f"{spider}__{file_name_replace(subns)}", header, it)
     w.save(path)
 
 
@@ -187,6 +250,7 @@ def kafka_items_payload(
     items: DataFrame,
     field_order=None,
     out_default_field: bool = True,
+    sub_field=None,
 ) -> DataFrame:
     """Items table → Kafka-ready ``(topic, value)`` rows — the payload
     half of the reference's kafka sink (`output_kafka.go:38-79`),
@@ -208,10 +272,19 @@ def kafka_items_payload(
 
     All JVM (`to_json` over struct/map) — no Python in the path; the
     output is a narrow 2-column frame however wide the item data is.
+
+    ``sub_field`` (= ``spec.sub_namespace_field``): topic becomes
+    ``spider__<data[sub_field]>`` (`output_kafka.go:46-47` joins the
+    data-dependent subNamespace). The reference's FileNameReplace is
+    skipped here: every char it would replace also fails
+    :data:`TOPIC_PATTERN`, and its fullwidth replacements fail it too,
+    so drop behavior is identical either way.
     """
     field_order = field_order or {}
     has_dlt = "download_time" in items.columns
-    topic = F.concat_ws("__", F.col("spider"), F.col("rule")).alias("topic")
+    topic = F.concat_ws(
+        "__", F.col("spider"), sub_namespace_col(sub_field)
+    ).alias("topic")
 
     def _prov():
         cols = [

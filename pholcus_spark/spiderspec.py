@@ -101,8 +101,12 @@ class ExtractRule:
     # (shunfenghaitao.go:60 `Temp: {"goodsType": s.Text()}`;
     # zhihu_daily.go:45,58; car_home.go:46): each child request
     # generated from this item's link_fields carries
-    # {f: item[f] for f in carry_fields} on its frontier row
-    carry_fields: tuple[str, ...] = ()
+    # {f: item[f] for f in carry_fields} on its frontier row.
+    # An entry may also be a (src, dst) pair — the child's temp key is
+    # dst, the emitting item's field is src (the reference renames at
+    # AddQueue time: baidunews.go:127-133
+    # `Temp: {"releaseTime": CleanHtml(v.PubDate, 4), ...}`)
+    carry_fields: tuple[str | tuple[str, str], ...] = ()
     # temp keys merged INTO every item this rule emits — the consumer
     # half (shunfenghaitao.go:75 re-carry + output via
     # `ctx.GetTemp("goodsType")`): for each f the item gets

@@ -186,3 +186,73 @@ def test_zhihu_sample_matches_oracle(spark):
         assert res.seen == seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_baidunews_xml_sample_matches_oracle(spark):
+    """The baidunews port: kind="xml" RSS extraction, emit=False list
+    rule, seed Temp, aliased carry_fields renames, clean_html
+    transforms, SubNamespace export (baidunews.go end-to-end). Engine
+    items must equal the independent expat-SAX oracle's."""
+    import glob as _glob
+
+    sys.path.insert(0, "samples")
+    from baidunews_rss_spider import BAIDU_NEWS, RSS_FEEDS, build_corpus, run
+
+    from pholcus_spark import sinks, testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-baidunews-")
+    try:
+        catalog, state = run(workdir, spark=spark, n_entries=3)
+        assert state["stopped"]
+        # 3 feeds + 9 articles fetched; only articles emit rows
+        assert state["totals"]["fetched"] == 12
+        items = catalog.read("items")
+        rows = items.collect()
+        assert {r["rule"] for r in rows} == {"新闻详情"}  # emit=False held
+        assert len(rows) == 9
+        by_cat = {}
+        for r in rows:
+            d = r["data"]
+            by_cat.setdefault(d["分类"], []).append(d)
+            # clean_html(4) stripped the <b> wrapper at AddQueue time
+            assert d["标题"].endswith(("标题 0", "标题 1", "标题 2"))
+            assert "<b>" not in d["标题"]
+            assert "\n" in d["描述"]  # <br/> became a newline
+            assert d["作者"].startswith("作者")
+            assert d["发布时间"].startswith("2026-08-")
+            # 内容: p@html + clean_html(5) — inner tags → newlines,
+            # whitespace runs collapsed
+            assert d["内容"] == f"正文第一段\n{d['分类']}\n" + d["标题"][-1] + "。"
+        assert set(by_cat) == set(RSS_FEEDS)
+        assert all(len(v) == 3 for v in by_cat.values())
+
+        # engine == oracle (ElementTree walk vs expat SAX, both carry
+        # paths, both clean_html interpreters)
+        res = testkit.run_oracle(build_corpus(3), BAIDU_NEWS)
+        eng = {
+            (r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows
+        }
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+
+        # SubNamespace export: one partition per category VALUE
+        out = tempfile.mkdtemp(prefix="pholcus-baidunews-csv-")
+        try:
+            sinks.export_items_csv(
+                items,
+                out,
+                field_order={"新闻详情": BAIDU_NEWS.extract_rules[1].fields},
+                sub_field=BAIDU_NEWS.sub_namespace_field,
+            )
+            subs = sorted(
+                p.rsplit("sub=", 1)[1]
+                for p in _glob.glob(f"{out}/rule=新闻详情/spider=*/sub=*")
+            )
+            assert len(subs) == 3
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

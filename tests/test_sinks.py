@@ -415,3 +415,106 @@ def test_export_items_xlsx(spark):
     misc = sheets["site__misc"]
     assert misc[0][0] == "data"
     assert '"k":"v"' in misc[1][0]
+
+
+# --- SubNamespace: data-dependent table naming (output_util.go:18-28,
+# baidunews.go:77-79 returns dataCell["分类"]) -------------------------
+
+
+def test_file_name_replace_reference_semantics():
+    # util.go:307-338: fullwidth replacements, quote alternation,
+    # USE_KEYIN ("\r\t\n") stripped
+    assert sinks.file_name_replace('a:b*c<d>e?f/g|h\\i') == (
+        "a：b×c＜d＞e？f／g∣h╲i"
+    )
+    assert sinks.file_name_replace('say "hi" "yo"') == "say “hi” “yo”".replace(
+        "“hi”", "“hi”"
+    )
+    # quote alternation: 1st “ 2nd ” 3rd “ 4th ”
+    assert sinks.file_name_replace('""""') == "“”“”"
+    assert sinks.file_name_replace("a\r\t\nb") == "ab"
+    assert sinks.file_name_replace("plain") == "plain"
+
+
+def _subns_items(spark):
+    return spark.createDataFrame(
+        [
+            ("news", "detail", {"标题": "t1", "分类": "国内最新"},
+             "http://n.test/a/1", "http://n.test/rss", "t1", 1),
+            ("news", "detail", {"标题": "t2", "分类": "体育最新"},
+             "http://n.test/a/2", "http://n.test/rss", "t2", 1),
+            ("news", "detail", {"标题": "t3", "分类": "国内最新"},
+             "http://n.test/a/3", "http://n.test/rss", "t3", 1),
+            # missing sub field → '' (recovered panic → zero value,
+            # output_util.go:22-27)
+            ("news", "detail", {"标题": "t4"},
+             "http://n.test/a/4", "http://n.test/rss", "t4", 1),
+        ],
+        ITEMS_DDL,
+    )
+
+
+def test_export_items_csv_sub_namespace(spark):
+    items = _subns_items(spark).drop("download_time")
+    out = tempfile.mkdtemp(prefix="pholcus-subns-")
+    try:
+        sinks.export_items_csv(
+            items, out, field_order={"detail": ("标题", "分类")},
+            sub_field="分类",
+        )
+        dirs = sorted(glob.glob(f"{out}/rule=detail/spider=news/sub=*"))
+        # one partition dir per distinct sub-namespace value (incl. the
+        # __HIVE_DEFAULT_PARTITION__-free empty string form)
+        assert len(dirs) == 3, dirs
+        rows = (
+            spark.read.option("header", True)
+            .csv(f"{out}/rule=detail").collect()
+        )
+        by_sub = {}
+        for r in rows:
+            by_sub.setdefault(r.sub, set()).add(r["标题"])
+        assert by_sub.get("国内最新") == {"t1", "t3"}
+        assert by_sub.get("体育最新") == {"t2"}
+        assert len(rows) == 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_export_items_xlsx_sub_namespace(spark):
+    import zipfile
+
+    items = _subns_items(spark)
+    out = tempfile.mkdtemp(prefix="pholcus-subns-xlsx-")
+    try:
+        path = f"{out}/items.xlsx"
+        sinks.export_items_xlsx(
+            items, path, field_order={"detail": ("标题", "分类")},
+            sub_field="分类",
+        )
+        with zipfile.ZipFile(path) as z:
+            wb = z.read("xl/workbook.xml").decode("utf-8")
+        # one sheet per sub-namespace VALUE, spider-prefixed
+        assert "news__国内最新" in wb
+        assert "news__体育最新" in wb
+        assert "news__detail" not in wb
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_kafka_payload_sub_namespace_topic(spark):
+    payload = sinks.kafka_items_payload(
+        spark.createDataFrame(
+            [
+                ("news", "detail", {"cat": "sports", "t": "x"},
+                 "http://n.test/1", "http://n.test/rss", "t1", 1),
+                ("news", "detail", {"cat": "世界", "t": "y"},
+                 "http://n.test/2", "http://n.test/rss", "t2", 1),
+            ],
+            ITEMS_DDL,
+        ),
+        sub_field="cat",
+    )
+    topics = [r.topic for r in payload.collect()]
+    # data-dependent topic; the non-ascii one fails TOPIC_PATTERN and is
+    # dropped (output_kafka.go:48-51 skip-and-continue)
+    assert topics == ["news__sports"]
