@@ -685,6 +685,24 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
+def dedup_lines(spark, sf_dir):
+    """Corpus-wide exact line dedup (C4 / RefinedWeb curation step,
+    `ops/dedup.py:line_dedup`): every line whose trimmed form repeats
+    across the corpus survives only at its first (doc, position)
+    occurrence; short lines (< 2 words) are exempt. Lines are
+    synthesized deterministically by breaking the raw text on the
+    literal ' table ' separator — both engines build the same lined
+    text from the same raw column, then compute the dedup with
+    INDEPENDENT plans (Spark: skew-safe min-aggregate + re-join;
+    DuckDB: row_number window)."""
+    from pholcus_spark.ops.dedup import line_dedup
+
+    lined = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " table ", "\n").alias("text")
+    )
+    return line_dedup(lined, text_col="text", min_words=2)
+
+
 def dedup_components(spark, sf_dir):
     """Near-dup clustering: connected components (iterative min-label
     propagation — one shuffle per round) over the MinHash/LSH candidate
@@ -1258,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_semantic": dedup_semantic,
+        "dedup_lines": dedup_lines,
         "dedup_components": dedup_components,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -2348,6 +2367,40 @@ FROM a3 a LEFT JOIN dups d USING (vec_id)
         # transitive closure with min-reachable as the canonical label
         # (closure is Σ|component|² rows — tractable at gate scale; the
         # Spark side uses iterative min-label propagation instead)
+        "dedup_lines": r"""
+WITH lined AS (
+  SELECT doc_id, regexp_replace(text, ' table ', chr(10), 'g') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(t, chr(10))) AS ln
+  FROM lined
+),
+marked AS (
+  SELECT doc_id, pos, ln,
+         len(regexp_split_to_array(trim(ln), '\s+')) < 2 AS exempt
+  FROM lines
+),
+ranked AS (
+  SELECT doc_id, pos, ln, exempt,
+         row_number() OVER (
+           PARTITION BY trim(ln) ORDER BY doc_id, pos
+         ) AS rn
+  FROM marked
+)
+SELECT doc_id,
+  coalesce(
+    string_agg(CASE WHEN exempt OR rn = 1 THEN ln END, chr(10)
+               ORDER BY pos),
+    '') AS text_dedup,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(count(*) FILTER (WHERE NOT (exempt OR rn = 1)) AS BIGINT)
+    AS n_removed
+FROM ranked
+GROUP BY doc_id
+""",
         "dedup_components": f"""
 WITH RECURSIVE {_SQL_SHINGLES},
 {mh_cte},

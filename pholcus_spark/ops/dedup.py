@@ -532,3 +532,79 @@ def connected_components(
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("canonical_doc_id")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+    min_words: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact line (span) deduplication — the C4 /
+    RefinedWeb curation step: every line whose trimmed form appears
+    more than once in the corpus is kept ONLY at its first occurrence
+    (ordered by (doc, position)) and dropped everywhere else, then each
+    document is reassembled in original line order. Lines with fewer
+    than ``min_words`` whitespace words (headings, bullets, empties)
+    are exempt — they are legitimate repeats, and exempting the empty
+    line also keeps the hottest possible key out of the shuffle.
+
+    Returns ``(id_col, text_dedup, n_lines, n_removed)``.
+
+    Scale shape (100 TB): the keep-set is computed as a hash
+    **aggregate** — ``min(struct(doc, pos))`` per line key — NOT a
+    ``row_number`` window over the key: partial aggregation combines
+    map-side, so a boilerplate line repeated 10^8 times contributes one
+    row per input partition to the shuffle instead of 10^8 rows into
+    one window partition. The re-join that marks survivors sees at most
+    ONE row per key on the build side (AQE splits the hot probe
+    partitions), and the final reassembly is one groupBy on the doc id
+    with ``array_sort`` — no global ordering anywhere. All built-in
+    JVM expressions; the DuckDB oracle replays the semantics with an
+    independent window-function plan.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn(
+        "_exempt",
+        F.size(F.split(F.trim(F.col("_line")), r"\s+", -1)) < F.lit(min_words),
+    )
+    keyed = lines.withColumn("_k", F.md5(F.trim(F.col("_line"))))
+    firsts = (
+        keyed.where(~F.col("_exempt"))
+        .groupBy("_k")
+        .agg(F.min(F.struct("_d", "_pos")).alias("_first"))
+    )
+    kept = keyed.join(firsts, "_k", "left").where(
+        F.col("_exempt")
+        | (F.struct("_d", "_pos") == F.col("_first"))
+    )
+    kept_agg = kept.groupBy("_d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            delim,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # left from the per-doc line counts: a document whose every line
+    # was removed still comes back, as the empty string
+    return (
+        lines.groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(kept_agg, "_d", "left")
+        .select(
+            F.col("_d").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

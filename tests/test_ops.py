@@ -1053,3 +1053,40 @@ def test_quantize_int8_roundtrip_error_bound(spark, emb):
         for x, c in zip(v, r.q):
             # dequantization error within half a quantization step
             assert abs(float(x) - c * r.absmax / 127.0) <= r.absmax / 254.0 + 1e-12
+
+
+def test_line_dedup_semantics(spark):
+    # three docs sharing the boilerplate line; short/exempt lines
+    # repeat freely; whole-doc removal comes back as ''
+    rows = [
+        (0, "subscribe to our newsletter\nunique first body line\nok"),
+        (1, "subscribe to our newsletter\nanother unique body line"),
+        # doc 2: both lines are non-exempt dups of doc 0/1 lines
+        (2, "unique first body line\nsubscribe to our newsletter"),
+        (3, "ok\nok\nok"),  # 1-word lines exempt -> all kept
+        (4, ""),  # empty doc: one empty line, exempt
+        # trailing newline -> trailing empty line survives rebuild
+        (5, "tail case line one\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_dedup, r.n_lines, r.n_removed)
+        for r in dedup.line_dedup(docs).collect()
+    }
+    assert out[0] == (
+        "subscribe to our newsletter\nunique first body line\nok", 3, 0,
+    )
+    assert out[1] == ("another unique body line", 2, 1)
+    assert out[2] == ("", 2, 2)
+    assert out[3] == ("ok\nok\nok", 3, 0)
+    assert out[4] == ("", 1, 0)
+    assert out[5] == ("tail case line one\n", 2, 0)
+    # leading/trailing whitespace variants dedupe by trimmed form but
+    # the SURVIVING line keeps its original spelling
+    docs2 = spark.createDataFrame(
+        [(0, "  padded boilerplate line  \nx"), (1, "padded boilerplate line")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.text_dedup for r in dedup.line_dedup(docs2).collect()}
+    assert out2[0] == "  padded boilerplate line  \nx"
+    assert out2[1] == ""
