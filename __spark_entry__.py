@@ -395,6 +395,35 @@ def text_fingerprint(spark, sf_dir):
     return fingerprint(_load(spark, sf_dir, "documents"))
 
 
+def text_main_content(spark, sf_dir):
+    """Main-content extraction (`ops/text.py:main_content` — the
+    reference's commonPrase/findP heuristic, baidunews.go:183-216, as a
+    boilerplate-removal pipeline op): each document is rendered into a
+    page with a link-bearing nav (and a DECOY h1 in it) plus an article
+    div whose last h1 sits next to <p> paragraphs; the op must climb to
+    the article container and drop the nav. DuckDB reconstructs the
+    expected inner HTML from the raw columns — the page never exists
+    oracle-side, so the tree walk is validated end-to-end (the
+    engine-vs-SAX-oracle fuzz in tests/test_content.py covers the
+    branchier tag-soup semantics)."""
+    from pholcus_spark.ops.text import main_content
+
+    docs = _load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    html = F.concat(
+        F.lit('<html><body><div id="nav"><h1>MENU</h1><a href="/x">'),
+        F.col("source"),
+        F.lit('</a></div><div class="art"><h1>'),
+        F.element_at(w, 1),
+        F.lit("</h1><p>"),
+        F.array_join(F.slice(w, 1, 5), " "),
+        F.lit("</p><p>"),
+        F.col("lang"),
+        F.lit("</p></div></body></html>"),
+    )
+    return main_content(docs.withColumn("html", html), html_col="html")
+
+
 def text_clean_html(spark, sf_dir):
     from pholcus_spark.ops.text import clean_html_docs
 
@@ -1246,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "text_clean_html": text_clean_html,
+        "text_main_content": text_main_content,
         "text_pii_scrub": text_pii_scrub,
         "text_decontaminate": text_decontaminate,
         "q_hash_sample": q_hash_sample,
@@ -1811,6 +1841,13 @@ FROM documents
         # CleanHtml(depth=5) chain (common.go:18-41); [\S\s]+? spans and
         # case-insensitive style/script match mirror the Spark chain in
         # functions/html_clean.py exactly
+        "text_main_content": r"""
+SELECT doc_id,
+  '<h1>' || string_split(text, ' ')[1] || '</h1><p>' ||
+  array_to_string(string_split(text, ' ')[1:5], ' ') ||
+  '</p><p>' || lang || '</p>' AS content
+FROM documents
+""",
         "text_clean_html": r"""
 SELECT doc_id, md5(cleaned) AS clean_md5, length(cleaned) AS clean_len
 FROM (

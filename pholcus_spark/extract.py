@@ -318,6 +318,14 @@ def compile_transforms(field_transforms: tuple) -> dict:
             elif name == "clean_html":
                 depth = args[0] if args else 5
                 fns.append(lambda v, d=depth: clean_html_py(v, d))
+            elif name == "main_content":
+                # commonPrase/findP (baidunews.go:183-216): climb from
+                # the last h1/h2/h3 to the nearest p-bearing ancestor,
+                # project its inner HTML; chain ("clean_html", 5) after
+                # it like the reference does
+                from .functions.content import common_parse
+
+                fns.append(common_parse)
             else:
                 raise ValueError(f"unknown transform op {name!r}")
 

@@ -264,3 +264,34 @@ def clean_html_docs(docs: DataFrame) -> DataFrame:
         F.md5(cleaned).alias("clean_md5"),
         F.length(cleaned).cast("long").alias("clean_len"),
     )
+
+
+def main_content(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Readability-style main-content extraction — boilerplate removal
+    for a web-scale text pipeline, with the reference's exact heuristic
+    (`baidunews.go:183-216` commonPrase/findP): climb from the page's
+    last h1/h2/h3 to the nearest ancestor whose subtree contains a
+    ``<p>`` and keep that container's inner HTML; nav bars, sidebars
+    and footers outside it are dropped. Returns ``(id_col, content)``.
+
+    The page parse cannot be a JVM expression, so this is the sanctioned
+    slow path done right: ONE Arrow-batched pandas UDF (never per-row
+    Python), embarrassingly parallel, no shuffle — the same shape as the
+    engine's fused extraction kernel. Chain
+    ``functions.html_clean.clean_html(F.col("content"), 5)`` after it
+    for the reference's text-only form."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.content import common_parse
+
+    # lambda form: this module uses `from __future__ import annotations`,
+    # under which decorator-style pd.Series annotations don't resolve
+    _mc = pandas_udf(
+        lambda s: s.map(
+            lambda v: common_parse(v) if isinstance(v, str) else ""
+        ),
+        "string",
+    )
+    return docs.select(id_col, _mc(html_col).alias("content"))

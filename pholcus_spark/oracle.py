@@ -672,6 +672,170 @@ def _css_items(text: str, er) -> list[dict]:
     return [row for _s, row in done]
 
 
+def oracle_main_content(html_text: str) -> str:
+    """Independent twin of ``functions.content.common_parse``
+    (commonPrase/findP, baidunews.go:183-216) — TWO-PASS SAX, no tree.
+
+    Pass 1 streams start/end events over an open-element stack of
+    ordinals: each ``<p>`` start flags every currently-open ancestor
+    ordinal ("subtree contains a p"), each h1/h2/h3 start snapshots its
+    ancestor-ordinal chain (last occurrence per level wins, tracked
+    both body-scoped and unscoped for the fragment case), and the first
+    body-inside-body ordinal is kept for the reference's
+    ``body.Find("body")`` no-headings fallback. The findP climb then
+    runs over the recorded chain and flags — pure dict lookups, no
+    nodes. Pass 2 re-streams and serializes the chosen ordinal's inner
+    HTML in the shared canonical form (implied closes where the stack
+    pops, same as the @html machinery)."""
+    from html.parser import HTMLParser
+
+    VROOT = -1  # the engine's synthetic #root
+    tags: dict[int, str] = {}
+    has_p: set[int] = set()
+    last_in_body: dict = {"h1": None, "h2": None, "h3": None}
+    last_any: dict = {"h1": None, "h2": None, "h3": None}
+    nested_body = [None]
+    saw_body = [False]
+    stack: list[int] = []
+    eid = [0]
+
+    def p1_start(tag: str, void: bool):
+        this = eid[0]
+        eid[0] += 1
+        tags[this] = tag
+        if tag == "p":
+            has_p.update(stack)
+        if tag == "body":
+            saw_body[0] = True
+            if nested_body[0] is None and any(
+                tags[e] == "body" for e in stack
+            ):
+                nested_body[0] = this
+        if tag in last_any:
+            rec = (this, tuple(stack))
+            last_any[tag] = rec
+            if any(tags[e] == "body" for e in stack):
+                last_in_body[tag] = rec
+        if not void:
+            stack.append(this)
+
+    class _P1(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            p1_start(tag.lower(), tag.lower() in _ORACLE_VOID)
+
+        def handle_startendtag(self, tag, attrs):
+            p1_start(tag.lower(), True)
+
+        def handle_endtag(self, tag):
+            tag = tag.lower()
+            for i in range(len(stack) - 1, -1, -1):
+                if tags[stack[i]] == tag:
+                    del stack[i:]
+                    break
+
+    p1 = _P1(convert_charrefs=True)
+    p1.feed(html_text)
+    p1.close()
+
+    has_body = saw_body[0]
+    heads = last_in_body if has_body else last_any
+    chosen = None
+    for level in ("h1", "h2", "h3"):
+        rec = heads[level]
+        if rec is None:
+            continue
+        node, chain = rec
+        idx = len(chain) - 1
+        # findP: current-is-body terminal first, then parent-subtree-p
+        while True:
+            if tags.get(node) == "body" or (
+                not has_body and node == VROOT
+            ):
+                chosen = node
+                break
+            parent = chain[idx] if idx >= 0 else VROOT
+            if parent == VROOT:
+                chosen = VROOT  # document node (reference: net/html doc)
+                break
+            if parent in has_p:
+                chosen = parent
+                break
+            node = parent
+            idx -= 1
+        break
+    else:
+        if nested_body[0] is None:
+            return ""  # empty selection → Html() == "" (property.go)
+        chosen = nested_body[0]
+
+    # ---- pass 2: serialize chosen ordinal's inner HTML --------------
+    buf: list[str] = []
+    open_tags: list[str] = []
+    state = {"eid": 0, "active": chosen == VROOT, "depth": -1, "done": False}
+    stack2: list[str] = []
+
+    def p2_start(tag: str, attr_list, void: bool, explicit_close: bool):
+        this = state["eid"]
+        state["eid"] += 1
+        if state["active"] and not state["done"]:
+            amap: dict = {}
+            for k, v in attr_list:
+                k = k.lower()
+                if k not in amap:
+                    amap[k] = v if v is not None else ""
+            a = "".join(
+                f' {k}="{_oracle_esc_attr(v)}"' for k, v in amap.items()
+            )
+            if tag in _ORACLE_VOID:
+                buf.append(f"<{tag}{a}/>")
+            elif explicit_close:
+                buf.append(f"<{tag}{a}></{tag}>")
+            else:
+                buf.append(f"<{tag}{a}>")
+                open_tags.append(tag)
+        elif this == chosen and not state["done"]:
+            if void:  # void/self-closed target: inner HTML is empty
+                state["done"] = True
+            else:
+                state["active"] = True
+                state["depth"] = len(stack2)
+        if not void:
+            stack2.append(tag)
+
+    class _P2(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            t = tag.lower()
+            p2_start(t, attrs, t in _ORACLE_VOID, False)
+
+        def handle_startendtag(self, tag, attrs):
+            p2_start(tag.lower(), attrs, True, True)
+
+        def handle_endtag(self, tag):
+            tag = tag.lower()
+            for i in range(len(stack2) - 1, -1, -1):
+                if stack2[i] == tag:
+                    del stack2[i:]
+                    break
+            if state["active"] and not state["done"]:
+                new_depth = len(stack2)
+                keep = max(0, new_depth - 1 - state["depth"])
+                while len(open_tags) > keep:
+                    buf.append(f"</{open_tags.pop()}>")
+                if state["depth"] >= new_depth:  # chosen element closed
+                    state["done"] = True
+
+        def handle_data(self, data):
+            if data and state["active"] and not state["done"]:
+                buf.append(_oracle_esc_text(data))
+
+    p2 = _P2(convert_charrefs=True)
+    p2.feed(html_text)
+    p2.close()
+    while open_tags:  # EOF with unclosed buffered elements
+        buf.append(f"</{open_tags.pop()}>")
+    return "".join(buf)
+
+
 def _xml_items(text: str, er) -> list[dict]:
     """Independent second implementation of the ``kind="xml"``
     ExtractRule (the engine builds an ElementTree and walks it,
@@ -796,6 +960,10 @@ def _oracle_transform_value(v: str, ops: tuple) -> str:
                 v = re_mod.sub(r"<[\S\s]+?>", "\n", v)
             if d > 4:
                 v = re_mod.sub(r"\s{2,}", "\n", v)
+        elif name == "main_content":
+            # commonPrase/findP via the two-pass SAX twin (the engine
+            # walks the css.py tree in functions.content.common_parse)
+            v = oracle_main_content(v)
         else:
             raise ValueError(f"unknown transform op {name!r}")
     return v
