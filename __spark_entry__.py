@@ -599,6 +599,69 @@ def q_xml_extract(spark, sf_dir):
     )
 
 
+def q_accumulate_items(spark, sf_dir):
+    """The taobao Temp-append accumulator re-expressed relationally
+    (`sinks.accumulate_items`, taobao.go:234-259/292): scalar partial
+    items (one per key) merged with their list-rule page segments in
+    page order. Items-shaped rows are synthesized from orders (the
+    detail partial, with a stale 'comments' value that must be
+    REPLACED) and lineitem (one comment segment per line number);
+    DuckDB replays with string_agg ORDER BY + left join."""
+    from pholcus_spark.sinks import accumulate_items
+
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    prov = [
+        F.lit("").alias("parent_url"),
+        F.lit(1).alias("superstep"),
+    ]
+    scalar = orders.select(
+        F.lit("tao").alias("spider"),
+        F.lit("商品详情").alias("rule"),
+        F.create_map(
+            F.lit("itemId"), F.col("o_orderkey").cast("string"),
+            F.lit("title"), F.col("o_orderpriority"),
+            F.lit("comments"), F.lit("stale"),
+        ).alias("data"),
+        F.concat(F.lit("http://t/o/"), F.col("o_orderkey")).alias("url"),
+        *prov,
+    )
+    segs = li.select(
+        F.lit("tao").alias("spider"),
+        F.lit("商品评论").alias("rule"),
+        F.create_map(
+            F.lit("itemId"), F.col("l_orderkey").cast("string"),
+            F.lit("page"), F.col("l_linenumber").cast("string"),
+            F.lit("comments"),
+            F.concat(
+                F.col("l_returnflag"), F.lit("@"),
+                F.col("l_shipdate").cast("string"),
+            ),
+        ).alias("data"),
+        F.concat(
+            F.lit("http://t/c/"), F.col("l_orderkey"),
+            F.lit("?p="), F.col("l_linenumber"),
+        ).alias("url"),
+        *prov,
+    )
+    out = accumulate_items(
+        scalar.unionByName(segs),
+        key_field="itemId",
+        scalar_rule="商品详情",
+        list_rule="商品评论",
+        list_field="comments",
+        page_field="page",
+        out_rule="结果",
+    )
+    return out.select(
+        "rule",
+        F.try_element_at("data", F.lit("itemId")).alias("item_id"),
+        F.try_element_at("data", F.lit("title")).alias("title"),
+        F.try_element_at("data", F.lit("comments")).alias("comments"),
+        "url",
+    )
+
+
 def q_global_rank(spark, sf_dir):
     """The engine's distributed global-ordering primitive
     (`engine.two_phase_rank` — seq assignment for seed merge, failure
@@ -1295,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_css_extract": q_css_extract,
         "q_xml_extract": q_xml_extract,
+        "q_accumulate_items": q_accumulate_items,
         "q_kafka_payload": q_kafka_payload,
         "q_robots_filter": q_robots_filter,
         "q_proxy_assign": q_proxy_assign,
@@ -2127,6 +2191,22 @@ SELECT doc_id,
                    w -> '<b>' || w || '</b>'),
     ' ') AS hhtml
 FROM documents
+""",
+        "q_accumulate_items": r"""
+WITH m AS (
+  SELECT l_orderkey AS k,
+         string_agg(l_returnflag || '@' || CAST(l_shipdate AS VARCHAR),
+                    ',' ORDER BY l_linenumber,
+                    l_returnflag || '@' || CAST(l_shipdate AS VARCHAR))
+           AS merged
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT '结果' AS rule,
+       CAST(o_orderkey AS VARCHAR) AS item_id,
+       o_orderpriority AS title,
+       coalesce(m.merged, '') AS comments,
+       'http://t/o/' || o_orderkey AS url
+FROM orders LEFT JOIN m ON m.k = o_orderkey
 """,
         "q_xml_extract": r"""
 SELECT doc_id,

@@ -1355,7 +1355,9 @@ class CrawlEngine:
         if getattr(spec, "paginate_rules", ()) or ():
             pag = self._paginate_children(parsed)
             if pag is not None:
-                links = links.unionByName(pag)
+                # allowMissingColumns: pag rows add `pcarry` (the
+                # PaginateRule Temp carry); link rows get it as null
+                links = links.unionByName(pag, allowMissingColumns=True)
         # robots filter (north-rule extension): the shared oracle-gated
         # broadcast-dim primitive (RFC 9309 longest-match incl. Allow)
         links = self._robots_disallow_filter(links, "curl")
@@ -1452,10 +1454,13 @@ class CrawlEngine:
         reload_list = list(spec.reloadable_urls)
         # method is part of the identity key: the same URL under GET and
         # POST is two frontier entries (request.go:139-145)
+        temp_sources = [F.col("ctemp")]
+        if "pcarry" in links.columns:  # PaginateRule carry (taobao.go:244)
+            temp_sources.append(F.col("pcarry"))
         links = links.withColumns(
             {
                 "temp": F.coalesce(
-                    F.col("ctemp"),
+                    *temp_sources,
                     F.map_filter(
                         F.create_map(
                             F.lit("caption"), F.col("caption"),
@@ -1474,7 +1479,7 @@ class CrawlEngine:
                 ),
                 "depth": F.col("depth") + 1,
             }
-        ).drop("caption", "image_id", "ctemp")
+        ).drop("caption", "image_id", "ctemp", "pcarry")
         return links
 
     def _paginate_children(self, parsed: DataFrame) -> DataFrame | None:
@@ -1507,11 +1512,30 @@ class CrawlEngine:
             )
             if spec.max_depth is not None:
                 src = src.where(F.col("depth") < spec.max_depth)
+            # the reference's next-page AddQueue carries the grown Temp
+            # (taobao.go:244-250): {dst: item[src]} from the emitting
+            # item rides every generated page request
+            cfs = getattr(pr, "carry_fields", ()) or ()
+            if cfs:
+                kv: list = []
+                for c in cfs:
+                    src_f, dst_f = (c, c) if isinstance(c, str) else c
+                    kv += [
+                        F.lit(dst_f),
+                        F.coalesce(
+                            F.try_element_at(F.col("_data"), F.lit(src_f)),
+                            F.lit(""),
+                        ),
+                    ]
+                pcarry = F.create_map(*kv)
+            else:
+                pcarry = F.lit(None).cast("map<string,string>")
             part = paginate_expand(src, pr).select(
                 "spider", "parent_url", "depth", "p_prio", "p_seq",
                 ((F.col("ipos") + 1) * F.lit(1 << 20) + F.col("_page"))
                 .alias("ordinal"),
                 F.col("raw_link"),
+                pcarry.alias("pcarry"),
             )
             part = canonical_split(part, "raw_link").where(
                 F.col("curl").isNotNull()

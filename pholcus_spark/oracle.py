@@ -1352,7 +1352,21 @@ def crawl(
                         pag_items: list[dict] = []
                         for er in spec.extract_rules:
                             if er.rule == pr.rule:
-                                pag_items.extend(_extract_items(page, er))
+                                ex = _extract_items(page, er)
+                                # same temp merge the emission path does:
+                                # count/base/carry fields may be
+                                # GetTemp-sourced (taobao.go:206-211)
+                                for f in tuple(
+                                    getattr(er, "temp_fields", ()) or ()
+                                ):
+                                    for data in ex:
+                                        data[f] = str(
+                                            (req.temp or {}).get(f) or ""
+                                        )
+                                pag_items.extend(ex)
+                        pag_cfs = tuple(
+                            getattr(pr, "carry_fields", ()) or ()
+                        )
                         for data in pag_items:
                             try:
                                 cnt = int(data.get(pr.count_field, ""))
@@ -1396,7 +1410,26 @@ def crawl(
                                         ),
                                         reloadable=canon
                                         in spec.reloadable_urls,
-                                        temp=None,
+                                        # PaginateRule.carry_fields: the
+                                        # grown Temp rides the next-page
+                                        # AddQueue (taobao.go:244-250)
+                                        temp=(
+                                            {
+                                                (
+                                                    c
+                                                    if isinstance(c, str)
+                                                    else c[1]
+                                                ): data.get(
+                                                    c
+                                                    if isinstance(c, str)
+                                                    else c[0],
+                                                    "",
+                                                )
+                                                for c in pag_cfs
+                                            }
+                                            if pag_cfs
+                                            else None
+                                        ),
                                     )
                                 )
             else:

@@ -367,3 +367,84 @@ def write_mongo(df: DataFrame, uri: str, database: str, collection: str,
         .mode("append")
         .save()
     )
+
+
+def accumulate_items(
+    items: DataFrame,
+    key_field: str,
+    scalar_rule: str,
+    list_rule: str,
+    list_field: str,
+    page_field: str,
+    out_rule: str | None = None,
+    sep: str = ",",
+) -> DataFrame:
+    """The reference's sequential Temp-append accumulator
+    (`taobao.go:234-259`: each comment page appends
+    ``discussAll = append(discussAll, page's comments...)`` into the
+    carried Temp and only the LAST page Outputs the finished item,
+    `taobao.go:292` ``ctx.Output(ctx.CopyTemps())``) — re-expressed
+    Spark-first: the engine fans ALL pages out in parallel (PaginateRule)
+    and each page emits a PARTIAL row, so the append chain becomes one
+    relational aggregation here: segments are collected per key and
+    joined **in page order** (``array_sort`` over ``struct(page, seg)``
+    — deterministic regardless of fetch order), then merged into the
+    scalar row's data map. Sequential-crawl parity: identical final
+    items, without serializing a product's pages behind one another.
+
+    ``items`` rows with rule == scalar_rule carry the one-per-key
+    partial item (taobao's 商品详情 Temp build); rows with
+    rule == list_rule carry ``(key_field, page_field, list_field)``
+    segments (商品评论 pages); duplicate page numbers (impossible in a
+    real paginated crawl) tie-break deterministically on the segment
+    value. Output: the scalar rows with
+    ``data[list_field]`` = ordered ``sep``-joined segments ('' when a
+    key has no list rows) and rule relabeled ``out_rule`` (the
+    reference's final "结果" rule). One groupBy on the key + one
+    broadcast-friendly equi-join — no windows, no driver state."""
+    segs = (
+        items.where(F.col("rule") == list_rule)
+        .select(
+            F.try_element_at(F.col("data"), F.lit(key_field)).alias("_k"),
+            F.try_element_at(F.col("data"), F.lit(page_field))
+            .try_cast("int").alias("_pg"),
+            F.try_element_at(F.col("data"), F.lit(list_field)).alias("_seg"),
+        )
+        .where(F.col("_k").isNotNull() & F.col("_pg").isNotNull())
+        .groupBy("_k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pg", "_seg"))),
+                    lambda s: s["_seg"],
+                ),
+                sep,
+            ).alias("_merged")
+        )
+    )
+    scal = items.where(F.col("rule") == scalar_rule).withColumn(
+        "_k", F.try_element_at(F.col("data"), F.lit(key_field))
+    )
+    return (
+        scal.join(segs, "_k", "left")
+        .select(
+            "spider",
+            F.lit(out_rule or scalar_rule).alias("rule"),
+            F.map_concat(
+                F.map_filter(
+                    F.col("data"), lambda k, _v: k != F.lit(list_field)
+                ),
+                F.create_map(
+                    F.lit(list_field), F.coalesce("_merged", F.lit(""))
+                ),
+            ).alias("data"),
+            "url",
+            "parent_url",
+            *(
+                ["download_time"]
+                if "download_time" in items.columns
+                else []
+            ),
+            "superstep",
+        )
+    )

@@ -200,6 +200,12 @@ class PaginateRule:
     max_pages: int | None = None  # hard cap on the expansion
     priority: int = 0
     method: str = "GET"
+    # Temp carried onto every generated page request — the reference
+    # passes the grown temp on the next-page AddQueue (taobao.go:244-250
+    # ``Temp: temp``): each child gets {dst: item[src]} from the
+    # emitting item; entries are 'f' or ('src', 'dst') like
+    # ExtractRule.carry_fields
+    carry_fields: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,6 +21,7 @@ PUBLIC_MODULES = [
     "pholcus_spark.fetch",
     "pholcus_spark.fixtures",
     "pholcus_spark.functions",
+    "pholcus_spark.functions.content",
     "pholcus_spark.functions.form",
     "pholcus_spark.functions.html_clean",
     "pholcus_spark.httpfetch",

@@ -256,3 +256,75 @@ def test_baidunews_xml_sample_matches_oracle(spark):
             shutil.rmtree(out, ignore_errors=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_taobao_accumulate_sample_matches_oracle(spark):
+    """The taobao comment-accumulator chain: json list rule -> carried
+    partial -> parallel comment-page fan-out (PaginateRule.carry_fields
+    = the reference's next-page `Temp: temp`, taobao.go:244-250) ->
+    relational accumulate. Engine items == oracle items, and
+    sinks.accumulate_items == a pure-python append-chain twin."""
+    sys.path.insert(0, "samples")
+    from taobao_accumulate_spider import (
+        PRODUCTS,
+        TAOBAO_SPIDER,
+        accumulate,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-tao-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # 1 list + 3 details + 6 comment pages
+        assert state["totals"]["fetched"] == 10
+        items = catalog.read("items")
+        rows = items.collect()
+        # list rule is emit=False; detail partials + comment segments
+        assert {r["rule"] for r in rows} == {"商品详情", "商品评论"}
+        assert sum(r["rule"] == "商品评论" for r in rows) == sum(
+            n for _t, _s, n in PRODUCTS.values()
+        )
+
+        # engine == oracle on the crawl's emitted items
+        res = testkit.run_oracle(build_corpus(), TAOBAO_SPIDER)
+        eng = {
+            (r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows
+        }
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+
+        # Spark accumulate == sequential append-chain twin over the
+        # oracle's items (the reference's discussAll semantics)
+        twin = {}
+        segs = {}
+        for i in res.items:
+            if i["rule"] == "商品详情":
+                twin[i["data"]["itemId"]] = dict(i["data"])
+            elif i["rule"] == "商品评论":
+                d = i["data"]
+                segs.setdefault(d["itemId"], []).append(
+                    (int(d["page"]), d["comments"])
+                )
+        for k, lst in segs.items():
+            twin[k]["comments"] = ",".join(
+                s for _p, s in sorted(lst)
+            )
+        final = {
+            r.data["itemId"]: dict(r.data)
+            for r in accumulate(items).collect()
+        }
+        assert final == twin
+        # every product's pages all arrived, in page order
+        assert final["101"]["comments"] == (
+            '["c101-1-1","c101-1-2"],["c101-2-1","c101-2-2"],'
+            '["c101-3-1","c101-3-2"]'
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
