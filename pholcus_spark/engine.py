@@ -919,9 +919,13 @@ class CrawlEngine:
             # otherwise one vectorized body pass.
             # emit=False rules (ParseFunc without ctx.Output —
             # baidunews.go:121-136) drive links/carries/pagination but
-            # contribute no output rows; emit is per rule NAME (all
-            # ExtractRules sharing a name must declare it identically,
-            # like temp_fields — spiderspec docstring)
+            # contribute no output rows. Emit is per ExtractRule: the
+            # fused kernel tags non-emitting rules' items with
+            # NOEMIT_KEY, filtered (and stripped) here — so emitting
+            # and non-emitting ExtractRules may share one rule name
+            # (baidusearch: result items Output, the page-level
+            # next-link probe doesn't). Rule names where NOTHING emits
+            # skip the union entirely.
             dsl_rules = sorted(
                 {
                     er.rule
@@ -934,9 +938,17 @@ class CrawlEngine:
             # temp_fields merged task-side inside the fused parse (the
             # UDF/kernel receives the request temp), so items here are
             # already carry-complete — including multi-hop re-carry
-            dsl_src = parsed.where(F.col("rule").isin(dsl_rules)).select(
-                "spider", "rule", "url", "parent_url",
-                F.explode("dsl_items").alias("data"),
+            from .extract import NOEMIT_KEY
+
+            dsl_src = (
+                parsed.where(F.col("rule").isin(dsl_rules))
+                .select(
+                    "spider", "rule", "url", "parent_url",
+                    F.explode("dsl_items").alias("data"),
+                )
+                .where(
+                    ~F.map_contains_key(F.col("data"), F.lit(NOEMIT_KEY))
+                )
             )  # download_time/superstep added with the figure items below
             items = items.unionByName(
                 dsl_src.withColumns(

@@ -208,6 +208,16 @@ def extract_article_udf(texts: pd.Series) -> pd.Series:
 
 ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
 
+# hidden marker key tagging items produced by an emit=False ExtractRule
+# (a ParseFunc that never calls ctx.Output): the fused parse flattens
+# every same-named rule's items into ONE dsl_items array, so emit is
+# carried per ITEM, letting emitting and non-emitting ExtractRules
+# share a rule name (baidusearch: the result items Output while the
+# page-level next-link probe does not). The engine strips the key
+# before the items-table union; links/carries/paginate counts read
+# explicit field names and never see it.
+NOEMIT_KEY = "\x00noemit"
+
 
 def rule_spec_tuples(extract_rules) -> list[tuple]:
     """ExtractRules → plain picklable (rule, kind, pattern, fields,
@@ -226,6 +236,7 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "temp_fields", ()) or ()),
             tuple(getattr(er, "field_transforms", ()) or ()),
             bool(getattr(er, "emit", True)),
+            tuple(getattr(er, "require_fields", ()) or ()),
         )
         for er in extract_rules
     ]
@@ -449,7 +460,8 @@ def _compile_css_spec(pat: str, fields: tuple, field_css: tuple):
 def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
     """Task-side: compile the regex/css kinds once per task. Output
     tuples: (rule, kind, compiled-key, fields, link_fields,
-    carry_fields, temp_fields, compiled-transforms, emit)."""
+    carry_fields, temp_fields, compiled-transforms, emit,
+    require_fields)."""
     out = []
     for rule, kind, pat, fields, field_css, link_fields, carry, tf, *rest in specs:
         if kind == "regex":
@@ -460,7 +472,10 @@ def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
             key = pat
         tfx = compile_transforms(rest[0]) if rest and rest[0] else {}
         emit = rest[1] if len(rest) > 1 else True
-        out.append((rule, kind, key, fields, link_fields, carry, tf, tfx, emit))
+        req = tuple(rest[2]) if len(rest) > 2 else ()
+        out.append(
+            (rule, kind, key, fields, link_fields, carry, tf, tfx, emit, req)
+        )
     return out
 
 
@@ -747,7 +762,10 @@ def _apply_rules_for(
     row_items: list[dict] = []
     row_links: list[str] = []
     row_carries: list[dict | None] = []
-    for r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit in compiled:
+    for (
+        r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit,
+        req,
+    ) in compiled:
         if r != rule:
             continue
         items = apply_rule_spec(text, kind, key, fields)
@@ -759,6 +777,23 @@ def _apply_rules_for(
                 for f, fn in tfx.items():
                     if f in it:
                         it[f] = fn(it[f])
+        # require_fields guard: drop the whole item when any listed
+        # field is empty AFTER transforms — the reference's
+        # skip-before-Output idiom (baidusearch.go:46-48 `if title ==
+        # "" || href == "" { return }`). A dropped item emits nothing:
+        # no output row, no link_fields children, no carry, no
+        # PaginateRule count. Evaluated on the EXTRACTED+TRANSFORMED
+        # values, before the temp merge (the guard reads ParseFunc
+        # locals, not GetTemp).
+        if req:
+            items = [it for it in items if all(it.get(f) for f in req)]
+        if not _emit:
+            # per-ITEM emit marker (see NOEMIT_KEY): this ExtractRule's
+            # items drive links/carries/pagination but produce no
+            # output rows, even when another ExtractRule sharing the
+            # rule name does emit
+            for it in items:
+                it[NOEMIT_KEY] = "1"
         # temp_fields consumer merge: request temp overrides any
         # same-named extracted field (the reference authors the Output
         # map explicitly, so the collision cannot arise there)

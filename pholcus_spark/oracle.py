@@ -978,6 +978,13 @@ def _transform_items(items: list[dict], er) -> list[dict]:
         for it in items:
             if field in it:
                 it[field] = _oracle_transform_value(it[field], ops)
+    # require_fields guard (baidusearch.go:46-48 skip-before-Output):
+    # an item with any required field empty vanishes — no output, no
+    # AddQueue children, no paginate count. Post-transforms,
+    # pre-temp-merge, mirroring extract._apply_rules_for.
+    req = tuple(getattr(er, "require_fields", ()) or ())
+    if req:
+        items = [it for it in items if all(it.get(f) for f in req)]
     return items
 
 

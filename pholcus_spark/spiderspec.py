@@ -156,13 +156,22 @@ class ExtractRule:
     # reference's split-one-string-into-two-columns idiom,
     # fang_resell_list.go:77-81 address/business).
     field_transforms: tuple[tuple[str, tuple[tuple, ...]], ...] = ()
+    # require_fields: drop an extracted item entirely when any listed
+    # field is empty after field_transforms — the reference's
+    # skip-before-Output guard (baidusearch.go:46-48
+    # `if title == "" || href == "" { return }` inside the Each loop;
+    # the item then also enqueues nothing). Evaluated on the
+    # extracted+transformed values, BEFORE the temp_fields merge (the
+    # Go guard reads ParseFunc locals, never GetTemp).
+    require_fields: tuple[str, ...] = ()
     # emit=False: a ParseFunc that never calls ctx.Output — the rule's
     # items drive link_fields / carry_fields / PaginateRule but produce
     # NO output rows (baidunews.go:121-136 "XML列表页": AddQueues each
-    # RSS entry, outputs nothing). Per rule NAME: when several
-    # ExtractRules share one rule name, declare the same emit on all of
-    # them (the engine filters the fused items table per rule, like
-    # temp_fields' merge note above)
+    # RSS entry, outputs nothing). Per ExtractRule: an emitting and a
+    # non-emitting ExtractRule may share one rule name (baidusearch:
+    # the result items Output while the page-level next-link probe
+    # enqueues only) — the fused kernel tags non-emitting items and
+    # the engine drops them at the items-table union
     emit: bool = True
 
 
@@ -283,7 +292,19 @@ def fanout_spider_name(name: str, keyin: str) -> str:
 
 
 KEYIN_TOKEN = "%keyin%"
+# query-escaped variant — the reference's Root-side
+# `url.QueryEscape(ctx.GetKeyin())` (baidusearch.go:26,
+# googlesearch/jdsearch alike): search seeds embed the keyin in a query
+# string, which must be percent-encoded
+KEYIN_ESC_TOKEN = "%keyin_esc%"
 
 
 def apply_keyin(url: str, keyin: str) -> str:
-    return url.replace(KEYIN_TOKEN, keyin) if keyin else url
+    if not keyin:
+        return url
+    if KEYIN_ESC_TOKEN in url:
+        from urllib.parse import quote_plus
+
+        # Go's url.QueryEscape: space → '+', everything else %XX
+        url = url.replace(KEYIN_ESC_TOKEN, quote_plus(keyin))
+    return url.replace(KEYIN_TOKEN, keyin)

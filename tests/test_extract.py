@@ -122,3 +122,72 @@ def test_clean_html_depth_chain(spark):
     assert out.d2 == "abcd"
     # reference composition (tags lowercased first) yields same text
     assert out.c5_lower == out.c5
+
+
+def test_require_fields_guard_engine_and_oracle():
+    """require_fields (baidusearch.go:46-48 skip-before-Output): empty
+    required field drops the ITEM — no output, no link_fields child —
+    in BOTH interpreters; evaluated after transforms (a trim that
+    empties a field kills the item)."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.oracle import _extract_items
+    from pholcus_spark.spiderspec import ExtractRule
+
+    html = (
+        "<html><body>"
+        '<div class="r"><a href="http://x.test/1">ok</a></div>'
+        '<div class="r"><a href="http://x.test/2">   </a></div>'
+        '<div class="r"><a>nohref</a></div>'
+        "</body></html>"
+    )
+    er = ExtractRule(
+        rule="r",
+        kind="css",
+        item_pattern="div.r",
+        fields=("t", "u"),
+        field_css=(("t", "a@text"), ("u", "a@href")),
+        field_transforms=(("t", (("trim",),)),),
+        link_fields=("u",),
+        require_fields=("t", "u"),
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er]))
+    items, links, _c = _apply_rules_for(compiled, html, "r", "http://b.test/")
+    assert items == [{"t": "ok", "u": "http://x.test/1"}]
+    assert links == ["http://x.test/1"]
+    page = {"body": html.encode(), "content_type": "text/html; charset=utf-8"}
+    assert _extract_items(page, er) == items
+
+
+def test_per_extract_rule_emit_marker():
+    """emit=False tags items with NOEMIT_KEY so an emitting and a
+    non-emitting ExtractRule can share one rule name; explicit fields
+    (links/carries) never see the marker."""
+    from pholcus_spark.extract import (
+        NOEMIT_KEY,
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.spiderspec import ExtractRule
+
+    html = '<html><body><a class="n" href="/p2">next</a></body></html>'
+    probe = ExtractRule(
+        rule="r", kind="css", item_pattern="body", fields=("next",),
+        field_css=(("next", "a.n@last@href"),), link_fields=("next",),
+        require_fields=("next",), emit=False,
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([probe]))
+    items, links, carries = _apply_rules_for(
+        compiled, html, "r", "http://h.test/p1"
+    )
+    assert items == [{"next": "/p2", NOEMIT_KEY: "1"}]
+    assert links == ["http://h.test/p2"]
+    # absent next → require_fields drops the probe item: no child
+    items2, links2, _ = _apply_rules_for(
+        compiled, "<html><body>last page</body></html>", "r", "http://h.test/p3"
+    )
+    assert items2 == [] and links2 == []

@@ -328,3 +328,49 @@ def test_taobao_accumulate_sample_matches_oracle(spark):
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_baidusearch_sample_matches_oracle(spark):
+    """The baidusearch port: keyin fan-out with %keyin_esc%
+    QueryEscape, comma selector group, require_fields skip guard, and
+    a same-rule-name emit=False next-page probe (per-ExtractRule
+    emit). Engine == oracle on items AND url_seen."""
+    sys.path.insert(0, "samples")
+    from baidusearch_spider import BAIDU_SPIDER, KEYINS, build_corpus, run
+
+    from pholcus_spark import testkit
+    from pholcus_spark.extract import NOEMIT_KEY
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-baidu-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # 3 result pages per keyin, walked via the next-link probe
+        assert state["totals"]["fetched"] == 6
+        rows = catalog.read("items").collect()
+        # require_fields dropped the empty-title / no-href decoys:
+        # pn=0,10 carry 2 valid results each, pn=20 carries 1 → 5/keyin
+        assert len(rows) == 5 * len(KEYINS)
+        assert all(r["data"]["标题"] for r in rows)
+        assert all(r["data"]["链接"] for r in rows)
+        # titles passed through ("trim",) — no padding survives
+        assert all(r["data"]["标题"] == r["data"]["标题"].strip() for r in rows)
+        # the emit=False probe leaked nothing: no 'next' items, no marker
+        assert all("next" not in r["data"] for r in rows)
+        assert all(NOEMIT_KEY not in r["data"] for r in rows)
+        # keyin fan-out: one spider clone per token
+        assert {r["spider"] for r in rows} == {
+            f"baidusearch__{k}" for k in KEYINS
+        }
+
+        res = testkit.run_oracle(build_corpus(), BAIDU_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -228,9 +228,9 @@ def test_emit_rides_spec_tuples():
         rule="b", kind="xml", item_pattern="c.i", fields=("f",), emit=False
     )
     specs = rule_spec_tuples([er_on, er_off])
-    assert specs[0][-1] is True and specs[1][-1] is False
+    assert specs[0][-2] is True and specs[1][-2] is False
     compiled = compile_rule_specs(specs)
-    assert compiled[0][-1] is True and compiled[1][-1] is False
+    assert compiled[0][-2] is True and compiled[1][-2] is False
 
 
 def test_emit_false_items_still_drive_links():
