@@ -442,6 +442,7 @@ class CrawlEngine:
         rule: str,
         spider: str,
         priority: int = 0,
+        temp: dict | None = None,
     ) -> None:
         """Aid-loop page-range seeding (the reference's AidFunc loop,
         `spider.go:57`, e.g. `sample/static_rules/qq_avatar/avatar.go:40-59`:
@@ -452,7 +453,10 @@ class CrawlEngine:
         a driver-side list (the reference's for-loop, and our ``seed()``,
         are driver-bound by construction). ``url_format`` is a
         printf-style template receiving the index, e.g.
-        ``"http://h.test/page/%d"``.
+        ``"http://h.test/page/%d"``. ``temp`` rides every generated
+        request (the reference's per-AddQueue ``Temp``/``Header`` in a
+        Root loop, weibo_fans.go:57-72 — e.g. a keyin-sourced
+        ``{"hdr:Cookie": ...}`` session header).
         """
         gen = (
             self.spark.range(start, stop)
@@ -461,7 +465,9 @@ class CrawlEngine:
                 (F.col("id") - F.lit(start)).alias("_ord"),
             )
         )
-        self.seed_urls_df(gen, rule=rule, spider=spider, priority=priority)
+        self.seed_urls_df(
+            gen, rule=rule, spider=spider, priority=priority, temp=temp
+        )
 
     def seed_urls_df(
         self,
@@ -469,6 +475,7 @@ class CrawlEngine:
         rule: str,
         spider: str,
         priority: int = 0,
+        temp: dict | None = None,
     ) -> None:
         """Seed the frontier from ANY DataFrame of URLs — the general
         distributed-seeding form behind :meth:`seed_range` (template
@@ -519,7 +526,17 @@ class CrawlEngine:
             (
                 F.col("curl").isin(reload_list) if reload_list else F.lit(False)
             ).alias("reloadable"),
-            F.create_map().cast("map<string,string>").alias("temp"),
+            (
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for kv in sorted((temp or {}).items())
+                        for x in (str(kv[0]), str(kv[1]))
+                    ]
+                ).cast("map<string,string>")
+                if temp
+                else F.create_map().cast("map<string,string>")
+            ).alias("temp"),
             F.lit("queued").alias("state"),
         )
         # in-batch dedup (first occurrence wins, like seed()'s seen_keys)
@@ -748,6 +765,18 @@ class CrawlEngine:
             )
         return wave, rest
 
+    def _attach_headers(self, wave: DataFrame) -> DataFrame:
+        """Author-set request headers out (`request.Request{Header:}`,
+        request.go:25): one JVM column merging the spider-static
+        ``spec.headers`` with the request's dynamic ``hdr:``-prefixed
+        temp entries (fetch.headers_col — dynamic wins). Attached for
+        EVERY fetcher: live fetchers send them, the fixture fetcher
+        gates ``require_header`` pages on them; the column is dropped
+        with the other transport columns right after the fetch."""
+        from .fetch import headers_col
+
+        return wave.withColumn("hdr", headers_col(self.spec.headers))
+
     def _attach_cookies(self, wave: DataFrame) -> DataFrame:
         """Session cookies out: join the wave with the driver-held
         host→Cookie-header dim (broadcast — O(hosts) rows, the robots
@@ -798,6 +827,9 @@ class CrawlEngine:
         # (extract, image write) each stream bodies exactly once. With a
         # cheap-meta fetcher the metadata pass never touches bodies at all.
         has_store = getattr(self.fetcher, "store", None) is not None
+        # author-set request headers ride every fetch (dropped with the
+        # other transport columns below)
+        wave = self._attach_headers(wave)
         if has_store:
             # body-store fetcher: the JVM plan carries metadata only;
             # each body-consuming branch filters on metadata FIRST and
@@ -811,11 +843,19 @@ class CrawlEngine:
             # Dataset creations per superstep analyze a one-leaf tree
             # instead of re-walking frontier+wave-select+join each time
             # (driver-side plan-build was ~3s/superstep at fixture scale)
-            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=False)
+            fetched = (
+                self.fetcher.fetch_meta(wave)
+                .drop("hdr")
+                .localCheckpoint(eager=False)
+            )
         elif getattr(self.fetcher, "has_cheap_meta", False):
             # deterministic fetcher: body branches re-derive lazily
-            fetched_full = self.fetcher.fetch(wave)
-            fetched = self.fetcher.fetch_meta(wave).localCheckpoint(eager=False)
+            fetched_full = self.fetcher.fetch(wave).drop("hdr")
+            fetched = (
+                self.fetcher.fetch_meta(wave)
+                .drop("hdr")
+                .localCheckpoint(eager=False)
+            )
         else:
             # live fetcher: fetch exactly once, cache bodies (idempotence)
             wave_out = self._attach_cookies(wave)
@@ -835,7 +875,7 @@ class CrawlEngine:
             # session/transport columns leave the plan here: downstream
             # stores / unions see the exact pre-attach schema
             fetched_full = fetched_full.drop(
-                "cookie", "set_cookies", "proxy", "ua"
+                "cookie", "set_cookies", "proxy", "ua", "hdr"
             )
             fetched = fetched_full
         ok = fetched.where(F.col("ok"))

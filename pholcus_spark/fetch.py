@@ -25,6 +25,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+HDR_TEMP_PREFIX = "hdr:"
+
+
+def headers_col(spec_headers: tuple = ()) -> "F.Column":
+    """Merged per-request extra-header column (JSON string, '' = none),
+    entirely JVM-side: static ``SpiderSpec.headers`` pairs overlaid by
+    the request's dynamic ``temp`` entries whose keys start with
+    ``hdr:`` (key stripped of the prefix; dynamic wins on collision —
+    the reference sets request.Header per AddQueue, so the
+    per-request value is the author's latest word). Empty merge → ''
+    so fetchers can treat the column as optional."""
+    dyn = F.transform_keys(
+        F.map_filter(
+            F.coalesce(
+                F.col("temp"), F.create_map().cast("map<string,string>")
+            ),
+            lambda k, _v: k.startswith(HDR_TEMP_PREFIX),
+        ),
+        lambda k, _v: F.substring(k, len(HDR_TEMP_PREFIX) + 1, 2048),
+    )
+    if spec_headers:
+        kv: list = []
+        for name, value in spec_headers:
+            kv += [F.lit(name), F.lit(value)]
+        static = F.create_map(*kv)
+        merged = F.map_concat(
+            F.map_filter(
+                static, lambda k, _v: ~F.map_contains_key(dyn, k)
+            ),
+            dyn,
+        )
+    else:
+        merged = dyn
+    return F.when(F.size(merged) > 0, F.to_json(merged)).otherwise(F.lit(""))
+
+
 class FixtureFetcher:
     """Fetch = left equi-join on canonical URL against the pages fixture.
 
@@ -50,7 +86,8 @@ class FixtureFetcher:
         self.try_times = try_times
         cols = [
             c
-            for c in ("status", "flaky", "content_type", "body")
+            for c in ("status", "flaky", "content_type", "body",
+                      "require_header")
             if c in pages.columns  # StoreFetcher meta carries no body
         ]
         if "fail_attempts" in pages.columns:
@@ -66,6 +103,28 @@ class FixtureFetcher:
         joined = wave.join(
             pages, wave["url"] == pages["_page_url"], "left"
         ).drop("_page_url")
+        if "require_header" in joined.columns:
+            # header-walled page: 403 unless the request's hdr JSON
+            # (engine-attached, fetch.headers_col) carries the named
+            # header with the exact value — all JVM (from_json +
+            # element_at). A wave with no hdr column sent nothing.
+            sent = (
+                F.from_json(F.col("hdr"), "map<string,string>")
+                if "hdr" in joined.columns
+                else F.create_map().cast("map<string,string>")
+            )
+            want = F.split(F.col("require_header"), ": ", 2)
+            met = F.coalesce(
+                F.try_element_at(sent, want.getItem(0))
+                == want.getItem(1),
+                F.lit(False),
+            )
+            joined = joined.withColumn(
+                "status",
+                F.when(
+                    F.col("require_header").isNotNull() & ~met, F.lit(403)
+                ).otherwise(F.col("status")),
+            ).drop("require_header")
         fail_n = F.coalesce(
             F.col("fail_attempts"),
             F.when(F.coalesce(F.col("flaky"), F.lit(False)), 1).otherwise(0),
@@ -216,7 +275,9 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
 
             from .httpfetch import async_fetch_one
 
-            async def fetch_all(urls, methods, bodies, proxies, uas):
+            async def fetch_all(urls, methods, bodies, proxies, uas, hdrs):
+                import json as json_mod
+
                 conn = aiohttp.TCPConnector(limit=max_conn)
                 tmo = aiohttp.ClientTimeout(total=timeout_s)
                 async with aiohttp.ClientSession(connector=conn, timeout=tmo) as s:
@@ -234,9 +295,12 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
                                 redirect_times=redirect_times,
                                 ua=ua or "",
                                 proxy=px or "",
+                                extra_headers=(
+                                    json_mod.loads(hj) if hj else None
+                                ),
                             )
-                            for u, m, d, px, ua in zip(
-                                urls, methods, bodies, proxies, uas
+                            for u, m, d, px, ua, hj in zip(
+                                urls, methods, bodies, proxies, uas, hdrs
                             )
                         ]
                     )
@@ -260,10 +324,15 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
                 uas_in = (
                     pdf["ua"].tolist() if "ua" in pdf else [None] * len(pdf)
                 )
+                hdrs_in = (
+                    pdf["hdr"].fillna("").tolist()
+                    if "hdr" in pdf
+                    else [""] * len(pdf)
+                )
                 res = asyncio.run(
                     fetch_all(
                         pdf["url"].tolist(), methods, bodies_in,
-                        proxies_in, uas_in,
+                        proxies_in, uas_in, hdrs_in,
                     )
                 )
                 pdf = pdf.copy()

@@ -257,7 +257,12 @@ def generate(spec: SiteSpec, seed: int = SEED) -> Corpus:
 PAGES_DDL = (
     "url string, host string, depth int, status int, flaky boolean, "
     "fail_attempts int, content_type string, body binary, "
-    "out_links array<string>, image_refs array<string>"
+    "out_links array<string>, image_refs array<string>, "
+    # optional header gate: "Name: value" — the page answers 403 unless
+    # the request carries that header (models header-walled sites; the
+    # reference rules that set request.Header, e.g. weibo_fans.go:62,
+    # only work against such walls)
+    "require_header string"
 )
 IMAGES_DDL = (
     "image_id string, bytes binary, w int, h int, fmt string, "
@@ -278,7 +283,7 @@ def to_spark(spark, corpus: Corpus):
             (
                 p["url"], p["host"], p["depth"], p["status"], p["flaky"],
                 p.get("fail_attempts"), p["content_type"], p["body"],
-                p["out_links"], p["image_refs"],
+                p["out_links"], p["image_refs"], p.get("require_header"),
             )
             for p in corpus.pages
         ],

@@ -149,6 +149,7 @@ async def async_fetch_one(
     cookies_out: list | None = None,
     ua: str = "",
     proxy: str = "",
+    extra_headers: dict | None = None,
 ) -> tuple[int, str, bytes]:
     """THE request loop — retry budget, redirect policy with Go's
     method conversion, POST/POST-M/HEAD encodings, cookie harvesting —
@@ -176,8 +177,19 @@ async def async_fetch_one(
     sent to the ORIGINAL host (a cross-host redirect must not leak the
     session, mirroring Go's http.Client domain check).
 
+    ``extra_headers`` are author-set request headers
+    (`request.Request{Header: ...}`, request.go:25 — spider-static
+    ``SpiderSpec.headers`` merged with per-request ``hdr:`` temps by
+    the engine): applied to every hop of the chain, EXCEPT a Cookie
+    entry, which is home-host-only like the session jar (a cross-host
+    redirect must not leak it) and is merged with the jar's cookies
+    ("extra; jar" order). The POST encoding's Content-Type and the
+    loop's redirect handling outrank same-named extras (Go's surf
+    encoder sets Content-Type explicitly after copying param.Header).
+
     ``ua`` sets the User-Agent header when the caller provided none
-    (`surfer/param.go:85-95` only fills a missing header); ``proxy``
+    (`surfer/param.go:85-95` only fills a missing header — an
+    extra_headers User-Agent therefore wins); ``proxy``
     routes every hop of the chain through the given proxy URL
     (`surf.go:139-152` sets the transport's proxy for the whole
     request) — it is passed to the session only when non-empty, so
@@ -202,12 +214,28 @@ async def async_fetch_one(
             if cur_method == "POST":
                 cur_data, headers = encode_post(method, post_data)
             hops = 0
+            extra_cookie = ""
             while True:
                 hdrs = dict(headers)
+                if extra_headers:
+                    for k, v in extra_headers.items():
+                        if k.lower() == "cookie":
+                            extra_cookie = v  # merged below, home-host only
+                        else:
+                            hdrs.setdefault(k, v)
                 if ua:
                     hdrs.setdefault("User-Agent", ua)
-                if jar and urlsplit(cur_url).netloc == home_host:
-                    hdrs["Cookie"] = cookie_header(jar)
+                if urlsplit(cur_url).netloc == home_host:
+                    parts = [
+                        p
+                        for p in (
+                            extra_cookie,
+                            cookie_header(jar) if jar else "",
+                        )
+                        if p
+                    ]
+                    if parts:
+                        hdrs["Cookie"] = "; ".join(parts)
                 kw = {"proxy": proxy} if proxy else {}
                 async with session.request(
                     cur_method, cur_url, data=cur_data, headers=hdrs,
@@ -413,6 +441,7 @@ def fetch_one(
     ua: str = "",
     proxy: str = "",
     dns_cache: DnsCache | None = None,
+    extra_headers: dict | None = None,
 ) -> tuple[int, str, bytes]:
     """Synchronous one-request entry point: :func:`async_fetch_one`
     over the urllib transport. See that function for the semantics."""
@@ -431,6 +460,7 @@ def fetch_one(
             cookies_out=cookies_out,
             ua=ua,
             proxy=proxy,
+            extra_headers=extra_headers,
         )
     )
 
@@ -540,10 +570,19 @@ class StdlibHttpFetcher:
                 uas = (
                     pdf["ua"].fillna("").tolist() if "ua" in pdf else [""] * n
                 )
+                # optional merged extra-header column (JSON map, engine-
+                # attached via fetch.headers_col)
+                hdrs_json = (
+                    pdf["hdr"].fillna("").tolist()
+                    if "hdr" in pdf
+                    else [""] * n
+                )
                 outs: list[list] = [[] for _ in range(n)]
 
                 def one(t):
-                    i, url, meth, pd, ck, px, ua = t
+                    import json as json_mod
+
+                    i, url, meth, pd, ck, px, ua, hj = t
                     return fetch_one(
                         url, meth, pd,
                         timeout_s=timeout_s,
@@ -555,6 +594,7 @@ class StdlibHttpFetcher:
                         ua=ua,
                         proxy=px,
                         dns_cache=dns,
+                        extra_headers=json_mod.loads(hj) if hj else None,
                     )
 
                 with ThreadPoolExecutor(max_workers=max_conn) as pool:
@@ -562,7 +602,7 @@ class StdlibHttpFetcher:
                         pool.map(
                             one,
                             zip(range(n), pdf["url"].tolist(), methods,
-                                post, cookies, proxies, uas),
+                                post, cookies, proxies, uas, hdrs_json),
                         )
                     )
                 pdf = pdf.copy()

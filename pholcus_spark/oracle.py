@@ -1198,8 +1198,22 @@ def crawl(
             fail_n = page.get("fail_attempts") if page else None
             if fail_n is None and page:
                 fail_n = 1 if page.get("flaky") else 0
+            # header-walled page (require_header "Name: value"): 403
+            # unless the request's merged headers — spider-static
+            # spec.headers overlaid by the temp's "hdr:" entries, the
+            # independent twin of fetch.headers_col — carry it
+            header_ok = True
+            rh = page.get("require_header") if page else None
+            if rh:
+                sent = dict(getattr(spec, "headers", ()) or ())
+                for k, v in (req.temp or {}).items():
+                    if k.startswith("hdr:"):
+                        sent[k[4:]] = v
+                name, _, val = rh.partition(": ")
+                header_ok = sent.get(name) == val
             ok = (
                 page is not None
+                and header_ok
                 and page["status"] < 400
                 and (req.tries + 1) * config.try_times > fail_n
             )

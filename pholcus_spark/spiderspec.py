@@ -251,6 +251,17 @@ class SpiderSpec:
     # engine's items table always keeps the rule column; the sink layer
     # (sinks.export_items_csv / export_items_xlsx sub_field=) applies it
     sub_namespace_field: str | None = None
+    # static extra request headers sent with EVERY fetch — the
+    # reference's `request.Request{Header: http.Header{...}}` when the
+    # values are constants (avatar.go / alibaba.go / taobao.go set the
+    # same header on each AddQueue). PER-REQUEST headers are data, not
+    # spec: put them in the request's Temp map under "hdr:<Name>" keys
+    # (seed(temp={"hdr:Cookie": ...}) — the weibo_fans.go:62 keyin-
+    # sourced Cookie — or carry_fields=(("field", "hdr:X"),) to derive
+    # one from an extracted field); dynamic entries override same-named
+    # static ones. The engine merges both into one `hdr` JSON column
+    # JVM-side (fetch.headers_col) at fetch dispatch.
+    headers: tuple[tuple[str, str], ...] = ()
 
     def route(self, url: str) -> LinkRule | None:
         for lr in self.link_rules:

@@ -232,6 +232,71 @@ def _temp_carry_corpus() -> fixtures.Corpus:
     )
 
 
+_HEADERS_SPIDER = SpiderSpec(
+    "site",
+    # spider-static request header (the constant request.Header set on
+    # every AddQueue in avatar.go/alibaba.go)
+    headers=(("X-Static", "s1"),),
+)
+
+
+def _headers_corpus() -> fixtures.Corpus:
+    """Header-walled site: /d/static needs the spider-static header,
+    /d/dynamic needs a per-request temp-sourced one (weibo_fans.go:62
+    keyin-sourced Cookie shape), /d/override needs the DYNAMIC value
+    where a static same-named header also exists (dynamic wins),
+    /d/walled demands a header nobody sends → permanent 403 failure."""
+    host = "hw.test"
+
+    def page(path, body, require_header=None, out_links=()):
+        return {
+            "url": f"http://{host}{path}",
+            "host": host,
+            "depth": 0,
+            "status": 200,
+            "flaky": False,
+            "content_type": "text/html; charset=utf-8",
+            "body": body.encode(),
+            "out_links": list(out_links),
+            "image_refs": [],
+            "require_header": require_header,
+        }
+
+    pages = [
+        page(
+            "/p/open",
+            '<html><body><a href="/d/static">s</a>'
+            '<a href="/d/walled">w</a></body></html>',
+            out_links=[
+                f"http://{host}/d/static",
+                f"http://{host}/d/walled",
+            ],
+        ),
+        page("/d/static", "<html><body>static ok</body></html>",
+             "X-Static: s1"),
+        page("/d/dynamic", "<html><body>dynamic ok</body></html>",
+             "X-Auth: k7"),
+        page("/d/override", "<html><body>override ok</body></html>",
+             "X-Static: dyn-wins"),
+        page("/d/walled", "<html><body>never</body></html>",
+             "X-Never: x"),
+    ]
+    seeds = [
+        {"spider": "site", "url": f"http://{host}/p/open", "rule": "list",
+         "priority": 0},
+        {"spider": "site", "url": f"http://{host}/d/dynamic",
+         "rule": "detail", "priority": 0,
+         "temp": {"hdr:X-Auth": "k7"}},
+        {"spider": "site", "url": f"http://{host}/d/override",
+         "rule": "detail", "priority": 0,
+         "temp": {"hdr:X-Static": "dyn-wins"}},
+    ]
+    robots = [{"host": host, "disallow_prefixes": [], "crawl_delay_ms": None}]
+    return fixtures.Corpus(
+        pages=pages, images=[], images_truth=[], seeds=seeds, robots=robots
+    )
+
+
 def _build_scenarios() -> dict[str, dict]:
     """name -> run_pair kwargs (corpus generation is cheap and serial)."""
     clean = dict(flaky_rate=0.0, fail_404_rate=0.0)
@@ -317,6 +382,11 @@ def _build_scenarios() -> dict[str, dict]:
     # items that pull goodsType back out of the request temp
     scenarios["temp_carry"] = dict(
         corpus=_temp_carry_corpus(), spec=_TEMP_CARRY_SPIDER
+    )
+    # author-set request headers (request.Request{Header:}): static
+    # spec.headers + dynamic hdr: temps against header-walled pages
+    scenarios["headers"] = dict(
+        corpus=_headers_corpus(), spec=_HEADERS_SPIDER
     )
     # field_transforms (fang_resell_list.go:74-135): the
     # extract-then-string-munge ParseFunc shape — Children().Eq via
@@ -856,3 +926,28 @@ def test_seed_honors_method_and_post_data(spark, tmp_path):
     assert by[("http://h0.test/login", "GET")] == ""
     assert by[("http://h0.test/up", "POST-M")] == "title=t"
     assert len(rows) == 3 and len({r.key for r in rows}) == 3
+
+
+def test_request_headers_conformance(runs):
+    """Author-set request headers (request.Request{Header:},
+    request.go:25): spider-static spec.headers unlock /d/static, a
+    temp-sourced hdr: entry unlocks /d/dynamic (the weibo_fans.go:62
+    keyin-sourced-Cookie shape), dynamic overrides a same-named static
+    on /d/override, and the never-sent header leaves /d/walled a
+    permanent 403 failure — engine (JVM headers_col + fixture gate)
+    == oracle (independent dict merge) on seen/order/failures."""
+    from pholcus_spark.keys import request_key
+
+    _, run, res = runs["headers"]
+    check_conformance(run, res)
+
+    def dkey(u):
+        return request_key("site", "detail", f"http://hw.test{u}", "GET")
+
+    seen_keys = {r.key for r in run.df("url_seen").collect()}
+    assert dkey("/d/static") in seen_keys
+    assert dkey("/d/dynamic") in seen_keys
+    assert dkey("/d/override") in seen_keys
+    assert dkey("/d/walled") not in seen_keys
+    ff = {r.key for r in run.df("failures_final").collect()}
+    assert ff == {dkey("/d/walled")}

@@ -43,6 +43,8 @@ class _SiteHandler(BaseHTTPRequestHandler):
     redirects: dict = {}
     set_cookie_paths: dict = {}  # path -> Set-Cookie header value
     cookie_gate: dict = {}  # path -> required "name=value" in Cookie
+    header_gate: dict = {}  # path -> (Name, value) required exactly
+    hdr_echo_paths: set = set()  # echo request headers back as body
 
     def _respond(self, send_body: bool = True):
         path = self.path
@@ -52,6 +54,22 @@ class _SiteHandler(BaseHTTPRequestHandler):
         if gate and gate not in (self.headers.get("Cookie") or ""):
             self.send_response(403)
             self.end_headers()
+            return
+        hgate = self.header_gate.get(path)
+        if hgate and self.headers.get(hgate[0]) != hgate[1]:
+            self.send_response(403)
+            self.end_headers()
+            return
+        if path in self.hdr_echo_paths:
+            body = "\n".join(
+                f"{k}: {v}" for k, v in sorted(self.headers.items())
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if send_body:
+                self.wfile.write(body)
             return
         if path in self.redirects:
             status, loc = self.redirects[path]
@@ -128,6 +146,8 @@ def _reset(pages: dict[str, dict]):
     _SiteHandler.redirects = {}
     _SiteHandler.set_cookie_paths = {}
     _SiteHandler.cookie_gate = {}
+    _SiteHandler.header_gate = {}
+    _SiteHandler.hdr_echo_paths = set()
 
 
 # ---------------------------------------------------------------------------
@@ -680,3 +700,116 @@ def test_stdlib_fetcher_dns_cache_end_to_end(spark, server):
     assert len(rows) == 6
     assert all(r.ok and r.status == 200 for r in rows.values())
     assert rows["3"].body == b"b3"
+
+
+# ---------------------------------------------------------------------------
+# author-set request headers (request.Request{Header:}, request.go:25)
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_one_extra_headers_on_the_wire(server):
+    """extra_headers reach the socket; precedence: extra User-Agent
+    beats the ua= fallback (param.go:85-95 fills only a MISSING
+    header); extra Cookie merges ahead of the session jar."""
+    _reset({})
+    _SiteHandler.hdr_echo_paths = {"/hecho"}
+    status, _ct, body = fetch_one(
+        f"http://{server}/hecho",
+        try_times=1,
+        ua="fallback-ua",
+        cookie="s=jar",
+        extra_headers={
+            "X-Token": "t0k",
+            "User-Agent": "custom-ua",
+            "Cookie": "a=extra",
+        },
+    )
+    assert status == 200
+    got = dict(
+        line.split(": ", 1) for line in body.decode().splitlines()
+    )
+    assert got["X-Token"] == "t0k"
+    assert got["User-Agent"] == "custom-ua"
+    assert got["Cookie"] == "a=extra; s=jar"
+
+
+def test_fetch_one_extra_headers_ua_fallback(server):
+    """Without an extra User-Agent the ua= fallback still applies."""
+    _reset({})
+    _SiteHandler.hdr_echo_paths = {"/hecho"}
+    status, _ct, body = fetch_one(
+        f"http://{server}/hecho",
+        try_times=1,
+        ua="fallback-ua",
+        extra_headers={"X-Token": "t1"},
+    )
+    assert status == 200
+    got = dict(line.split(": ", 1) for line in body.decode().splitlines())
+    assert got["User-Agent"] == "fallback-ua"
+    assert got["X-Token"] == "t1"
+    assert "Cookie" not in got
+
+
+def test_stdlib_fetcher_hdr_column(spark, server):
+    """The wave's engine-attached `hdr` JSON column is parsed per row
+    and sent — a header-gated path answers 200 only for the row that
+    carries the header."""
+    _reset(
+        {
+            "/gated": {
+                "status": 200,
+                "content_type": "text/plain",
+                "body": b"in",
+            }
+        }
+    )
+    _SiteHandler.header_gate = {"/gated": ("X-Auth", "k7")}
+    wave = spark.createDataFrame(
+        [
+            (f"http://{server}/gated", "GET", "", '{"X-Auth":"k7"}'),
+            (f"http://{server}/gated", "GET", "", ""),
+        ],
+        "url string, method string, post_data string, hdr string",
+    )
+    rows = (
+        StdlibHttpFetcher(timeout_s=15.0, try_times=1)
+        .fetch(wave)
+        .select("hdr", "status", "ok")
+        .collect()
+    )
+    by_hdr = {r.hdr: (r.status, r.ok) for r in rows}
+    assert by_hdr['{"X-Auth":"k7"}'] == (200, True)
+    assert by_hdr[""] == (403, False)
+
+
+def test_headers_col_merge(spark):
+    """fetch.headers_col: static spec headers overlaid by hdr: temps
+    (dynamic wins), prefix stripped, empty merge → ''."""
+    import json
+
+    from pholcus_spark.fetch import headers_col
+
+    df = spark.createDataFrame(
+        [
+            ({"hdr:X-Auth": "k7", "other": "x"},),
+            ({"hdr:X-Static": "dyn"},),
+            ({"plain": "1"},),
+            (None,),
+        ],
+        "temp map<string,string>",
+    )
+    out = [
+        json.loads(r.h) if r.h else None
+        for r in df.select(
+            headers_col((("X-Static", "s1"),)).alias("h")
+        ).collect()
+    ]
+    assert out[0] == {"X-Static": "s1", "X-Auth": "k7"}
+    assert out[1] == {"X-Static": "dyn"}
+    assert out[2] == {"X-Static": "s1"}
+    assert out[3] == {"X-Static": "s1"}
+    # no static, no dynamic → '' (fetchers treat as absent)
+    none = [
+        r.h for r in df.select(headers_col(()).alias("h")).collect()
+    ]
+    assert none[2] == "" and none[3] == ""

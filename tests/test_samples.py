@@ -374,3 +374,57 @@ def test_baidusearch_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_weibo_fans_sample_matches_oracle(spark):
+    """The weibo_fans port: distributed seed_range with an hdr: Cookie
+    temp, a fixture site entirely behind a require_header login wall,
+    multi-hop cookie re-carry to profile children, @eq(n) projections
+    and uid/url string-derivation transforms. Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from weibo_fans_spider import (
+        FANS_PER_PAGE,
+        N_PAGES,
+        WEIBO_SPIDER,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-weibo-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # every page sits behind the cookie wall: all fetched
+        assert state["totals"]["fetched"] == N_PAGES * (1 + FANS_PER_PAGE)
+        assert state["totals"]["failed"] == 0
+        rows = catalog.read("items").collect()
+        assert len(rows) == N_PAGES * FANS_PER_PAGE
+        by_uid = {r["data"]["好友ID"]: dict(r["data"]) for r in rows}
+        # uid derived by the replace chain; profile URL visited
+        assert by_uid["100010"]["好友名"] == "fan-100010"
+        assert by_uid["100010"]["认证"] == "认证"
+        assert by_uid["100011"]["认证"] == ""
+        assert by_uid["100010"]["关注"] == "101"
+        assert by_uid["100010"]["粉丝"] == "102"
+        assert by_uid["100010"]["微博"] == "103"
+        assert by_uid["100010"]["性别"] == "男"
+        assert by_uid["100011"]["性别"] == "女"
+        assert by_uid["100030"]["所在地"] == "城市-100030"
+        # the session header never leaks into output rows
+        assert all(
+            not any(k.startswith("hdr:") for k in r["data"]) for r in rows
+        )
+
+        res = testkit.run_oracle(build_corpus(), WEIBO_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
