@@ -141,28 +141,38 @@ def kmeans_quantized(
     map-side combined, the shuffle moves k rows of d int64 sums, not
     n×d exploded elements). A cluster that loses every member keeps
     its previous centroid (both engines mirror this via coalesce)."""
-    codes = _quantize(embeddings, col)
-    d = len(codes.select("q").first()["q"])
-    cents = init_centroids(codes, k)
-    for _ in range(max(0, iters)):
-        assigned = _assign(codes, cents)
-        upd = {
-            int(r["cluster"]): (
-                [int(r[f"s{i}"]) for i in range(d)],
-                int(r["c"]),
-            )
-            for r in assigned.groupBy("cluster").agg(
-                F.count("*").cast(_L).alias("c"),
-                *[
-                    F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-                    for i in range(d)
-                ],
-            ).collect()
-        }
-        cents = [
-            (j, *upd[j]) if j in upd else (j, s, c) for j, s, c in cents
-        ]
-    return _assign(codes, cents), cents
+    # iterative reuse: the quantized corpus is scanned by the d-probe,
+    # the init sample, every iteration's assign+update, and the final
+    # assign — persist it ONCE (and hand the caller a materialized,
+    # lineage-truncated assignment so downstream self-joins don't
+    # re-derive quantize+assign per subtree; connected_components uses
+    # the same localCheckpoint discipline)
+    codes = _quantize(embeddings, col).persist()
+    try:
+        d = len(codes.select("q").first()["q"])
+        cents = init_centroids(codes, k)
+        for _ in range(max(0, iters)):
+            assigned = _assign(codes, cents)
+            upd = {
+                int(r["cluster"]): (
+                    [int(r[f"s{i}"]) for i in range(d)],
+                    int(r["c"]),
+                )
+                for r in assigned.groupBy("cluster").agg(
+                    F.count("*").cast(_L).alias("c"),
+                    *[
+                        F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                        for i in range(d)
+                    ],
+                ).collect()
+            }
+            cents = [
+                (j, *upd[j]) if j in upd else (j, s, c) for j, s, c in cents
+            ]
+        final = _assign(codes, cents).localCheckpoint()
+        return final, cents
+    finally:
+        codes.unpersist()
 
 
 def semantic_dedup(
