@@ -869,6 +869,21 @@ def text_pii_scrub(spark, sf_dir):
     )
 
 
+BM25_TERMS = ("spark", "customer", "window")
+
+
+def text_bm25(spark, sf_dir):
+    """BM25 top-k keyword retrieval (`ops/text.py:bm25_topk`): map-side
+    higher-order term frequencies (no explode, no per-term shuffle),
+    one broadcast 1-row stats crossJoin, TakeOrdered top-k. Scoring is
+    cross-engine exact: raw RSJ odds idf (no libm log), fixed-order
+    contribution sum, every division over identical integers — DuckDB
+    replays it with list_filter + a stats CTE."""
+    from pholcus_spark.ops.text import bm25_topk
+
+    return bm25_topk(_load(spark, sf_dir, "documents"), BM25_TERMS, k=15)
+
+
 def text_decontaminate(spark, sf_dir):
     """Benchmark decontamination (broadcast eval-set shingles, map-side
     semi-join probe): benchmark = every 97th doc; survivors are docs
@@ -1341,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_main_content": text_main_content,
         "text_pii_scrub": text_pii_scrub,
         "text_decontaminate": text_decontaminate,
+        "text_bm25": text_bm25,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
@@ -1911,6 +1927,44 @@ SELECT doc_id,
   array_to_string(string_split(text, ' ')[1:5], ' ') ||
   '</p><p>' || lang || '</p>' AS content
 FROM documents
+""",
+        "text_bm25": r"""
+WITH per AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS dl,
+         CAST(len(list_filter(tk, x -> x = 'spark')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(tk, x -> x = 'customer')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf2
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents)
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM per
+)
+SELECT doc_id, round(raw, 6) AS score FROM (
+  SELECT doc_id,
+    ((CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+      * (CAST(tf0 AS DOUBLE) * 2.2)
+      / (CAST(tf0 AS DOUBLE) + 0.3
+         + 0.9 * CAST(dl * n AS DOUBLE) / CAST(tot AS DOUBLE))
+    + ((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+      * (CAST(tf1 AS DOUBLE) * 2.2)
+      / (CAST(tf1 AS DOUBLE) + 0.3
+         + 0.9 * CAST(dl * n AS DOUBLE) / CAST(tot AS DOUBLE))
+    + ((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+      * (CAST(tf2 AS DOUBLE) * 2.2)
+      / (CAST(tf2 AS DOUBLE) + 0.3
+         + 0.9 * CAST(dl * n AS DOUBLE) / CAST(tot AS DOUBLE))
+    AS raw
+  FROM per, st
+)
+WHERE raw > 0
+ORDER BY raw DESC, doc_id ASC
+LIMIT 15
 """,
         "text_clean_html": r"""
 SELECT doc_id, md5(cleaned) AS clean_md5, length(cleaned) AS clean_len

@@ -65,6 +65,7 @@ HEADLINE = [
     "q_json_extract",
     "q_css_extract",
     "q_global_rank",
+    "text_bm25",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -295,3 +295,84 @@ def main_content(
         "string",
     )
     return docs.select(id_col, _mc(html_col).alias("content"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the keyword-search half
+    of a curation stack (retrieval-based decontamination, seed-doc
+    expansion, quality probes). One full map-side scan + one single-row
+    global aggregate + a top-k: no per-term shuffle, no inverted-index
+    materialization — per-document term frequencies are
+    ``size(filter(tokens, ...))`` higher-order expressions (whole-stage
+    codegen), corpus stats ride a broadcast 1-row crossJoin, and the
+    final ``ORDER BY ... LIMIT k`` is a TakeOrdered, not a full sort.
+    At 100 TB this is one pass over the text column.
+
+    Cross-engine exactness (the DuckDB gate hashes doubles): k1=1.2 /
+    b=0.75 are folded into the decimal literals 2.2 / 0.3 / 0.9, the
+    classic log-idf is replaced by the raw Robertson–Sparck-Jones odds
+    ``(N - df + 0.5) / (df + 0.5)`` (same ranking direction, no
+    libm-log ULP divergence), every input to every division is an
+    exact integer, and the per-term contributions are summed in FIXED
+    term order — identical IEEE ops on identical ints in both engines.
+
+    Tokenization: lowercase whitespace split (the ``token_count``
+    n_tokens convention). Ties break on ascending id; zero-score
+    documents (no query term present) are excluded.
+    """
+    terms = [str(t).lower() for t in query_terms]
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    dl = F.size(toks).cast("long")
+
+    def _eq(term):
+        # one-arg closure: a defaulted second lambda param would make
+        # pyspark pick the (element, index) higher-order form
+        return lambda x: x == F.lit(term)
+
+    per_doc = docs.select(
+        F.col(id_col),
+        dl.alias("_dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_dl").alias("_tot"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (
+            (F.col("_n") - F.col(f"_df{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        denom = (
+            tf
+            + F.lit(0.3)
+            + F.lit(0.9)
+            * (F.col("_dl") * F.col("_n")).cast("double")
+            / F.col("_tot").cast("double")
+        )
+        contrib = idf * (tf * F.lit(2.2)) / denom
+        score = contrib if score is None else score + contrib
+    return (
+        scored.select(id_col, score.alias("_score"))
+        .where(F.col("_score") > 0)
+        .orderBy(F.desc("_score"), F.asc(id_col))
+        .limit(k)
+        # rank on the raw double (bit-identical cross-engine), round
+        # only the emitted value (the sim_cosine_topk convention)
+        .select(id_col, F.round("_score", 6).alias("score"))
+    )

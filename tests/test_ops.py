@@ -1090,3 +1090,70 @@ def test_line_dedup_semantics(spark):
     out2 = {r.doc_id: r.text_dedup for r in dedup.line_dedup(docs2).collect()}
     assert out2[0] == "  padded boilerplate line  \nx"
     assert out2[1] == ""
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 over a 3-doc corpus vs hand-derived scores: tf saturation,
+    idf ordering (rarer term scores higher), dl normalization, the
+    zero-hit doc excluded, tie-break on id."""
+    from pholcus_spark.ops.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark joins data"),  # tf=3, short
+            (1, "spark appears once in a much longer document body here"),
+            (2, "nothing relevant at all whatsoever"),
+            (3, "rare gem"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ("spark", "gem"), k=10).collect()
+    got = {r.doc_id: r.score for r in out}
+    assert 2 not in got  # zero score excluded
+    # python twin (same formulas, same order)
+    import math
+
+    corpus = {
+        0: "spark spark spark joins data",
+        1: "spark appears once in a much longer document body here",
+        2: "nothing relevant at all whatsoever",
+        3: "rare gem",
+    }
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    n = len(corpus)
+    tot = sum(len(v) for v in toks.values())
+    exp = {}
+    for i, tk in toks.items():
+        dl = len(tk)
+        s = 0.0
+        for term in ("spark", "gem"):
+            tf = float(tk.count(term))
+            df = sum(1 for v in toks.values() if term in v)
+            idf = (float(n - df) + 0.5) / (float(df) + 0.5)
+            s = s + idf * (tf * 2.2) / (
+                tf + 0.3 + 0.9 * float(dl * n) / float(tot)
+            )
+        if s > 0:
+            exp[i] = round(s, 6)
+    assert got == {i: pytest.approx(v, abs=1e-9) for i, v in exp.items()}
+    # the rare exact term dominates: doc 3 outranks the tf=3 doc 0
+    order = [r.doc_id for r in out]
+    assert order[0] == 3 and order[1] == 0
+    assert math.isfinite(sum(got.values()))
+
+
+def test_bm25_plan_is_one_scan(spark):
+    """Scale shape: no Generate (no explode), top-k via
+    TakeOrderedAndProject, stats joined as a broadcast single row."""
+    from pholcus_spark.ops.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c")], "doc_id long, text string"
+    )
+    plan = (
+        bm25_topk(docs, ("a", "c"), k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats broadcast

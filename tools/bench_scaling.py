@@ -93,6 +93,9 @@ def prepare(workdir: str) -> None:
                     "body": [blobs[i % POOL] for i in ids],
                     "out_links": [[] for _ in ids],
                     "image_refs": [[f"img-{i:08d}"] for i in ids],
+                    "require_header": pd.array(
+                        [None] * len(ids), dtype="string"
+                    ),
                 }
             )
 
