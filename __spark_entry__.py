@@ -1095,6 +1095,36 @@ def text_repetition(spark, sf_dir):
     )
 
 
+def text_exact_substr(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2021) over a derived corpus with
+    planted duplication — every 3rd doc gets a shared boilerplate
+    footer (cross-doc duplicated 8-grams), every 7th repeats its own
+    first 10 words (within-doc spans + interval-union overlap) — so the
+    window-count and covered-token logic both see real positives at any
+    sf. Gate compares the integer counts; ``dup_frac`` is the
+    convenience ratio users filter on."""
+    from pholcus_spark.ops.text import exact_substring_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    w = F.split(F.trim("text"), r"\s+")
+    sentinel = F.lit(
+        "common attribution footer all rights reserved by the "
+        "example corpus publisher network"
+    )
+    head10 = F.concat_ws(" ", F.slice(w, 1, 10))
+    derived = docs.select(
+        "doc_id",
+        F.when(d % 3 == 1, F.concat_ws(" ", F.col("text"), sentinel))
+        .when(d % 7 == 2, F.concat_ws(" ", F.col("text"), head10))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return exact_substring_stats(derived, k=8).select(
+        "doc_id", "n_tokens", "dup_windows", "dup_tokens"
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation as ONE composed plan — the way a user
     chains the ops family: PII scrub → quality gate (composite score +
@@ -1368,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_pairs": q_shard_pairs,
         "q_shard_manifest": q_shard_manifest,
         "text_repetition": text_repetition,
+        "text_exact_substr": text_exact_substr,
         "q_curation_pipeline": q_curation_pipeline,
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,
@@ -2138,6 +2169,55 @@ FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
 """,
         # 64-token windows, stride 48; tail chunk may be short; every
         # doc emits >= 1 chunk — mirrors ops/packing.chunk_documents
+        # ExactSubstr (Lee et al. 2021): sliding md5 window fingerprints
+        # replayed arithmetically — same planted footer / self-repeat
+        # derivation, same >=2 corpus-occurrence rule, same
+        # lead-gap interval union for covered tokens
+        "text_exact_substr": r"""
+WITH derived AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 3 = 1 THEN text || ' ' ||
+        'common attribution footer all rights reserved by the example corpus publisher network'
+      WHEN doc_id % 7 = 2 THEN text || ' ' || h10
+      ELSE text END AS text
+  FROM (
+    SELECT doc_id, text,
+      array_to_string(
+        list_slice(string_split_regex(trim(text), '\s+'), 1, 10), ' ') AS h10
+    FROM documents
+  )
+),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM derived
+),
+p AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, i,
+    md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+  FROM (
+    SELECT doc_id, w,
+      unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+    FROM t
+  )
+),
+d AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+dp AS (
+  SELECT p.doc_id, p.n_tokens, p.i,
+    lead(p.i) OVER (PARTITION BY p.doc_id ORDER BY p.i) AS nx
+  FROM p JOIN d USING (h)
+),
+s AS (
+  SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS dup_windows,
+    CAST(sum(least(coalesce(nx - i, 8), 8, n_tokens - i + 1)) AS BIGINT)
+      AS dup_tokens
+  FROM dp GROUP BY 1, 2
+)
+SELECT b.doc_id, b.n_tokens,
+  coalesce(s.dup_windows, 0) AS dup_windows,
+  coalesce(s.dup_tokens, 0) AS dup_tokens
+FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t) b
+LEFT JOIN s USING (doc_id)
+""",
         "text_repetition": r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -49,6 +49,7 @@ HEADLINE = [
     "text_pii_scrub",
     "text_decontaminate",
     "text_repetition",
+    "text_exact_substr",
     "q_hash_sample",
     "q_stratified_sample",
     "q_train_split",

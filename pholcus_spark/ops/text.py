@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def portable_hash64(col: Column) -> Column:
@@ -242,6 +243,100 @@ def repetition_stats(
         "doc_id", "n_lines", "dup_lines", "top_ngram_count", "n_ngrams",
         (F.col("dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
         (F.col("top_ngram_count") / F.col("n_ngrams")).alias("top_ngram_frac"),
+    )
+
+
+def exact_substring_stats(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup signals (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    for every document, how many tokens sit inside a ``k``-token
+    window whose exact text occurs ``min_count``+ times anywhere in
+    the corpus (within-doc repeats count — the paper removes those
+    too). The paper builds a corpus suffix array; the distributed
+    re-expression is sliding window fingerprints, which finds the
+    same duplicated-span coverage for spans >= k tokens:
+
+    1. one map-side projection tokenizes each doc ONCE and emits
+       ``md5`` fingerprints of every k-token window (the gram text
+       never leaves the task — only the 32-char digest shuffles);
+       md5 rather than xxhash64 so a SQL oracle replays it bit-exactly;
+    2. one partial-aggregated shuffle on the fingerprint counts
+       corpus-wide occurrences; positions equi-join the >=min_count
+       survivors on the same key (AQE reuses the hash partitioning);
+    3. one shuffle back on doc_id merges the surviving windows into
+       covered-token counts: window positions are intervals
+       ``[pos, pos+k)``; with ``lead(pos)`` the union length is
+       ``sum(least(next-pos, k, doc_end-pos+1))`` — no interval list
+       ever materializes on the driver.
+
+    Every stage is linear in corpus tokens (the honest cost of exact
+    substring dedup; MinHash/SimHash are the cheaper approximate
+    tiers). All counts are integers; ``dup_frac`` is a convenience
+    ratio — filter with ``dup_frac >= 0.x`` or drop exact spans
+    downstream. Docs with no duplicated window are returned with 0s.
+    """
+    w = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k))),
+    )
+    pre = docs.select(
+        "doc_id", F.split(F.trim(text_col), r"\s+").alias("_w")
+    ).select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        grams.alias("_g"),
+    )
+    positions = pre.select(
+        "doc_id", "n_tokens", F.posexplode("_g").alias("_p0", "_h")
+    ).select(
+        "doc_id", "n_tokens", (F.col("_p0") + 1).alias("pos"), "_h"
+    )
+    dup = (
+        positions.groupBy("_h")
+        .agg(F.count("*").alias("_occ"))
+        .where(F.col("_occ") >= min_count)
+        .select("_h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        positions.join(dup, "_h")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.lead("pos").over(win).alias("_next"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.least(
+                F.coalesce(F.col("_next") - F.col("pos"), F.lit(k)),
+                F.lit(k),
+                F.col("n_tokens") - F.col("pos") + 1,
+            ).alias("_cov"),
+        )
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("dup_windows"),
+            F.sum("_cov").cast("long").alias("dup_tokens"),
+        )
+    )
+    base = pre.select("doc_id", "n_tokens")
+    return base.join(covered, ["doc_id", "n_tokens"], "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_windows", F.lit(0).cast("long")).alias("dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        (
+            F.coalesce("dup_tokens", F.lit(0).cast("long"))
+            / F.greatest("n_tokens", F.lit(1).cast("long"))
+        ).alias("dup_frac"),
     )
 
 

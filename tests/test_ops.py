@@ -1157,3 +1157,74 @@ def test_bm25_plan_is_one_scan(spark):
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row stats broadcast
+
+
+def test_exact_substring_stats_hand_computed(spark):
+    """ExactSubstr coverage, hand-derived: cross-doc dup window,
+    within-doc repeats with overlapping interval union, short-doc
+    (n < k) whole-doc windows, and a clean doc reported with zeros."""
+    from pholcus_spark.ops.text import exact_substring_stats
+
+    rows = [
+        (0, "a b c d e f"),       # shares "b c d" with doc 1
+        (1, "x b c d y"),
+        (2, "p q p q p q"),       # self-repeating: all 4 windows dup
+        (3, "u1 u2 u3 u4"),       # no duplicated window
+        (4, "s t"),               # n < k: whole-doc window, dup w/ 5
+        (5, "s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substring_stats(df, k=3).collect()}
+    assert (out[0].n_tokens, out[0].dup_windows, out[0].dup_tokens) == (6, 1, 3)
+    assert abs(out[0].dup_frac - 0.5) < 1e-12
+    assert (out[1].n_tokens, out[1].dup_windows, out[1].dup_tokens) == (5, 1, 3)
+    # doc 2: windows at pos 1..4 all duplicated; union covers the doc
+    assert (out[2].dup_windows, out[2].dup_tokens) == (4, 6)
+    assert out[2].dup_frac == 1.0
+    assert (out[3].dup_windows, out[3].dup_tokens, out[3].dup_frac) == (0, 0, 0.0)
+    # n < k: the single short window is the whole doc
+    assert (out[4].n_tokens, out[4].dup_windows, out[4].dup_tokens) == (2, 1, 2)
+    assert (out[5].dup_windows, out[5].dup_tokens) == (1, 2)
+
+
+def test_exact_substring_stats_matches_bruteforce(spark):
+    """Seeded randomized cross-check vs a plain-python interval-union
+    twin: corpus-wide window counting and per-doc covered-token union
+    must agree exactly for every doc."""
+    import random
+    from collections import Counter
+
+    from pholcus_spark.ops.text import exact_substring_stats
+
+    rng = random.Random(2107)  # arXiv:2107.06499
+    k = 4
+    docs = []
+    for i in range(50):
+        n = rng.randrange(1, 30)
+        words = [f"w{rng.randrange(12)}" for _ in range(n)]
+        docs.append((i, " ".join(words)))
+
+    occ: Counter = Counter()
+    toks = {}
+    for i, text in docs:
+        w = text.split()
+        toks[i] = w
+        for p in range(max(len(w) - k + 1, 1)):
+            occ[" ".join(w[p:p + k])] += 1
+    expect = {}
+    for i, _ in docs:
+        w = toks[i]
+        covered: set = set()
+        windows = 0
+        for p in range(max(len(w) - k + 1, 1)):
+            if occ[" ".join(w[p:p + k])] >= 2:
+                windows += 1
+                covered.update(range(p, min(p + k, len(w))))
+        expect[i] = (len(w), windows, len(covered))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_windows, r.dup_tokens)
+        for r in exact_substring_stats(df, k=k).collect()
+    }
+    assert got == expect
