@@ -688,6 +688,24 @@ def q_global_rank(spark, sf_dir):
     )
 
 
+def q_top_per_source(spark, sf_dir):
+    """Corpus-diversity cap — at most k docs per source/domain, the
+    standard web-corpus curation step — via the skew-safe two-phase
+    per-group top-k (salted local rank bounds the heaviest group's
+    task; exact rank runs over <= k*n_salts survivors). Oracle is the
+    plain single-window row_number the two-phase plan must equal."""
+    from pholcus_spark.ops.sampling import top_k_per_group
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return top_k_per_group(
+        docs, "source", [("n_chars", "desc"), ("doc_id", "asc")], 3
+    ).select(
+        "doc_id", "source", "n_chars", F.col("rk").cast("long").alias("rk")
+    )
+
+
 def dedup_exact(spark, sf_dir):
     from pholcus_spark.ops.dedup import exact_duplicates
 
@@ -1411,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_proxy_assign": q_proxy_assign,
         "q_sitemap_parse": q_sitemap_parse,
         "q_global_rank": q_global_rank,
+        "q_top_per_source": q_top_per_source,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2467,6 +2486,15 @@ SELECT l_orderkey, l_linenumber,
     ORDER BY l_shipdate, l_orderkey, l_linenumber
   ) AS BIGINT) AS rnk
 FROM lineitem
+""",
+        "q_top_per_source": r"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id
+    ) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= 3
 """,
         "dedup_exact": f"""
 SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS dup_count FROM (

@@ -50,6 +50,7 @@ HEADLINE = [
     "text_decontaminate",
     "text_repetition",
     "text_exact_substr",
+    "q_top_per_source",
     "q_hash_sample",
     "q_stratified_sample",
     "q_train_split",

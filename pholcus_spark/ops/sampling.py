@@ -77,3 +77,57 @@ def train_holdout_split(
             F.lit("train")
         ),
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe deterministic top-k per group — the corpus-diversity
+    cap ("at most k docs per domain/source") every web-scale curation
+    pipeline applies, and a general per-key top-k primitive.
+
+    A naive ``row_number() OVER (PARTITION BY group)`` puts an entire
+    group in ONE task: at 100 TB a mega-host with 10^8 pages becomes a
+    single-task sort. Two phases bound that:
+
+    1. rows are salted by the hash of their own order-key columns
+       (deterministic — no rand()) and ranked within
+       ``(group, salt)``; only local rank <= k survives. Any row in
+       the true per-group top-k is top-k within its subgroup, so the
+       survivor set (<= k * n_salts rows per group) always contains
+       the answer while the heaviest task shrinks by ~n_salts.
+    2. an exact ``row_number`` over the bounded survivors keeps the
+       true top-k.
+
+    ``order_cols`` are (col, 'asc'|'desc') pairs and must totally
+    order rows within a group (include a unique tiebreak column) or
+    the result is nondeterministic. Output = input columns + ``rk``.
+    """
+    ordering = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc()
+        for c, d in order_cols
+    ]
+    from pyspark.sql.window import Window
+
+    salt = (
+        portable_hash64(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c, _ in order_cols])
+        )
+        % n_salts
+    )
+    local = Window.partitionBy(group_col, "_salt").orderBy(*ordering)
+    cand = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrk", F.row_number().over(local))
+        .where(F.col("_lrk") <= k)
+        .drop("_salt", "_lrk")
+    )
+    exact = Window.partitionBy(group_col).orderBy(*ordering)
+    return (
+        cand.withColumn("rk", F.row_number().over(exact))
+        .where(F.col("rk") <= k)
+    )

@@ -1228,3 +1228,57 @@ def test_exact_substring_stats_matches_bruteforce(spark):
         for r in exact_substring_stats(df, k=k).collect()
     }
     assert got == expect
+
+
+def test_top_k_per_group_matches_single_window(spark):
+    """The salted two-phase per-group top-k must equal the plain
+    single-window rank, including on a pathologically skewed group
+    (one group holding 80% of rows) and with ties on the order value
+    broken by the unique tiebreak column."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from pholcus_spark.ops.sampling import top_k_per_group
+
+    rng = random.Random(7)
+    rows = [
+        (i, "mega" if rng.random() < 0.8 else f"g{rng.randrange(6)}",
+         rng.randrange(10))  # heavy ties -> tiebreak matters
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    got = {
+        (r.doc_id, r.grp, r.rk)
+        for r in top_k_per_group(
+            df, "grp", [("score", "desc"), ("doc_id", "asc")], 5, n_salts=8
+        ).collect()
+    }
+    win = W.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        (r.doc_id, r.grp, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == want
+    # deterministic across runs
+    again = {
+        (r.doc_id, r.grp, r.rk)
+        for r in top_k_per_group(
+            df, "grp", [("score", "desc"), ("doc_id", "asc")], 5, n_salts=8
+        ).collect()
+    }
+    assert again == got
+
+
+def test_top_k_per_group_k_exceeds_group_size(spark):
+    from pholcus_spark.ops.sampling import top_k_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 3), (3, "b", 1)],
+        "doc_id long, grp string, score long",
+    )
+    out = top_k_per_group(df, "grp", [("score", "desc"), ("doc_id", "asc")], 10)
+    got = sorted((r.grp, r.rk, r.doc_id) for r in out.collect())
+    assert got == [("a", 1, 1), ("a", 2, 2), ("b", 1, 3)]
