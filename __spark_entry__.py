@@ -1137,7 +1137,9 @@ def text_exact_substr(spark, sf_dir):
         .when(d % 7 == 2, F.concat_ws(" ", F.col("text"), head10))
         .otherwise(F.col("text"))
         .alias("text"),
-    )
+    ).repartition(32)  # one small parquet file = one scan split; at
+    # real scale the scan's natural splits parallelize the gram stage
+    # and this shuffle of the raw corpus would be wrong
     return exact_substring_stats(derived, k=8).select(
         "doc_id", "n_tokens", "dup_windows", "dup_tokens"
     )

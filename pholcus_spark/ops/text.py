@@ -280,33 +280,50 @@ def exact_substring_stats(
     ratio — filter with ``dup_frac >= 0.x`` or drop exact spans
     downstream. Docs with no duplicated window are returned with 0s.
     """
+    # window fingerprints WITHOUT a higher-order lambda: explode the
+    # start positions, then md5(concat_ws(slice)) in a plain projection
+    # — stays inside whole-stage codegen (the F.transform form of the
+    # same expressions runs interpreted per window: 7× slower measured
+    # at sf0.1). Generate + projection fuse into one map stage; _w is
+    # pruned right after the gram is built, so nothing array-typed
+    # shuffles.
     w = F.col("_w")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k))),
+    positions = (
+        docs.select("doc_id", F.split(F.trim(text_col), r"\s+").alias("_w"))
+        .select(
+            "doc_id",
+            "_w",
+            F.size(w).cast("long").alias("n_tokens"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice(w, F.col("pos"), k))).alias("_h"),
+        )
     )
-    pre = docs.select(
-        "doc_id", F.split(F.trim(text_col), r"\s+").alias("_w")
-    ).select(
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        grams.alias("_g"),
+    # duplicate windows in ONE corpus pass: group positions by
+    # fingerprint, keep >= min_count groups, explode back — no
+    # join-back recompute of the gram stage. Group state is one small
+    # struct per occurrence; a boilerplate fingerprint shared by
+    # millions of docs makes a large (spillable) group — acceptable,
+    # its rows are exactly the output rows a join would produce too.
+    grp = positions.groupBy("_h").agg(
+        F.collect_list(F.struct("doc_id", "n_tokens", "pos")).alias("_ps")
     )
-    positions = pre.select(
-        "doc_id", "n_tokens", F.posexplode("_g").alias("_p0", "_h")
-    ).select(
-        "doc_id", "n_tokens", (F.col("_p0") + 1).alias("pos"), "_h"
-    )
-    dup = (
-        positions.groupBy("_h")
-        .agg(F.count("*").alias("_occ"))
-        .where(F.col("_occ") >= min_count)
-        .select("_h")
+    dup_pos = (
+        grp.where(F.size("_ps") >= min_count)
+        .select(F.explode("_ps").alias("_s"))
+        .select("_s.doc_id", "_s.n_tokens", "_s.pos")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     covered = (
-        positions.join(dup, "_h")
-        .select(
+        dup_pos.select(
             "doc_id",
             "n_tokens",
             "pos",
@@ -327,7 +344,14 @@ def exact_substring_stats(
             F.sum("_cov").cast("long").alias("dup_tokens"),
         )
     )
-    base = pre.select("doc_id", "n_tokens")
+    # zero-fill docs with no duplicated window from a cheap re-scan
+    # (doc_id + token count only — no gram work on this branch)
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(text_col), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
     return base.join(covered, ["doc_id", "n_tokens"], "left").select(
         "doc_id",
         "n_tokens",
