@@ -237,6 +237,9 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "field_transforms", ()) or ()),
             bool(getattr(er, "emit", True)),
             tuple(getattr(er, "require_fields", ()) or ()),
+            tuple(getattr(er, "field_json", ()) or ()),
+            tuple(getattr(er, "cursor", ()) or ()),
+            tuple(getattr(er, "cursor_require", ()) or ()),
         )
         for er in extract_rules
     ]
@@ -473,13 +476,55 @@ def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
         tfx = compile_transforms(rest[0]) if rest and rest[0] else {}
         emit = rest[1] if len(rest) > 1 else True
         req = tuple(rest[2]) if len(rest) > 2 else ()
+        fjson = dict(rest[3]) if len(rest) > 3 and rest[3] else {}
+        cursor = tuple(rest[4]) if len(rest) > 4 else ()
+        curreq = tuple(rest[5]) if len(rest) > 5 else ()
         out.append(
-            (rule, kind, key, fields, link_fields, carry, tf, tfx, emit, req)
+            (rule, kind, key, fields, link_fields, carry, tf, tfx, emit,
+             req, fjson, cursor, curreq)
         )
     return out
 
 
-def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
+def json_path_str(node, path: str) -> str:
+    """gjson-style dot-path get over parsed JSON, stringified: dict
+    traversal only, missing/non-dict intermediate → "" (gjson's empty
+    Result.String()); string leaf as-is, other leaves JSON-serialized
+    (numbers/bools render like gjson's String(): 3 → "3",
+    true → "true")."""
+    import json as json_mod
+
+    for part in [p for p in path.split(".") if p]:
+        if not isinstance(node, dict) or part not in node:
+            return ""
+        node = node[part]
+    if node is None:
+        return ""
+    if isinstance(node, str):
+        return node
+    return json_mod.dumps(node, separators=(",", ":"))
+
+
+def cursor_url(base: str, param: str, value: str) -> str:
+    """Cursor-pagination URL: ``base`` with query param ``param`` set
+    to ``value``, any previous occurrence removed — the reference
+    strips the old cursor textually then re-appends
+    (wukongwenda.go:134-140 strings.Split(visitURL,
+    "&max_behot_time=")[0] + "&max_behot_time=" + newOffset). String
+    surgery on the query (the oracle twin rebuilds via parse_qsl —
+    an independent algorithm)."""
+    from urllib.parse import quote
+
+    stripped = re.sub(
+        r"([?&])" + re.escape(param) + r"=[^&]*&?", r"\1", base
+    ).rstrip("?&")
+    sep = "&" if "?" in stripped else "?"
+    return stripped + sep + param + "=" + quote(str(value), safe="")
+
+
+def apply_rule_spec(
+    text: str, kind: str, key, fields: tuple, fjson: dict | None = None
+) -> list[dict]:
     """One compiled rule over one decoded page → item dicts.
 
     regex: each match emits one item, named groups → fields
@@ -599,6 +644,13 @@ def apply_rule_spec(text: str, kind: str, key, fields: tuple) -> list[dict]:
                 continue
             row = {}
             for f in fields:
+                # field_json nested dot-path (gjson.Get,
+                # wukongwenda.go:113-119); plain top-level key otherwise
+                path = (fjson or {}).get(f)
+                v = json_path_str(el, path) if path else None
+                if v is not None:
+                    row[f] = v
+                    continue
                 v = el.get(f)
                 if v is None:
                     row[f] = ""
@@ -648,7 +700,9 @@ def extract_items_vec(
                         continue
                     if text is None:
                         text = decode_body(b, ct)
-                    row_items.extend(apply_rule_spec(text, kind, key, fields))
+                    row_items.extend(
+                        apply_rule_spec(text, kind, key, fields, _rest[6])
+                    )
             out.append(row_items)
         return pd.Series(out)
 
@@ -764,11 +818,11 @@ def _apply_rules_for(
     row_carries: list[dict | None] = []
     for (
         r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit,
-        req,
+        req, fjson, cursor, curreq,
     ) in compiled:
         if r != rule:
             continue
-        items = apply_rule_spec(text, kind, key, fields)
+        items = apply_rule_spec(text, kind, key, fields, fjson)
         # field_transforms run FIRST (the reference munges the local
         # variable before Output/AddQueue, fang_resell_list.go:74-135),
         # so temp merge / carries / links all see the final form
@@ -829,6 +883,29 @@ def _apply_rules_for(
                 if v:
                     row_links.append(absolutize(base_url, v))
                     row_carries.append(carry)
+        # cursor pagination (wukongwenda.go:125-141): one follow-up per
+        # page — the page URL with the cursor param set to the LAST
+        # item's offset field — appended after this rule's link_fields
+        # children, gated on the page-level root value when declared
+        # (`if more == "true"`). No items → no child (empty
+        # questionlist ends the walk).
+        if kind == "json" and cursor and items:
+            ok = True
+            if curreq:
+                import json as json_mod
+
+                try:
+                    root = json_mod.loads(text)
+                except ValueError:
+                    root = None
+                    ok = False
+                if ok:
+                    ok = json_path_str(root, curreq[0]) == curreq[1]
+            if ok:
+                val = items[-1].get(cursor[0], "")
+                if val:
+                    row_links.append(cursor_url(base_url, cursor[1], val))
+                    row_carries.append(None)
     return row_items, row_links, row_carries
 
 

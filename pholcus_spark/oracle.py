@@ -988,6 +988,49 @@ def _transform_items(items: list[dict], er) -> list[dict]:
     return items
 
 
+def _cursor_next(url: str, param: str, value: str) -> str:
+    """Cursor follow-up URL, rebuilt structurally: split the query into
+    pairs, drop any existing ``param``, append the new one — an
+    independent algorithm vs the engine's textual strip-and-append
+    (extract.cursor_url)."""
+    from urllib.parse import (
+        parse_qsl,
+        quote,
+        urlencode,
+        urlsplit,
+        urlunsplit,
+    )
+
+    parts = urlsplit(url)
+    q = [
+        (k, v)
+        for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        if k != param
+    ]
+    q.append((param, str(value)))
+    return urlunsplit(parts._replace(query=urlencode(q, quote_via=quote)))
+
+
+def _root_json_str(page: dict, path: str) -> str:
+    """Page body → root JSON → stringified dot-path value (cursor gate
+    twin of extract.json_path_str over the decoded body)."""
+    import json as json_mod
+
+    try:
+        node = json_mod.loads((page.get("body") or b"").decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return ""
+    for part in filter(None, path.split(".")):
+        if not isinstance(node, dict) or part not in node:
+            return ""
+        node = node[part]
+    if node is None:
+        return ""
+    if isinstance(node, str):
+        return node
+    return json_mod.dumps(node, separators=(",", ":"))
+
+
 def _extract_items(page: dict, er) -> list[dict]:
     """Apply one ExtractRule to a fixture page: charset-decode the body,
     regex over the text, one item per match, named groups → fields
@@ -1023,13 +1066,33 @@ def _extract_items(page: dict, er) -> list[dict]:
             node = node[part]
         if not isinstance(node, list):
             return []
+        fjson = dict(getattr(er, "field_json", ()) or ())
+
+        def _pull(el, f):
+            # nested dot-path (field_json, gjson.Get twin): walk with
+            # an explicit reduce rather than the engine's loop form
+            cur = el
+            for part in filter(None, fjson.get(f, f).split(".")):
+                cur = cur.get(part) if isinstance(cur, dict) else None
+                if cur is None:
+                    return ""
+            return (
+                cur
+                if isinstance(cur, str)
+                else ""
+                if cur is None
+                else json_mod.dumps(cur, separators=(",", ":"))
+            )
+
         out = []
         for el in node:
             if isinstance(el, dict):
                 out.append(
                     {
                         f: (
-                            el[f]
+                            _pull(el, f)
+                            if f in fjson
+                            else el[f]
                             if isinstance(el.get(f), str)
                             else ""
                             if el.get(f) is None
@@ -1313,6 +1376,28 @@ def crawl(
                                     c = canonicalize_url_safe(link)
                                     if c is not None:
                                         dsl_carry[c] = carry
+                    # cursor pagination twin (wukongwenda.go:125-141):
+                    # one follow-up — page URL with the cursor param
+                    # rebuilt via parse_qsl (the engine does string
+                    # surgery; independent algorithm), gated on the
+                    # page-level root value, keyed by the LAST item's
+                    # offset field; appended after this rule's
+                    # link_fields children
+                    cur = tuple(getattr(er, "cursor", ()) or ())
+                    if (
+                        cur
+                        and getattr(er, "kind", "regex") == "json"
+                        and extracted
+                    ):
+                        gate = tuple(
+                            getattr(er, "cursor_require", ()) or ()
+                        )
+                        if not gate or _root_json_str(page, gate[0]) == gate[1]:
+                            off = extracted[-1].get(cur[0], "")
+                            if off:
+                                dsl_links.append(
+                                    _cursor_next(req.url, cur[1], off)
+                                )
                 if not getattr(spec, "follow_anchors", True):
                     # explicit-AddQueue-only port: anchors/figure srcs
                     # never reach the frontier (spiderspec docstring)

@@ -173,6 +173,34 @@ class ExtractRule:
     # enqueues only) — the fused kernel tags non-emitting items and
     # the engine drops them at the items-table union
     emit: bool = True
+    # json kind only: per-field NESTED dot-paths into each array
+    # element — the reference's gjson.Get nested access
+    # (wukongwenda.go:113-119 `gjson.Get(value.String(),
+    # "question.title")`; taobao.go, lewa.go use the same idiom).
+    # ``(field, "dot.path")`` entries; a field without an entry keeps
+    # the top-level-key lookup. Missing path / non-dict intermediate →
+    # "" (gjson's empty Result.String()); non-string leaves are
+    # JSON-stringified like top-level fields.
+    field_json: tuple[tuple[str, str], ...] = ()
+    # cursor pagination (json kind): after this rule's items are
+    # extracted from a page, enqueue ONE follow-up request whose URL is
+    # the page URL with query param ``cursor[1]`` replaced by the LAST
+    # item's ``cursor[0]`` value — the reference's behot_time walk
+    # (wukongwenda.go:125-141: strip any existing "&max_behot_time=…"
+    # from ctx.GetURL(), append the last question's offset, AddQueue
+    # back into the same rule). The child routes through link_rules
+    # like any out-link (the URL keeps the API path, so the same
+    # LinkRule matches — the reference names the same rule explicitly).
+    # No items → no cursor child (questionlist empty means data was
+    # empty). ``("offset_field", "cursor_param")``.
+    cursor: tuple[str, str] | tuple = ()
+    # optional gate for ``cursor``: ("root.dot.path", "value") — the
+    # follow-up is enqueued only when the PAGE-level JSON value at the
+    # root-relative path stringifies to exactly ``value`` (the
+    # reference's `if more == "true"` on the root has_more field,
+    # wukongwenda.go:109,125). Empty = always paginate while items
+    # flow.
+    cursor_require: tuple[str, str] | tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -191,3 +191,95 @@ def test_per_extract_rule_emit_marker():
         compiled, "<html><body>last page</body></html>", "r", "http://h.test/p3"
     )
     assert items2 == [] and links2 == []
+
+
+def test_json_field_json_nested_paths():
+    """field_json nested dot-paths (gjson.Get, wukongwenda.go:113-119):
+    missing path → '', non-string leaves stringified like gjson."""
+    from pholcus_spark.extract import compile_rule_specs, rule_spec_tuples
+    from pholcus_spark.extract import apply_rule_spec
+    from pholcus_spark.spiderspec import ExtractRule
+
+    er = ExtractRule(
+        rule="r", kind="json", item_pattern="data",
+        fields=("t", "n", "deep", "missing"),
+        field_json=(("t", "q.title"), ("n", "q.num"),
+                    ("deep", "a.b.c"), ("missing", "q.nope.x")),
+    )
+    (spec,) = compile_rule_specs(rule_spec_tuples([er]))
+    _, kind, key, fields, *rest = spec
+    text = (
+        '{"data": [{"q": {"title": "T1", "num": 7},'
+        ' "a": {"b": {"c": true}}}]}'
+    )
+    (item,) = apply_rule_spec(text, kind, key, fields, rest[6])
+    assert item == {"t": "T1", "n": "7", "deep": "true", "missing": ""}
+
+
+def test_cursor_url_strip_and_append():
+    from pholcus_spark.extract import cursor_url
+
+    # no existing param
+    assert cursor_url("http://h/a?x=1", "c", "9") == "http://h/a?x=1&c=9"
+    # bare path
+    assert cursor_url("http://h/a", "c", "9") == "http://h/a?c=9"
+    # existing param at the tail (the wukongwenda re-walk)
+    assert cursor_url("http://h/a?x=1&c=5", "c", "9") == "http://h/a?x=1&c=9"
+    # existing param first
+    assert cursor_url("http://h/a?c=5&x=1", "c", "9") == "http://h/a?x=1&c=9"
+    # existing param in the middle
+    assert (
+        cursor_url("http://h/a?x=1&c=5&y=2", "c", "9")
+        == "http://h/a?x=1&y=2&c=9"
+    )
+    # value gets percent-encoded
+    assert cursor_url("http://h/a", "c", "a b") == "http://h/a?c=a%20b"
+
+
+def test_cursor_url_twins_agree_on_canonical_form():
+    """Engine string-surgery vs oracle parse_qsl rebuild: different
+    algorithms, same canonical URL on the fixture-realistic shapes."""
+    from pholcus_spark.extract import cursor_url
+    from pholcus_spark.keys import canonicalize_url
+    from pholcus_spark.oracle import _cursor_next
+
+    for base in (
+        "http://h/api?concern_id=63&t=17",
+        "http://h/api?concern_id=63&max_behot_time=5&t=17",
+        "http://h/api?max_behot_time=5",
+        "http://h/api",
+    ):
+        a = canonicalize_url(cursor_url(base, "max_behot_time", "99"))
+        b = canonicalize_url(_cursor_next(base, "max_behot_time", "99"))
+        assert a == b, (base, a, b)
+
+
+def test_cursor_emits_follow_up_with_gate():
+    """_apply_rules_for: cursor link appended after link_fields, only
+    while the root gate holds, keyed by the LAST item's field."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.spiderspec import ExtractRule
+
+    er = ExtractRule(
+        rule="r", kind="json", item_pattern="data", fields=("off",),
+        field_json=(("off", "bt"),),
+        cursor=("off", "cur"), cursor_require=("more", "true"),
+        emit=False,
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er]))
+    more = '{"more": true, "data": [{"bt": 3}, {"bt": 8}]}'
+    items, links, carries = _apply_rules_for(
+        compiled, more, "r", "http://h/api?x=1"
+    )
+    assert links == ["http://h/api?x=1&cur=8"]  # LAST item's bt
+    assert carries == [None]
+    done = '{"more": false, "data": [{"bt": 3}]}'
+    _, links2, _ = _apply_rules_for(compiled, done, "r", "http://h/api?x=1")
+    assert links2 == []
+    empty = '{"more": true, "data": []}'
+    _, links3, _ = _apply_rules_for(compiled, empty, "r", "http://h/api?x=1")
+    assert links3 == []

@@ -428,3 +428,55 @@ def test_weibo_fans_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_wukong_json_cursor_sample_matches_oracle(spark):
+    """The wukongwenda port: nested field_json gjson paths, and cursor
+    pagination — an emit=False probe walks max_behot_time off the LAST
+    data element while root has_more holds, each follow-up routed back
+    into the same rule. Engine == oracle on items AND url_seen."""
+    sys.path.insert(0, "samples")
+    from wukong_json_spider import (
+        DOMAINS,
+        N_PAGES,
+        PER_PAGE,
+        WUKONG_SPIDER,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+    from pholcus_spark.extract import NOEMIT_KEY
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-wukong-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # every channel walks all its cursor pages
+        assert state["totals"]["fetched"] == len(DOMAINS) * N_PAGES
+        assert state["totals"]["failed"] == 0
+        rows = catalog.read("items").collect()
+        assert len(rows) == len(DOMAINS) * N_PAGES * PER_PAGE
+        by_url = {r["data"]["问题url地址"]: dict(r["data"]) for r in rows}
+        # nested paths landed: qid 000 from channel 0 page 0 element 0
+        q = by_url["http://wukong.test/question/000/"]
+        assert q["问题标题"] == "题-000"
+        assert q["问题描述"] == "描述-000"
+        assert q["问题回答"] == "答-000"
+        # the LAST cursor page's items arrived too (the walk completed)
+        assert f"http://wukong.test/question/0{N_PAGES-1}1/" in by_url
+        # the probe leaked nothing
+        assert all("offset" not in r["data"] for r in rows)
+        assert all(NOEMIT_KEY not in r["data"] for r in rows)
+
+        res = testkit.run_oracle(build_corpus(), WUKONG_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
