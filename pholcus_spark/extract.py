@@ -641,6 +641,19 @@ def apply_rule_spec(
         items = []
         for el in node:
             if not isinstance(el, dict):
+                # scalar array element (zhihu_bianji.go:112-121: msg is
+                # a list of HTML-fragment STRINGS) — a single-field rule
+                # takes the element itself; multi-field rules skip it
+                if len(fields) == 1:
+                    items.append(
+                        {
+                            fields[0]: el
+                            if isinstance(el, str)
+                            else ""
+                            if el is None
+                            else json_mod.dumps(el, separators=(",", ":"))
+                        }
+                    )
                 continue
             row = {}
             for f in fields:

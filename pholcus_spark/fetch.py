@@ -92,17 +92,37 @@ class FixtureFetcher:
         ]
         if "fail_attempts" in pages.columns:
             cols.append("fail_attempts")
-        # keep only fetch-relevant columns; canonical url join key
-        self.pages = pages.select(F.col("url").alias("_page_url"), *cols)
+        # keep only fetch-relevant columns; canonical url join key.
+        # _page_post: POST-body-keyed page (zhihu_bianji.go:85-90
+        # idiom) — a page row with non-empty post_data answers only the
+        # request whose body equals it. Do NOT mix '' and non-'' rows
+        # for one url — '' matches any request to the url.
+        extra = (
+            [F.coalesce(F.col("post_data"), F.lit("")).alias("_page_post")]
+            if "post_data" in pages.columns
+            else []
+        )
+        self.pages = pages.select(
+            F.col("url").alias("_page_url"), *cols, *extra
+        )
         if "fail_attempts" not in pages.columns:
             self.pages = self.pages.withColumn(
                 "fail_attempts", F.lit(None).cast("int")
             )
 
     def _join(self, wave: DataFrame, pages: DataFrame) -> DataFrame:
-        joined = wave.join(
-            pages, wave["url"] == pages["_page_url"], "left"
-        ).drop("_page_url")
+        cond = wave["url"] == pages["_page_url"]
+        if "_page_post" in pages.columns:
+            cond = cond & (
+                (pages["_page_post"] == "")
+                | (
+                    pages["_page_post"]
+                    == F.coalesce(wave["post_data"], F.lit(""))
+                )
+            )
+        joined = wave.join(pages, cond, "left").drop(
+            "_page_url", "_page_post"
+        )
         if "require_header" in joined.columns:
             # header-walled page: 403 unless the request's hdr JSON
             # (engine-attached, fetch.headers_col) carries the named

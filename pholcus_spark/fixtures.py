@@ -83,7 +83,14 @@ class Corpus:
     robots: list[dict]
 
     def pages_by_url(self) -> dict[str, dict]:
-        return {p["url"]: p for p in self.pages}
+        """Oracle-side page index: POST-body-keyed pages (non-empty
+        ``post_data``) key as ``(url, post_data)``; plain pages keep
+        the bare-url key (and serve any request to the url)."""
+        out: dict = {}
+        for p in self.pages:
+            pd = p.get("post_data", "") or ""
+            out[(p["url"], pd) if pd else p["url"]] = p
+        return out
 
 
 def _caption(rng: np.random.Generator, idx: int) -> str:
@@ -262,7 +269,14 @@ PAGES_DDL = (
     # the request carries that header (models header-walled sites; the
     # reference rules that set request.Header, e.g. weibo_fans.go:62,
     # only work against such walls)
-    "require_header string"
+    "require_header string, "
+    # optional POST-body key: when non-empty the page only answers a
+    # request whose post_data equals it — models servers whose response
+    # depends on the POST body (the reference's POST-paginated APIs:
+    # zhihu_bianji.go:85-90 posts the SAME url with varying offsets,
+    # Reloadable=true since Unique() hashes url+method only,
+    # request.go:139-145). '' = match any request to the url.
+    "post_data string"
 )
 IMAGES_DDL = (
     "image_id string, bytes binary, w int, h int, fmt string, "
@@ -284,6 +298,7 @@ def to_spark(spark, corpus: Corpus):
                 p["url"], p["host"], p["depth"], p["status"], p["flaky"],
                 p.get("fail_attempts"), p["content_type"], p["body"],
                 p["out_links"], p["image_refs"], p.get("require_header"),
+                p.get("post_data", ""),
             )
             for p in corpus.pages
         ],

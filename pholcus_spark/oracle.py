@@ -77,6 +77,7 @@ class Req:
     retried: bool = False
     reloadable: bool = False
     temp: dict | None = None  # carry-along (request.go Temp)
+    post_data: str = ""  # POST body (request.go PostData)
 
 
 @dataclasses.dataclass
@@ -1086,6 +1087,20 @@ def _extract_items(page: dict, er) -> list[dict]:
 
         out = []
         for el in node:
+            if not isinstance(el, dict):
+                # scalar-element twin (msg: [html string] —
+                # zhihu_bianji.go:112-121): single-field rules only
+                if len(er.fields) == 1:
+                    out.append(
+                        {
+                            er.fields[0]: el
+                            if isinstance(el, str)
+                            else ""
+                            if el is None
+                            else json_mod.dumps(el, separators=(",", ":"))
+                        }
+                    )
+                continue
             if isinstance(el, dict):
                 out.append(
                     {
@@ -1200,6 +1215,7 @@ def crawl(
                     key=request_key(spider, s["rule"], url, method),
                     reloadable=url in spec.reloadable_urls,
                     temp=seed_temp,
+                    post_data=s.get("post_data", "") or "",
                 )
             )
 
@@ -1257,7 +1273,11 @@ def crawl(
                     "seq": req.seq,
                 }
             )
-            page = pages_by_url.get(req.url)
+            # POST-body-keyed pages first (fixture post_data column —
+            # zhihu_bianji.go POST pagination), plain url fallback
+            page = pages_by_url.get(
+                (req.url, req.post_data or "")
+            ) or pages_by_url.get(req.url)
             fail_n = page.get("fail_attempts") if page else None
             if fail_n is None and page:
                 fail_n = 1 if page.get("flaky") else 0
@@ -1440,6 +1460,7 @@ def crawl(
                             # (request.go:139-145)
                             key=request_key(req.spider, lr.rule, canon, lr.method),
                             reloadable=canon in spec.reloadable_urls,
+                            post_data=lr.post_data or "",
                             # rule-authored carry replaces the figure
                             # carry when present (engine: coalesce)
                             temp=dsl_carry.get(canon)

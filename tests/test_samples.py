@@ -480,3 +480,52 @@ def test_wukong_json_cursor_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_zhihu_bianji_post_sample_matches_oracle(spark):
+    """The zhihu_bianji port: POST-paginated API — same url seeded
+    once per offset with per-seed method/post_data, reloadable_urls
+    exempting the shared request key from dedup, POST-body-keyed
+    fixture pages, json scalar-array msg fragments driving link
+    enqueue, and @eq(0)@html landing projections. Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from zhihu_bianji_spider import (
+        OFFSETS,
+        ZHIHU_BIANJI_SPIDER,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-zhihu-bianji-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # explore + one POST per offset + 3 questions + 2 articles
+        assert state["totals"]["fetched"] == 1 + len(OFFSETS) + 3 + 2
+        assert state["totals"]["failed"] == 0
+        rows = catalog.read("items").collect()
+        assert len(rows) == 5
+        data = {r["data"].get("标题"): dict(r["data"]) for r in rows}
+        # question page: Text() projections + First().Html()
+        q = data["题-102"]
+        assert q["提问内容"] == "描述-102"
+        assert q["回答内容"] == "<p>答-102</p>"  # @eq(0)@html, not 次答
+        # article page: Html() projections over compound-class selectors
+        a = data["文-201"]
+        assert a["内容"] == "<p>正文-201</p>"
+        # every landing page arrived through its routed rule
+        assert {r.rule for r in rows} == {"解析知乎问答落地页", "解析知乎文章落地页"}
+
+        res = testkit.run_oracle(build_corpus(), ZHIHU_BIANJI_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

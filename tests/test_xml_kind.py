@@ -227,10 +227,12 @@ def test_emit_rides_spec_tuples():
     er_off = ExtractRule(
         rule="b", kind="xml", item_pattern="c.i", fields=("f",), emit=False
     )
+    # emit sits at a fixed position, not the tail — the tuple has
+    # grown past it (require_fields/field_json/cursor/cursor_require)
     specs = rule_spec_tuples([er_on, er_off])
-    assert specs[0][-2] is True and specs[1][-2] is False
+    assert specs[0][9] is True and specs[1][9] is False
     compiled = compile_rule_specs(specs)
-    assert compiled[0][-2] is True and compiled[1][-2] is False
+    assert compiled[0][8] is True and compiled[1][8] is False
 
 
 def test_emit_false_items_still_drive_links():
