@@ -1243,6 +1243,40 @@ def q_kafka_payload(spark, sf_dir):
     )
 
 
+def q_beanstalk_payload(spark, sf_dir):
+    """Beanstalkd-sink payload builder (`output_beanstalkd.go:24-49`)
+    over an items-shaped frame derived from orders: type =
+    FileNameReplace(namespace)__sum0-sum1__FileNameReplace(rule) —
+    one rule name carries '"'/'*' so the gate pins the column-level
+    FileNameReplace incl. the alternating fullwidth quotes; content =
+    Go json.Marshal-of-map JSON (keys UTF-8-byte-sorted, NOT
+    ItemFields order), declared-but-absent field present as '',
+    capitalized Url/ParentUrl provenance, sorted-data-map fallback for
+    undeclared rules."""
+    from pholcus_spark.sinks import beanstalk_items_payload
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    items = orders.select(
+        F.lit("site").alias("spider"),
+        F.when(k % 11 == 0, F.lit('mi"s*c"2'))
+        .when(k % 3 == 0, F.lit("misc"))
+        .otherwise(F.lit("detail"))
+        .alias("rule"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("cust"), F.col("o_custkey").cast("string"),
+        ).alias("data"),
+        F.concat(F.lit("http://h.test/o/"), k.cast("string")).alias("url"),
+        F.lit("http://h.test/root").alias("parent_url"),
+    )
+    return beanstalk_items_payload(
+        items, namespace="site", sums=(1, 500),
+        field_order={"detail": ("status", "priority", "cust", "note")},
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """The engine's robots gate (`robots.disallow_filter`, the exact
     primitive every frontier push runs): URLs derived deterministically
@@ -1427,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xml_extract": q_xml_extract,
         "q_accumulate_items": q_accumulate_items,
         "q_kafka_payload": q_kafka_payload,
+        "q_beanstalk_payload": q_beanstalk_payload,
         "q_robots_filter": q_robots_filter,
         "q_proxy_assign": q_proxy_assign,
         "q_sitemap_parse": q_sitemap_parse,
@@ -2389,6 +2424,34 @@ SELECT 'site__' || rule AS topic,
   )) AS VARCHAR) AS value
 FROM base
 WHERE rule <> 'bad rule!'
+""",
+        "q_beanstalk_payload": r"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'quoted'
+         WHEN o_orderkey % 3 = 0 THEN 'misc'
+         ELSE 'detail' END AS rule
+  FROM orders
+)
+SELECT
+  'site__1-500__' ||
+    CASE rule WHEN 'quoted' THEN 'mi“s×c”2' ELSE rule END AS type,
+  CASE WHEN rule = 'detail' THEN CAST(to_json(struct_pack(
+      "ParentUrl" := 'http://h.test/root',
+      "Url" := 'http://h.test/o/' || CAST(o_orderkey AS VARCHAR),
+      cust := CAST(o_custkey AS VARCHAR),
+      note := '',
+      priority := o_orderpriority,
+      status := o_orderstatus
+    )) AS VARCHAR)
+  ELSE CAST(to_json(struct_pack(
+      "ParentUrl" := 'http://h.test/root',
+      "Url" := 'http://h.test/o/' || CAST(o_orderkey AS VARCHAR),
+      cust := CAST(o_custkey AS VARCHAR),
+      priority := o_orderpriority,
+      status := o_orderstatus
+    )) AS VARCHAR) END AS content
+FROM base
 """,
         "q_robots_filter": r"""
 WITH d AS (

@@ -41,6 +41,7 @@ HEADLINE = [
     "q_sitemap_parse",
     "q_proxy_assign",
     "q_kafka_payload",
+    "q_beanstalk_payload",
     "text_token_count",
     "text_quality",
     "text_lang_id",

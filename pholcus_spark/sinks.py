@@ -448,3 +448,208 @@ def accumulate_items(
             "superstep",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Beanstalkd sink (`output_beanstalkd.go:19-55` + `common/beanstalkd/
+# beanstalkd.go:50-64`): one queued job per item, job body =
+# url.Values{createtime, type, content}.Encode(), put into one tube
+# with pri=1/delay=0/ttr=0. Payload building is pure JVM; the wire
+# client (`beanstalk.BeanstalkClient`) runs one-per-partition.
+# ---------------------------------------------------------------------------
+
+
+def file_name_replace_col(c):
+    """Column twin of :func:`file_name_replace` (util.go:306-345),
+    byte-exact including the ALTERNATING fullwidth quotes: odd '"'
+    occurrences → '“', even → '”' (split on '"', re-join with
+    the parity-chosen quote), then the 1:1 fullwidth map via
+    ``translate`` and the USE_KEYIN "\\r\\t\\n" strip. Needed wherever
+    the replaced value is data-dependent (the beanstalkd sink's
+    subNamespace, `output_beanstalkd.go:28`)."""
+    parts = F.split(c, '"', -1)
+    quoted = F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.zip_with(
+                F.slice(parts, 2, 2147483646),
+                F.sequence(F.lit(1), F.greatest(F.size(parts) - 1, F.lit(1))),
+                lambda part, q: F.concat(
+                    F.when(q % 2 == 1, F.lit("“")).otherwise(
+                        F.lit("”")
+                    ),
+                    part,
+                ),
+            ),
+            "",
+        ),
+    )
+    return F.regexp_replace(
+        F.translate(quoted, ':*<>?/|\\', "：×＜＞？／∣╲"),
+        "\r\t\n",
+        "",
+    )
+
+
+def go_query_escape(c):
+    """Go ``url.QueryEscape`` as a column: java URLEncoder via
+    ``url_encode`` (same UTF-8 %XX uppercase hex + space→'+'), with the
+    two unreserved-set differences patched — Go escapes '*' (java
+    keeps it) and keeps '~' (java emits %7E)."""
+    return F.replace(
+        F.replace(F.url_encode(c), F.lit("*"), F.lit("%2A")),
+        F.lit("%7E"),
+        F.lit("~"),
+    )
+
+
+def beanstalk_items_payload(
+    items: DataFrame,
+    namespace: str | None = None,
+    sums: tuple = (0, 0),
+    field_order=None,
+    out_default_field: bool = True,
+    sub_field=None,
+) -> DataFrame:
+    """Items table → beanstalkd job ``(type, content)`` rows — the
+    payload half of `output_beanstalkd.go:24-48`, separated from the
+    wire encoding (:func:`beanstalk_job_body`) and transport
+    (:func:`write_beanstalkd`) so it is oracle-testable serverless.
+
+    * ``type`` = ``FileNameReplace(namespace)__sum0-sum1`` ``__``
+      ``FileNameReplace(subNamespace)`` (`output_beanstalkd.go:24,28,49`);
+      ``namespace=None`` derives it per-row from the ``spider`` column
+      (the reference Collector is per-spider, so a driver-side constant
+      is the common case — pass a string to pin it).
+    * ``content`` = one JSON object per item with keys in Go
+      ``json.Marshal``-of-map order — SORTED by UTF-8 byte order, NOT
+      ItemFields order (`output_beanstalkd.go:30-45` builds a map; Go
+      marshals map keys sorted). Rules in ``field_order`` project their
+      declared fields, a declared-but-absent field rides as '' with the
+      key PRESENT (the zero-string branch, …go:33-35); other rules fall
+      back to the sorted data map. ``out_default_field`` appends the
+      reference's capitalized ``Url``/``ParentUrl``/``DownloadTime``
+      provenance keys (…go:39-43; DownloadTime only when the frame has
+      the column). Go's HTML-escaping of <, >, & inside JSON strings is
+      not replicated (documented divergence, same as the kafka sink).
+
+    All JVM — no Python in the path."""
+    field_order = field_order or {}
+    has_dlt = "download_time" in items.columns
+    ns = (
+        F.lit(file_name_replace(namespace))
+        if namespace is not None
+        else file_name_replace_col(F.col("spider"))
+    )
+    type_col = F.concat(
+        ns,
+        F.lit(f"__{sums[0]}-{sums[1]}__"),
+        file_name_replace_col(sub_namespace_col(sub_field)),
+    ).alias("type")
+
+    prov = [("ParentUrl", F.col("parent_url")), ("Url", F.col("url"))]
+    if has_dlt:
+        prov.append(("DownloadTime", F.col("download_time")))
+
+    parts = []
+    for rule, fields in field_order.items():
+        sub = items.where(F.col("rule") == rule)
+        pairs = [
+            (
+                f,
+                F.coalesce(
+                    F.try_element_at(F.col("data"), F.lit(f)), F.lit("")
+                ),
+            )
+            for f in fields
+        ]
+        if out_default_field:
+            pairs += prov
+        # Go map-marshal order: keys sorted by UTF-8 bytes (= Python
+        # code-point sort; UTF-8 preserves code-point order)
+        pairs.sort(key=lambda kv: kv[0])
+        parts.append(
+            sub.select(
+                type_col,
+                F.to_json(
+                    F.struct(*(v.alias(k) for k, v in pairs))
+                ).alias("content"),
+            )
+        )
+
+    listed = list(field_order)
+    rest = items.where(~F.col("rule").isin(listed)) if listed else items
+    payload = F.col("data")
+    if out_default_field:
+        payload = F.map_concat(
+            payload,
+            F.create_map(
+                *(x for k, v in prov for x in (F.lit(k), v))
+            ),
+        )
+    # sorted-map serialization: entries sorted by key, map order is
+    # preserved by to_json
+    payload = F.map_from_entries(F.array_sort(F.map_entries(payload)))
+    parts.append(
+        rest.select(type_col, F.to_json(payload).alias("content"))
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def beanstalk_job_body(payload: DataFrame, createtime: str) -> DataFrame:
+    """(type, content) → + ``body``: the exact
+    ``url.Values{createtime, type, content}.Encode()`` string
+    (`output_beanstalkd.go:46-51` + net/url Encode — keys sorted:
+    content < createtime < type; Go QueryEscape per value).
+    ``createtime`` is the batch-constant unix-seconds string the
+    reference stamps once per flush (…go:25) — caller-supplied, so
+    runs are deterministic and resumable."""
+    return payload.withColumn(
+        "body",
+        F.concat(
+            F.lit("content="),
+            go_query_escape(F.col("content")),
+            F.lit("&createtime="),
+            go_query_escape(F.lit(createtime)),
+            F.lit("&type="),
+            go_query_escape(F.col("type")),
+        ),
+    )
+
+
+def write_beanstalkd(
+    df: DataFrame,
+    host: str,
+    port: int = 11300,
+    tube: str = "pholcus",
+    pri: int = 1,
+    delay: int = 0,
+    ttr: int = 0,
+) -> None:
+    """Transport: push each row's ``body`` as one beanstalkd job —
+    one :class:`pholcus_spark.beanstalk.BeanstalkClient` per PARTITION
+    (connection amortized across the partition's rows; the reference
+    opens one client per output batch, `output_beanstalkd.go:21`).
+    Executor-side ``foreachPartition`` — nothing is collected to the
+    driver, so a 10^9-item push is as parallel as the frame."""
+    bodies = df.select(F.col("body"))
+
+    def _push(rows):
+        from pholcus_spark.beanstalk import BeanstalkClient
+
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition: don't even connect
+        with BeanstalkClient(host, port) as cli:
+            cli.use(tube)
+            cli.put(first["body"].encode("utf-8"), pri, delay, ttr)
+            for row in it:
+                cli.put(row["body"].encode("utf-8"), pri, delay, ttr)
+
+    bodies.foreachPartition(_push)

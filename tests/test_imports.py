@@ -12,6 +12,7 @@ import pytest
 
 PUBLIC_MODULES = [
     "pholcus_spark",
+    "pholcus_spark.beanstalk",
     "pholcus_spark.bloom",
     "pholcus_spark.bodystore",
     "pholcus_spark.catalog",
