@@ -978,7 +978,7 @@ class CrawlEngine:
             # temp_fields merged task-side inside the fused parse (the
             # UDF/kernel receives the request temp), so items here are
             # already carry-complete — including multi-hop re-carry
-            from .extract import NOEMIT_KEY
+            from .extract import NOEMIT_KEY, OUTRULE_KEY
 
             dsl_src = (
                 parsed.where(F.col("rule").isin(dsl_rules))
@@ -988,6 +988,25 @@ class CrawlEngine:
                 )
                 .where(
                     ~F.map_contains_key(F.col("data"), F.lit(NOEMIT_KEY))
+                )
+                # ctx.Parse relabel (ExtractRule.out_rule → SetRuleName,
+                # context.go:363): the item's rule column is the
+                # delegated name; the marker never reaches the table
+                .withColumn(
+                    "rule",
+                    F.coalesce(
+                        F.try_element_at(
+                            F.col("data"), F.lit(OUTRULE_KEY)
+                        ),
+                        F.col("rule"),
+                    ),
+                )
+                .withColumn(
+                    "data",
+                    F.map_filter(
+                        F.col("data"),
+                        lambda k, _v: k != F.lit(OUTRULE_KEY),
+                    ),
                 )
             )  # download_time/superstep added with the figure items below
             items = items.unionByName(

@@ -217,6 +217,10 @@ ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
 # before the items-table union; links/carries/paginate counts read
 # explicit field names and never see it.
 NOEMIT_KEY = "\x00noemit"
+# hidden marker carrying an ExtractRule.out_rule relabel (ctx.Parse →
+# SetRuleName, context.go:356-374): the engine's items union reads it
+# as the item's rule column and strips it from the data map
+OUTRULE_KEY = "\x00outrule"
 
 
 def rule_spec_tuples(extract_rules) -> list[tuple]:
@@ -240,6 +244,7 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "field_json", ()) or ()),
             tuple(getattr(er, "cursor", ()) or ()),
             tuple(getattr(er, "cursor_require", ()) or ()),
+            getattr(er, "out_rule", None) or "",
         )
         for er in extract_rules
     ]
@@ -479,9 +484,10 @@ def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
         fjson = dict(rest[3]) if len(rest) > 3 and rest[3] else {}
         cursor = tuple(rest[4]) if len(rest) > 4 else ()
         curreq = tuple(rest[5]) if len(rest) > 5 else ()
+        outrule = rest[6] if len(rest) > 6 else ""
         out.append(
             (rule, kind, key, fields, link_fields, carry, tf, tfx, emit,
-             req, fjson, cursor, curreq)
+             req, fjson, cursor, curreq, outrule)
         )
     return out
 
@@ -831,7 +837,7 @@ def _apply_rules_for(
     row_carries: list[dict | None] = []
     for (
         r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit,
-        req, fjson, cursor, curreq,
+        req, fjson, cursor, curreq, outrule,
     ) in compiled:
         if r != rule:
             continue
@@ -861,6 +867,11 @@ def _apply_rules_for(
             # rule name does emit
             for it in items:
                 it[NOEMIT_KEY] = "1"
+        if outrule:
+            # ctx.Parse relabel (context.go:363 SetRuleName): the
+            # engine's items union emits these under `outrule`
+            for it in items:
+                it[OUTRULE_KEY] = outrule
         # temp_fields consumer merge: request temp overrides any
         # same-named extracted field (the reference authors the Output
         # map explicitly, so the collision cannot arise there)

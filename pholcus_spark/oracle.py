@@ -1363,7 +1363,11 @@ def crawl(
                         for data in extracted:
                             items.append(
                                 {
-                                    "rule": req.rule,
+                                    # ctx.Parse relabel: out_rule is
+                                    # the SetRuleName'd provenance
+                                    # (context.go:363, zolpc.go:63)
+                                    "rule": getattr(er, "out_rule", None)
+                                    or req.rule,
                                     "url": req.url,
                                     "parent_url": req.parent_url,
                                     "data": data,

@@ -201,6 +201,16 @@ class ExtractRule:
     # wukongwenda.go:109,125). Empty = always paginate while items
     # flow.
     cursor_require: tuple[str, str] | tuple = ()
+    # out_rule: emit this rule's items under ANOTHER rule name — the
+    # reference's ``ctx.Parse("<other>")`` re-dispatch, which calls
+    # ``SetRuleName`` so the item's provenance (and the sink's
+    # namespace/ItemFields lookup) carries the DELEGATED rule
+    # (context.go:356-374; zolpc.go:60-65 parses each forum row under
+    # "获取结果", googlesearch.go:123 re-parses the count page as
+    # "search_results"). The ExtractRule still BINDS to ``rule`` (the
+    # rule the page was fetched under); only the emitted items are
+    # relabeled. link_fields/carries/pagination are unaffected.
+    out_rule: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -303,7 +313,9 @@ class SpiderSpec:
         Feeds the rule_fields dimension for ordered sink columns."""
         out = {r: ("image_id", "caption") for r in self.item_rules}
         for er in self.extract_rules:
-            out[er.rule] = er.fields
+            # out_rule items land under the delegated rule name, so
+            # sink column order keys there (ctx.Parse → SetRuleName)
+            out[er.out_rule or er.rule] = er.fields
         return out
 
 

@@ -529,3 +529,58 @@ def test_zhihu_bianji_post_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_zolpc_out_rule_sample_matches_oracle(spark):
+    """The zolpc port: ctx.Parse re-dispatch — an ExtractRule bound to
+    the page's rule ("生成请求") emits its items under out_rule
+    ("获取结果"), the SetRuleName provenance (context.go:356-374,
+    zolpc.go:60-65). tr[id] row filter, @eq(k) chained projections,
+    unconditional URL-prefix transform. Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from zolpc_spider import PAGES, ZOLPC_SPIDER, build_corpus, run
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-zolpc-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        assert state["totals"]["fetched"] == len(PAGES)
+        rows = catalog.read("items").collect()
+        # 2 id-rows per page + the degenerate third-page row; the
+        # no-id header row never extracts
+        assert len(rows) == 2 * len(PAGES) + 1
+        # ctx.Parse relabel: every item lands under the DELEGATED rule
+        assert {r.rule for r in rows} == {"获取结果"}
+        # no marker keys leak into the data map
+        assert all(all(not k.startswith("\x00") for k in r.data) for r in rows)
+        data = {r["data"]["主题"]: dict(r["data"]) for r in rows}
+        full = data["题-101"]
+        assert full == {
+            "机型": "类-1A",
+            "链接": "http://bbs.zol.com.cn/sjbbs/d544_t101.html",
+            "主题": "题-101",
+            "发表者": "user1a",
+            "发表时间": "2016-01-01",
+            "总回复": "11",
+            "总查看": "101",
+            "最后回复者": "last1a",
+            "最后回复时间": "2016-01-02",
+        }
+        # degenerate row: missing projections → '' (goquery empty
+        # selection), prefix transform still applies to the empty url
+        degen = data["题-303"]
+        assert degen["链接"] == "http://bbs.zol.com.cn/"
+        assert degen["最后回复时间"] == ""
+        assert degen["最后回复者"] == "last3c"
+
+        res = testkit.run_oracle(build_corpus(), ZOLPC_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
