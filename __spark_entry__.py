@@ -469,7 +469,10 @@ def q_css_extract(spark, sf_dir):
 
     er = ExtractRule(
         rule="doc", kind="css", item_pattern="div.doc",
-        fields=("head", "tail", "nc", "w3", "wlast", "w2c", "hhtml"),
+        fields=(
+            "head", "tail", "nc", "w3", "wlast", "w2c", "hhtml",
+            "bjoin", "sj",
+        ),
         field_css=(
             ("head", "span.head@text"),
             ("tail", "span.tail@text"),
@@ -485,20 +488,29 @@ def q_css_extract(spark, sf_dir):
             # .Html() (jiban.go:104): inner HTML of the head span —
             # the <b>-wrapped words, re-serialized
             ("hhtml", "span.head@html"),
+            # @each — goquery .Each accumulation (car_home.go:113-128)
+            # / multi-selection .Text(): all <b> words joined with |
+            ("bjoin", "b@each(|)@text"),
+            # per-match sub-chain: 2nd <b> of EVERY span (the tail
+            # span has none → an empty slot keeps its join position)
+            ("sj", "span@each(;) b@eq(1)@text"),
         ),
     )
     specs = rule_spec_tuples([er])
 
     @pandas_udf(
         "head string, tail string, nc string, w3 string, wlast string, "
-        "w2c string, hhtml string"
+        "w2c string, hhtml string, bjoin string, sj string"
     )
     def _css(htmls: pd.Series) -> pd.DataFrame:
         _r, kind, key, fields, *_rest = compile_rule_specs(specs)[0]
         rows = [apply_rule_spec(h, kind, key, fields)[0] for h in htmls]
         return pd.DataFrame(
             rows,
-            columns=["head", "tail", "nc", "w3", "wlast", "w2c", "hhtml"],
+            columns=[
+                "head", "tail", "nc", "w3", "wlast", "w2c", "hhtml",
+                "bjoin", "sj",
+            ],
         )
 
     docs = _load(spark, sf_dir, "documents")
@@ -529,6 +541,8 @@ def q_css_extract(spark, sf_dir):
             F.col("_x.wlast").alias("wlast"),
             F.col("_x.w2c").alias("w2c"),
             F.col("_x.hhtml").alias("hhtml"),
+            F.col("_x.bjoin").alias("bjoin"),
+            F.col("_x.sj").alias("sj"),
         )
     )
 
@@ -2379,7 +2393,11 @@ SELECT doc_id,
   array_to_string(
     list_transform(list_slice(string_split(text, ' '), 1, 5),
                    w -> '<b>' || w || '</b>'),
-    ' ') AS hhtml
+    ' ') AS hhtml,
+  array_to_string(list_slice(string_split(text, ' '), 1, 5), '|') AS bjoin,
+  coalesce(
+    CASE WHEN len(string_split(text, ' ')) >= 2
+         THEN string_split(text, ' ')[2] END, '') || ';' AS sj
 FROM documents
 """,
         "q_accumulate_items": r"""

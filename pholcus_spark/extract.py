@@ -359,6 +359,11 @@ def compile_transforms(field_transforms: tuple) -> dict:
 
 _IDX_EQ_RE = re.compile(r"^eq\((-?\d+)\)(.*)$", re.S)
 _IDX_LAST_RE = re.compile(r"^last(?![\w-])(.*)$", re.S)
+_IDX_EACH_RE = re.compile(r"^each\(([^)@]*)\)(.*)$", re.S)
+
+# segment-index sentinel for ``@each(sep)`` — stored as ("each", sep)
+# in the (selector, index) chain both parsers produce
+EACH = "each"
 
 
 def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
@@ -403,6 +408,18 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
     ``"X > *"`` (all elements whose parent matches X, document order),
     so ``Find("div.area").Children().Eq(0).Text()`` is
     ``"div.area > *@eq(0)@text"``.
+
+    ``@each(<sep>)`` — EVERY match of the segment, not one: the rest of
+    the chain (and the final projection) is evaluated once per matched
+    element, and the per-match values are joined with ``sep`` in
+    document order. This is goquery's two multi-match idioms in one
+    token: ``.Each``-loop accumulation (car_home.go:113-128
+    ``关注的车 += f + "|"`` → ``"li@each(|) a@last@title"``) and
+    multi-selection ``.Text()``, which concatenates over ALL matches
+    (taobaosearch.go:59 / jdSpider.go:63 ``Find("script").Text()`` →
+    ``"script@each()@text"``). Empty selection → ``""`` (join of
+    nothing). At most one ``@each`` per spec; its selector must be
+    non-empty; ``sep`` may be empty but cannot contain ``@`` or ``)``.
     """
     parts = spec.split("@")
     segments: list[tuple[str, int]] = []
@@ -411,12 +428,21 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
     for i, tok in enumerate(parts[1:]):
         m_eq = _IDX_EQ_RE.match(tok)
         m_last = _IDX_LAST_RE.match(tok)
+        m_each = _IDX_EACH_RE.match(tok)
         if m_eq:
             segments.append((sel, int(m_eq.group(1))))
             sel = m_eq.group(2).strip()
         elif m_last:
             segments.append((sel, -1))
             sel = m_last.group(1).strip()
+        elif m_each:
+            if not sel:
+                raise ValueError(
+                    f"bad field spec {spec!r}: @each needs a selector "
+                    "(a container match is a single element)"
+                )
+            segments.append((sel, (EACH, m_each.group(1))))
+            sel = m_each.group(2).strip()
         else:
             if i != len(parts) - 2:
                 raise ValueError(
@@ -436,11 +462,18 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
     if sel:
         segments.append((sel, 0))
     for s, idx in segments[:-1]:
-        if idx <= -2:
+        if isinstance(idx, int) and idx <= -2:
             raise ValueError(
                 f"bad field spec {spec!r}: @eq({idx}) (negative,"
                 " from-end) is only supported on the final segment"
             )
+    n_each = sum(
+        1 for _s, idx in segments if isinstance(idx, tuple)
+    )
+    if n_each > 1:
+        raise ValueError(
+            f"bad field spec {spec!r}: at most one @each per spec"
+        )
     return segments, proj
 
 
@@ -528,6 +561,43 @@ def cursor_url(base: str, param: str, value: str) -> str:
     return stripped + sep + param + "=" + quote(str(value), safe="")
 
 
+def _project_css(css_mod, target, segments, proj) -> str:
+    """One field's chained Find→Eq/Last/Each→…→projection over the
+    css.py tree (the engine twin of the oracle's single-pass
+    _FieldMachine). ``segments`` is ``[(compiled-selector, index)]``
+    where index is an int ordinal (negative = from-end, goquery
+    ``Eq(-n)``) or the ``(EACH, sep)`` marker — every match evaluates
+    the REST of the chain independently and the per-match values join
+    with ``sep`` in document order (goquery ``.Each`` accumulation /
+    multi-selection ``.Text()``)."""
+    for si, (sub, idx) in enumerate(segments):
+        if isinstance(idx, tuple):  # (EACH, sep)
+            sep = idx[1]
+            rest = segments[si + 1 :]
+            return sep.join(
+                _project_css(css_mod, el, rest, proj)
+                for el in css_mod.select(target, sub)
+            )
+        found = css_mod.select(target, sub)
+        if proj == "count" and si == len(segments) - 1:
+            # goquery .Length(): the final segment's full match set
+            # (empty upstream selection counts 0)
+            return str(len(found))
+        if idx < 0:  # from-end (@last / @eq(-n), goquery Eq(-n))
+            target = found[idx] if len(found) >= -idx else None
+        else:
+            target = found[idx] if idx < len(found) else None
+        if target is None:
+            # dead chain: Find on an empty selection — .Length() is 0,
+            # Text()/Attr() are '' (goquery empty-selection defaults)
+            return "0" if proj == "count" else ""
+    if proj == "text":
+        return css_mod.node_text(target)
+    if proj == "html":
+        return css_mod.node_html(target)
+    return css_mod.node_attr(target, proj) or ""
+
+
 def apply_rule_spec(
     text: str, kind: str, key, fields: tuple, fjson: dict | None = None
 ) -> list[dict]:
@@ -562,47 +632,10 @@ def apply_rule_spec(
         root = css_mod.parse_html(text)
         items = []
         for node in css_mod.select(root, container):
-            row = {}
-            for f, segments, proj in projections:
-                target = node
-                if proj == "count":
-                    # goquery .Length(): walk the chain, count the full
-                    # match set of the final segment (empty upstream
-                    # selection counts 0, like Find on empty selection)
-                    n = 0
-                    for si, (sub, idx) in enumerate(segments):
-                        found = css_mod.select(target, sub)
-                        if si == len(segments) - 1:
-                            n = len(found)
-                            break
-                        if idx < 0:
-                            target = (
-                                found[idx] if len(found) >= -idx else None
-                            )
-                        else:
-                            target = (
-                                found[idx] if idx < len(found) else None
-                            )
-                        if target is None:
-                            break
-                    row[f] = str(n)
-                    continue
-                for sub, idx in segments:
-                    found = css_mod.select(target, sub)
-                    if idx < 0:  # from-end (@last / @eq(-n), goquery Eq(-n))
-                        target = found[idx] if len(found) >= -idx else None
-                    else:
-                        target = found[idx] if idx < len(found) else None
-                    if target is None:
-                        break
-                if target is None:
-                    row[f] = ""
-                elif proj == "text":
-                    row[f] = css_mod.node_text(target)
-                elif proj == "html":
-                    row[f] = css_mod.node_html(target)
-                else:
-                    row[f] = css_mod.node_attr(target, proj) or ""
+            row = {
+                f: _project_css(css_mod, node, segments, proj)
+                for f, segments, proj in projections
+            }
             items.append(row)
         return items
     if kind == "xml":

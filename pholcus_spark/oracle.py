@@ -271,12 +271,22 @@ def _oracle_parse_field_spec(spec: str):
     for i, tok in enumerate(parts[1:]):
         m_eq = re_mod.match(r"eq\((-?\d+)\)(.*)\Z", tok, re_mod.S)
         m_last = re_mod.match(r"last(?![\w-])(.*)\Z", tok, re_mod.S)
+        m_each = re_mod.match(r"each\(([^)@]*)\)(.*)\Z", tok, re_mod.S)
         if m_eq:
             segments.append((_oracle_parse_selector(sel), int(m_eq.group(1))))
             sel = m_eq.group(2).strip()
         elif m_last:
             segments.append((_oracle_parse_selector(sel), -1))
             sel = m_last.group(1).strip()
+        elif m_each:
+            if not sel:
+                raise ValueError(
+                    f"bad field spec {spec!r}: @each needs a selector"
+                )
+            segments.append(
+                (_oracle_parse_selector(sel), ("each", m_each.group(1)))
+            )
+            sel = m_each.group(2).strip()
         else:
             if i != len(parts) - 2:
                 raise ValueError(f"bad field spec {spec!r}")
@@ -289,11 +299,15 @@ def _oracle_parse_field_spec(spec: str):
     if sel:
         segments.append((_oracle_parse_selector(sel), 0))
     for _s, idx in segments[:-1]:
-        if idx <= -2:
+        if isinstance(idx, int) and idx <= -2:
             raise ValueError(
                 f"bad field spec {spec!r}: @eq({idx}) (negative,"
                 " from-end) is only supported on the final segment"
             )
+    if sum(1 for _s, idx in segments if isinstance(idx, tuple)) > 1:
+        raise ValueError(
+            f"bad field spec {spec!r}: at most one @each per spec"
+        )
     return segments, proj
 
 
@@ -316,6 +330,7 @@ class _FieldMachine:
         "value", "text_buf", "text_depth", "dead_at",
         "html_buf", "html_depth", "html_open",
         "lastn", "lastn_n",
+        "each_at", "each_sep", "children", "container_depth", "closed",
     )
 
     def __init__(self, stages, proj, container_depth, container_attrs,
@@ -324,13 +339,32 @@ class _FieldMachine:
         self.proj = proj
         self.anchors: list[int] = []
         self.counts = [0] * len(stages)
+        self.container_depth = container_depth
+        self.closed = False
+        # @each(sep) (goquery .Each accumulation / multi-selection
+        # Text()): the each stage never anchors — every match SPAWNS an
+        # independent child machine over the chain tail, scoped to the
+        # matched element; result() joins the children with sep in
+        # spawn (document) order
+        self.each_at = None
+        self.each_sep = ""
+        for _t, (_c, _i) in enumerate(stages):
+            if isinstance(_i, tuple):
+                self.each_at = _t
+                self.each_sep = _i[1]
+                break
+        self.children: list["_FieldMachine"] = []
         # final-segment @eq(-n), n>=2 (goquery Eq(-n), from the end):
         # streaming can't know "n-th from end" until the scope closes,
         # so keep the last n matches' candidate projections (bounded
         # ring); at result time the OLDEST retained candidate is the
         # answer iff >= n matches were seen (goquery out-of-range -> '')
         last_idx = stages[-1][1] if stages else 0
-        self.lastn_n = -last_idx if last_idx <= -2 else 0
+        self.lastn_n = (
+            -last_idx
+            if isinstance(last_idx, int) and last_idx <= -2
+            else 0
+        )
         self.lastn: list[dict] | None = [] if self.lastn_n else None
         self.value = None
         self.text_buf = None
@@ -411,6 +445,8 @@ class _FieldMachine:
         closes and feed() anchors only AFTER this routing). Independent
         streaming twin of css.node_html's tree walk: same canonical
         form, no tree."""
+        for ch in self.children:
+            ch.on_markup(tag, attrs, void)
         bufs = []
         if self.html_buf is not None:
             bufs.append((self.html_buf, self.html_open))
@@ -435,6 +471,13 @@ class _FieldMachine:
                 op.append(opened)
 
     def feed(self, path, depth, void, attrs, container_depth):
+        if self.closed:
+            return
+        # live each-children progress on every element event (a child
+        # spawned for THIS element is appended below, after forwarding,
+        # so it never sees its own anchor)
+        for ch in self.children:
+            ch.feed(path, depth, void, attrs, ch.container_depth)
         if not self.stages:
             return
         t = 0
@@ -443,6 +486,21 @@ class _FieldMachine:
                 return
             chains, idx = self.stages[t]
             floor = container_depth if t == 0 else self.anchors[t - 1]
+            if isinstance(idx, tuple):
+                # @each: never anchors — every in-scope match spawns an
+                # independent child machine over the chain tail, scoped
+                # to the matched element (void anchor → floor no real
+                # element exceeds: Find inside a void element is empty)
+                if self.dead_at is not None:
+                    return  # an @eq ancestor closed — frozen
+                if _oracle_any_match(path, chains, floor):
+                    self.children.append(
+                        _FieldMachine(
+                            self.stages[t + 1 :], self.proj,
+                            _VOID_DEPTH if void else depth, attrs, void,
+                        )
+                    )
+                return
             if idx == -1:
                 # @last: ANY later match re-anchors, wiping deeper
                 # progress and the captured value (the chain below the
@@ -458,6 +516,10 @@ class _FieldMachine:
                     self.html_open = []
                     if self.lastn is not None:
                         self.lastn = []
+                    # a downstream @each's spawned children belong to
+                    # the discarded chain run (goquery re-runs the
+                    # Finds below the new anchor)
+                    self.children = []
                     self._anchor(t, depth, void, attrs)
                     return
                 if t == len(self.anchors):
@@ -492,6 +554,13 @@ class _FieldMachine:
                 t += 1  # anchored @eq: choice is fixed, look deeper
 
     def on_close(self, new_depth: int):
+        for ch in self.children:
+            ch.on_close(new_depth)
+            if ch.container_depth >= new_depth:
+                # the child's anchor element closed: seal it — a later
+                # sibling must not anchor into it (top-level captures
+                # get this from finalize-on-container-close)
+                ch.closed = True
         if self.text_buf is not None and self.text_depth >= new_depth:
             self.value = "".join(self.text_buf)
             self.text_buf = None
@@ -524,7 +593,33 @@ class _FieldMachine:
             if self.stages[t][1] >= 0:
                 self.dead_at = t
 
+    def on_data(self, data: str, esc_cache: list):
+        """Character data into every live buffer (own, last-n
+        candidates, and each-children, recursively). ``esc_cache`` is a
+        shared one-slot list so the escaped form is computed at most
+        once per data event across all machines."""
+        if self.text_buf is not None:
+            self.text_buf.append(data)
+        elif self.html_buf is not None:
+            if esc_cache[0] is None:
+                esc_cache[0] = _oracle_esc_text(data)
+            self.html_buf.append(esc_cache[0])
+        if self.lastn:
+            for c in self.lastn:
+                if c["tbuf"] is not None:
+                    c["tbuf"].append(data)
+                elif c["hbuf"] is not None:
+                    if esc_cache[0] is None:
+                        esc_cache[0] = _oracle_esc_text(data)
+                    c["hbuf"].append(esc_cache[0])
+        for ch in self.children:
+            ch.on_data(data, esc_cache)
+
     def result(self) -> str:
+        if self.each_at is not None:
+            # @each: per-match chain-tail values joined in document
+            # order (empty selection → '', the join of nothing)
+            return self.each_sep.join(c.result() for c in self.children)
         if self.proj == "count":  # stages always non-empty (parse)
             return str(self.counts[-1])
         if self.lastn_n:
@@ -646,23 +741,10 @@ def _css_items(text: str, er) -> list[dict]:
         def handle_data(self, data):
             if not data:
                 return
-            esc = None
+            esc_cache = [None]
             for cap in captures:
                 for m in cap.machines:
-                    if m.text_buf is not None:
-                        m.text_buf.append(data)
-                    elif m.html_buf is not None:
-                        if esc is None:
-                            esc = _oracle_esc_text(data)
-                        m.html_buf.append(esc)
-                    if m.lastn:
-                        for c in m.lastn:
-                            if c["tbuf"] is not None:
-                                c["tbuf"].append(data)
-                            elif c["hbuf"] is not None:
-                                if esc is None:
-                                    esc = _oracle_esc_text(data)
-                                c["hbuf"].append(esc)
+                    m.on_data(data, esc_cache)
 
     p = _P(convert_charrefs=True)
     p.feed(text)

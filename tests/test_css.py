@@ -454,6 +454,14 @@ _PROJ = st.sampled_from(
         # match-count projection (.Length(), miyabaobei pagination)
         "div@count", "span@count", "div@eq(0) span@count",
         "span@last div@count", "img@count",
+        # multi-match join (@each — .Each accumulation, car_home;
+        # multi-selection .Text(), taobaosearch/jdSpider)
+        "div@each(|)@text", "span@each()@text", "img@each(,)@src",
+        "div@each(;) span@eq(0)@text", "li@each(|) em@last@text",
+        "div@eq(0) span@each(+)@text", "div@last p@each(,)@text",
+        "div@each(/) em@count", "span@each(|)@html",
+        "div@each(;) img@eq(-1)@src", "p@each(&)@data-k",
+        ".a@each(|) *@eq(0)@text",
     ]
 )
 
@@ -467,6 +475,102 @@ def test_fuzz_engine_matches_oracle(body, container, proj):
         fields=("f",), field_css=(("f", proj),),
     )
     assert _apply_engine(html, er) == _css_items(html, er)
+
+
+def test_each_projection_engine_equals_oracle():
+    """``@each(sep)`` — goquery's two multi-match idioms: ``.Each``
+    loop accumulation (car_home.go:113-128 ``关注的车 += f + "|"``)
+    and multi-selection ``.Text()`` concatenation (taobaosearch.go:59
+    ``Find("script").Text()``). Every match of the each segment
+    evaluates the chain tail independently; values join with sep in
+    document order."""
+    cases = [
+        # .Each accumulating an attr of a sub-chain pick (car_home)
+        (
+            '<div class="c"><li><a title="A">x</a></li><li>no</li>'
+            '<li><a title="B1">1</a><a title="B2">2</a></li></div>',
+            "li@each(|) a@last@title", "A||B2",
+        ),
+        # multi-selection Text(): all <script> texts concatenated
+        (
+            '<div class="c"><script>aa</script><p>m</p>'
+            "<script>bb</script></div>",
+            "script@each()@text", "aabb",
+        ),
+        # empty selection -> '' (join of nothing)
+        ('<div class="c"></div>', "li@each(|)@text", ""),
+        # per-match sub-chain misses produce '' slots
+        (
+            '<div class="c"><span><b>s1b1</b><b>s1b2</b></span>'
+            "<span></span><span><b>s3</b></span></div>",
+            "span@each(;) b@eq(1)@text", "s1b2;;",
+        ),
+        # per-match counts
+        (
+            '<div class="c"><ul><li>1</li><li>2</li></ul>'
+            "<ul><li>3</li></ul></div>",
+            "ul@each(/) li@count", "2/1",
+        ),
+        # @last BEFORE each: re-anchor discards earlier children
+        (
+            '<div class="c"><ul><li>a</li></ul>'
+            "<ul><li>x</li><li>y</li></ul></div>",
+            "ul@last li@each(,)@text", "x,y",
+        ),
+        # nested matches spawn independent children
+        (
+            '<div class="c"><div class="x">o<div class="x">i</div>'
+            "t</div></div>",
+            "div.x@each(|)@text", "oit|i",
+        ),
+        # a sibling's sub-match must not leak into a closed child
+        (
+            '<div class="c"><p><b>1</b></p><p><b>2</b></p></div>',
+            "p@each(,) b@eq(0)@text", "1,2",
+        ),
+        # void each targets: attr projects, chain tail finds nothing
+        (
+            '<div class="c"><img src="a"><img src="b"></div>',
+            "img@each(,)@src", "a,b",
+        ),
+        (
+            '<div class="c"><img src="a"><img src="b"></div>',
+            "img@each(,) b@text", ",",
+        ),
+        # per-match from-end pick and inner-HTML
+        (
+            '<div class="c"><p><em>e1</em></p><p><em>x</em>'
+            "<em>y</em></p></div>",
+            "p@each(+) em@eq(-1)@text", "e1+y",
+        ),
+        (
+            '<div class="c"><p>a<b>bb</b></p><p>c</p></div>',
+            "p@each(|)@html", "a<b>bb</b>|c",
+        ),
+    ]
+    for html, spec, want in cases:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="div.c",
+            fields=("f",), field_css=(("f", spec),),
+        )
+        got = _apply_engine(html, er)
+        assert got == _css_items(html, er), spec
+        assert got[0]["f"] == want, spec
+
+
+def test_each_rejections_symmetric():
+    """Both parsers reject the same malformed @each specs."""
+    from pholcus_spark.extract import parse_field_spec
+
+    for bad in [
+        "li@each(|) a@each(,)@text",  # at most one @each
+        "@each(|)@text",              # each needs a selector
+        "a@each(|)@count",            # count must follow a bare selector
+    ]:
+        with pytest.raises(ValueError):
+            parse_field_spec(bad)
+        with pytest.raises(ValueError):
+            _oracle_parse_field_spec(bad)
 
 
 def test_structural_chars_inside_attribute_values():
