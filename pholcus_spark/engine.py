@@ -108,7 +108,13 @@ def paginate_expand(src: DataFrame, pr) -> DataFrame:
         cnt.isNotNull() & (last >= F.lit(pr.start)),
         F.sequence(F.lit(pr.start), last),
     ).otherwise(F.array().cast("array<int>"))
-    out = src.select("*", F.explode(pages).alias("_page"))
+    out = src.select("*", F.explode(pages).alias("_i"))
+    # affine page numbering (page_expr, jdSpider.go:84-97 dual-URL
+    # loops): '%d' receives mult*i + add; default (1,0) = i itself
+    mult, add = getattr(pr, "page_expr", (1, 0)) or (1, 0)
+    out = out.withColumn(
+        "_page", (F.col("_i") * F.lit(mult) + F.lit(add)).cast("int")
+    ).drop("_i")
     base = (
         F.coalesce(
             F.col("_data").getItem(pr.base_field), F.col("parent_url")

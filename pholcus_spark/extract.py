@@ -245,6 +245,9 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "cursor", ()) or ()),
             tuple(getattr(er, "cursor_require", ()) or ()),
             getattr(er, "out_rule", None) or "",
+            tuple(getattr(er, "require_equals", ()) or ()),
+            tuple(getattr(er, "forbid_fields", ()) or ()),
+            tuple(getattr(er, "item_slice", ()) or ()),
         )
         for er in extract_rules
     ]
@@ -293,6 +296,18 @@ def clean_html_py(v: str, depth: int = 5) -> str:
     return v
 
 
+_ATOI_RE = re.compile(r"^[+-]?\d+$", re.ASCII)
+
+
+def _atoi(v: str) -> int:
+    """Go ``strconv.Atoi`` with the reference rules' universal
+    ignore-the-error semantics (``num, _ := strconv.Atoi(txt)`` →
+    0 on any parse failure, googlesearch.go:108). No whitespace
+    tolerance, like Go — chain ``("trim",)`` first, as the reference
+    itself does (alibaba.go:78-79)."""
+    return int(v) if _ATOI_RE.match(v) else 0
+
+
 def compile_transforms(field_transforms: tuple) -> dict:
     """``ExtractRule.field_transforms`` spec → {field: str→str callable}.
 
@@ -334,6 +349,26 @@ def compile_transforms(field_transforms: tuple) -> dict:
                 repl = args[1]
                 n = args[2] if len(args) > 2 else 0
                 fns.append(lambda v, p=pat, r=repl, c=n: p.sub(r, v, count=c))
+            elif name == "regex_find":
+                # Go FindString / FindStringSubmatch[g]: first match's
+                # group g, '' when no match (jdsearch.go:72-74)
+                pat = re.compile(args[0], re.S)
+                g = args[1] if len(args) > 1 else 0
+                fns.append(
+                    lambda v, p=pat, g=g: (
+                        (m.group(g) or "") if (m := p.search(v)) else ""
+                    )
+                )
+            elif name == "default":
+                fns.append(lambda v, s=args[0]: v if v else s)
+            elif name == "prefix":
+                fns.append(lambda v, s=args[0]: s + v)
+            elif name == "suffix":
+                fns.append(lambda v, s=args[0]: v + s)
+            elif name == "int_add":
+                fns.append(lambda v, n=args[0]: str(_atoi(v) + n))
+            elif name == "ceil_div":
+                fns.append(lambda v, d=args[0]: str(-(-_atoi(v) // d)))
             elif name == "clean_html":
                 depth = args[0] if args else 5
                 fns.append(lambda v, d=depth: clean_html_py(v, d))
@@ -518,25 +553,44 @@ def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
         cursor = tuple(rest[4]) if len(rest) > 4 else ()
         curreq = tuple(rest[5]) if len(rest) > 5 else ()
         outrule = rest[6] if len(rest) > 6 else ""
+        reqeq = tuple(rest[7]) if len(rest) > 7 else ()
+        forbid = tuple(rest[8]) if len(rest) > 8 else ()
+        islice = tuple(rest[9]) if len(rest) > 9 else ()
         out.append(
             (rule, kind, key, fields, link_fields, carry, tf, tfx, emit,
-             req, fjson, cursor, curreq, outrule)
+             req, fjson, cursor, curreq, outrule, reqeq, forbid, islice)
         )
     return out
 
 
+def json_step(node, part: str):
+    """One gjson dot-path step: dict key, or — on a LIST — a decimal
+    ordinal (gjson path.go array access, ``"contents.0.mainContent"``,
+    the hollandandbarrett.go:128 nesting). Returns the marker
+    ``_JSON_MISS`` when the step cannot resolve."""
+    if isinstance(node, dict):
+        return node[part] if part in node else _JSON_MISS
+    if isinstance(node, list) and part.isdigit():
+        i = int(part)
+        return node[i] if i < len(node) else _JSON_MISS
+    return _JSON_MISS
+
+
+_JSON_MISS = object()
+
+
 def json_path_str(node, path: str) -> str:
     """gjson-style dot-path get over parsed JSON, stringified: dict
-    traversal only, missing/non-dict intermediate → "" (gjson's empty
-    Result.String()); string leaf as-is, other leaves JSON-serialized
-    (numbers/bools render like gjson's String(): 3 → "3",
-    true → "true")."""
+    keys and numeric LIST ordinals (gjson ``a.0.b``); missing /
+    unresolvable intermediate → "" (gjson's empty Result.String());
+    string leaf as-is, other leaves JSON-serialized (numbers/bools
+    render like gjson's String(): 3 → "3", true → "true")."""
     import json as json_mod
 
     for part in [p for p in path.split(".") if p]:
-        if not isinstance(node, dict) or part not in node:
+        node = json_step(node, part)
+        if node is _JSON_MISS:
             return ""
-        node = node[part]
     if node is None:
         return ""
     if isinstance(node, str):
@@ -672,9 +726,9 @@ def apply_rule_spec(
         except ValueError:
             return []
         for part in [p for p in key.split(".") if p]:
-            if not isinstance(node, dict) or part not in node:
+            node = json_step(node, part)
+            if node is _JSON_MISS:
                 return []
-            node = node[part]
         if not isinstance(node, list):
             return []
         items = []
@@ -870,11 +924,24 @@ def _apply_rules_for(
     row_carries: list[dict | None] = []
     for (
         r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit,
-        req, fjson, cursor, curreq, outrule,
+        req, fjson, cursor, curreq, outrule, reqeq, forbid, islice,
     ) in compiled:
         if r != rule:
             continue
         items = apply_rule_spec(text, kind, key, fields, fjson)
+        # item_slice: Each-loop ordinal gates over the RAW matches in
+        # document order (kaola.go:49-50 `if i == 0 { return }`,
+        # IJGUC.go:75 `if k%2 == 0`) — before transforms/guards.
+        # (start[, stop[, step]]) — NOT bare slice(*t), whose 1-arg
+        # form means stop
+        if islice:
+            items = items[
+                slice(
+                    islice[0],
+                    islice[1] if len(islice) > 1 else None,
+                    islice[2] if len(islice) > 2 else None,
+                )
+            ]
         # field_transforms run FIRST (the reference munges the local
         # variable before Output/AddQueue, fang_resell_list.go:74-135),
         # so temp merge / carries / links all see the final form
@@ -893,6 +960,26 @@ def _apply_rules_for(
         # locals, not GetTemp).
         if req:
             items = [it for it in items if all(it.get(f) for f in req)]
+        # forbid_fields: the inverse guard — a NON-empty listed field
+        # drops the item (wangyi.go:119-128's full-text redirect branch,
+        # alibaba.go:63-75's no-pagination fallback)
+        if forbid:
+            items = [
+                it for it in items if not any(it.get(f) for f in forbid)
+            ]
+        # require_equals: extracted value must equal the request temp's
+        # value (the car_home.go:55-57 / ganji_gongsi.go:54-56
+        # current-page probe `Find(".pages .cur").Text() !=
+        # strconv.Itoa(GetTemp("p"))`)
+        if reqeq:
+            items = [
+                it
+                for it in items
+                if all(
+                    it.get(f, "") == str((temp or {}).get(k) or "")
+                    for f, k in reqeq
+                )
+            ]
         if not _emit:
             # per-ITEM emit marker (see NOEMIT_KEY): this ExtractRule's
             # items drive links/carries/pagination but produce no

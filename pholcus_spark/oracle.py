@@ -1027,6 +1027,32 @@ def _oracle_transform_value(v: str, ops: tuple) -> str:
         elif name == "regex_sub":
             count = op[3] if len(op) > 3 else 0
             v = re_mod.sub(op[1], op[2], v, count=count, flags=re_mod.S)
+        elif name == "regex_find":
+            g = op[2] if len(op) > 2 else 0
+            m = re_mod.search(op[1], v, flags=re_mod.S)
+            v = (m.group(g) or "") if m else ""
+        elif name == "default":
+            v = v if v else op[1]
+        elif name == "prefix":
+            v = op[1] + v
+        elif name == "suffix":
+            v = v + op[1]
+        elif name in ("int_add", "ceil_div"):
+            # Go strconv.Atoi with ignored error (parse failure → 0);
+            # independent parse (sign-split digit check) vs the
+            # engine's anchored regex
+            body = v[1:] if v[:1] in ("+", "-") else v
+            n = (
+                int(v)
+                if body and body.isascii() and body.isdigit()
+                else 0
+            )
+            if name == "int_add":
+                v = str(n + op[1])
+            else:
+                import math as math_mod
+
+                v = str(math_mod.ceil(n / op[1]))
         elif name == "clean_html":
             # common.go:18-41 CleanHtml, interpreted inline (the engine
             # twin precompiles the chain in extract.clean_html_py)
@@ -1056,6 +1082,19 @@ def _transform_items(items: list[dict], er) -> list[dict]:
     """field_transforms over freshly-extracted items — runs BEFORE the
     crawl loop's temp merge / carry / link / paginate reads, mirroring
     the engine's ordering in extract._apply_rules_for."""
+    # item_slice: Each-loop ordinal gates over RAW matches in document
+    # order (kaola.go:49-50, IJGUC.go:75) — before transforms/guards
+    islice = tuple(getattr(er, "item_slice", ()) or ())
+    if islice:
+        # (start[, stop[, step]]) — bare slice(*t) would read a 1-tuple
+        # as stop
+        items = items[
+            slice(
+                islice[0],
+                islice[1] if len(islice) > 1 else None,
+                islice[2] if len(islice) > 2 else None,
+            )
+        ]
     specs = tuple(getattr(er, "field_transforms", ()) or ())
     for field, ops in specs:
         for it in items:
@@ -1068,6 +1107,11 @@ def _transform_items(items: list[dict], er) -> list[dict]:
     req = tuple(getattr(er, "require_fields", ()) or ())
     if req:
         items = [it for it in items if all(it.get(f) for f in req)]
+    # forbid_fields: inverse guard — any NON-empty listed field drops
+    # the item (wangyi.go:119-128, alibaba.go:63-75 branch pairs)
+    forbid = tuple(getattr(er, "forbid_fields", ()) or ())
+    if forbid:
+        items = [it for it in items if not any(it.get(f) for f in forbid)]
     return items
 
 
@@ -1144,9 +1188,20 @@ def _extract_items(page: dict, er) -> list[dict]:
         except ValueError:
             return []
         for part in [p for p in er.item_pattern.split(".") if p]:
-            if not isinstance(node, dict) or part not in node:
+            # dict key or decimal LIST ordinal (gjson a.0.b — the
+            # hollandandbarrett.go:128 records nesting); try/except
+            # index access vs the engine's bounds-checked json_step
+            if isinstance(node, dict):
+                node = node.get(part)
+            elif isinstance(node, list):
+                try:
+                    node = node[int(part)] if part.isdigit() else None
+                except IndexError:
+                    node = None
+            else:
+                node = None
+            if node is None:
                 return []
-            node = node[part]
         if not isinstance(node, list):
             return []
         fjson = dict(getattr(er, "field_json", ()) or ())
@@ -1156,7 +1211,13 @@ def _extract_items(page: dict, er) -> list[dict]:
             # an explicit reduce rather than the engine's loop form
             cur = el
             for part in filter(None, fjson.get(f, f).split(".")):
-                cur = cur.get(part) if isinstance(cur, dict) else None
+                if isinstance(cur, dict):
+                    cur = cur.get(part)
+                elif isinstance(cur, list) and part.isdigit():
+                    i = int(part)
+                    cur = cur[i] if i < len(cur) else None
+                else:
+                    cur = None
                 if cur is None:
                     return ""
             return (
@@ -1432,6 +1493,21 @@ def crawl(
                     if er.rule != req.rule:
                         continue
                     extracted = _extract_items(page, er)
+                    # require_equals: field must string-equal the
+                    # request temp's value (car_home.go:55-57 /
+                    # ganji_gongsi.go:54-56 current-page probe) —
+                    # after transforms/guards, before the temp merge
+                    reqeq = tuple(getattr(er, "require_equals", ()) or ())
+                    if reqeq:
+                        extracted = [
+                            d
+                            for d in extracted
+                            if all(
+                                d.get(f, "")
+                                == str((req.temp or {}).get(k) or "")
+                                for f, k in reqeq
+                            )
+                        ]
                     # temp_fields consumer merge (ctx.GetTemp in Output,
                     # shunfenghaitao.go:75): request temp overrides any
                     # same-named extracted field
@@ -1566,6 +1642,26 @@ def crawl(
                         for er in spec.extract_rules:
                             if er.rule == pr.rule:
                                 ex = _extract_items(page, er)
+                                # same require_equals gate the emission
+                                # path applies (a guarded probe rule's
+                                # dropped items expand no pages)
+                                _rq = tuple(
+                                    getattr(er, "require_equals", ())
+                                    or ()
+                                )
+                                if _rq:
+                                    ex = [
+                                        d
+                                        for d in ex
+                                        if all(
+                                            d.get(f, "")
+                                            == str(
+                                                (req.temp or {}).get(k)
+                                                or ""
+                                            )
+                                            for f, k in _rq
+                                        )
+                                    ]
                                 # same temp merge the emission path does:
                                 # count/base/carry fields may be
                                 # GetTemp-sourced (taobao.go:206-211)
@@ -1595,7 +1691,11 @@ def crawl(
                                 if pr.base_field is not None
                                 else req.url
                             )
-                            for pg in range(pr.start, last + 1):
+                            _mult, _add = (
+                                getattr(pr, "page_expr", (1, 0)) or (1, 0)
+                            )
+                            for i in range(pr.start, last + 1):
+                                pg = _mult * i + _add
                                 u = (
                                     pr.url_template % (base, pg)
                                     if "%s" in pr.url_template

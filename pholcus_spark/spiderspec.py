@@ -142,6 +142,27 @@ class ExtractRule:
     #       strings.Fields(v) (any-whitespace split, empties dropped)
     #       then part i — same guard semantics as split_pick.
     #   ("regex_sub", pattern, repl[, n])  re.sub, n=0 → all
+    #   ("regex_find", pattern[, group])
+    #       first match of pattern (re.search, DOTALL), projecting
+    #       capture group ``group`` (default 0 = whole match); no
+    #       match → "" — Go's re.FindString / FindStringSubmatch[g]
+    #       idiom (jdsearch.go:72-74 `[\d]+$` over the pager text,
+    #       IJGUC.go:110 "Title:(.*?)Author:")
+    #   ("default", s)            if the value is "" set it to s —
+    #       the reference's miss fallback (chinanews.go:115
+    #       `else { from = "未知" }`)
+    #   ("prefix", s) / ("suffix", s)
+    #       prepend/append a constant — the `url = "http:" + url` /
+    #       site-root join idiom (jdSpider.go:133, car_home.go:81)
+    #   ("int_add", n)            str(Atoi(v) + n): parse the value as
+    #       a decimal int with Go strconv.Atoi error semantics (any
+    #       parse failure → 0, the reference always ignores the err),
+    #       add n, restringify — the Temp p+1 next-page walk
+    #       (car_home.go:60, ganji_gongsi.go:60)
+    #   ("ceil_div", d)           str(ceil(Atoi(v) / d)), d > 0 — the
+    #       totalCount→pageCount arithmetic (googlesearch.go:109
+    #       ceil(num/10); chain ("int_add", -4), ("ceil_div", 44) for
+    #       taobaosearch.go:71-74's round-up division)
     #   ("clean_html"[, depth])   spidercommon.CleanHtml(v, depth)
     #       (common.go:18-41; depth default 5) — the reference's
     #       standard cleanup applied to extracted values before they
@@ -164,6 +185,31 @@ class ExtractRule:
     # extracted+transformed values, BEFORE the temp_fields merge (the
     # Go guard reads ParseFunc locals, never GetTemp).
     require_fields: tuple[str, ...] = ()
+    # forbid_fields: the inverse guard — drop the item when any listed
+    # field is NON-empty after transforms. The reference's
+    # if-this-exists-take-the-other-branch idiom: wangyi.go:119-128
+    # (a .ep-pages-all link present → AddQueue the full-text page and
+    # `return` before Output) and alibaba.go:63-75 (pagination tag
+    # absent → fall back to category links). Two ExtractRules sharing
+    # one rule name, one require_fields=(probe,) and one
+    # forbid_fields=(probe,), express the whole branch pair.
+    forbid_fields: tuple[str, ...] = ()
+    # require_equals: ((field, temp_key), ...) — keep the item only
+    # when each field's transformed value string-equals the request's
+    # temp value under temp_key (missing temp → ""). The reference's
+    # page-walk guard comparing extracted state against carried Temp:
+    # car_home.go:55-57 / ganji_gongsi.go:54-56
+    # `if Find(".pages .cur").Text() != strconv.Itoa(GetTemp("p"))
+    # { return }` — the conditional next-page probe. Runs after
+    # require_fields, before the temp_fields merge.
+    require_equals: tuple[tuple[str, str], ...] = ()
+    # item_slice: (start[, stop[, step]]) Python slice over the page's
+    # raw container matches in document order, applied BEFORE
+    # transforms/guards — the reference's Each-loop ordinal gates:
+    # kaola.go:49-50 `if i == 0 { return }` → (1,); IJGUC.go:75
+    # `if k%2 == 0` → (0, None, 2); car_home.go:110 `for i := 6; ...`
+    # → (6,). None = open end.
+    item_slice: tuple = ()
     # emit=False: a ParseFunc that never calls ctx.Output — the rule's
     # items drive link_fields / carry_fields / PaginateRule but produce
     # NO output rows (baidunews.go:121-136 "XML列表页": AddQueues each
@@ -253,6 +299,13 @@ class PaginateRule:
     # emitting item; entries are 'f' or ('src', 'dst') like
     # ExtractRule.carry_fields
     carry_fields: tuple = ()
+    # affine page numbering: the value substituted for '%d' is
+    # ``mult*i + add`` where i walks start..count — the reference's
+    # dual-URL loops enqueue pages 2i-1 and 2i per iteration
+    # (jdSpider.go:84-97, jdsearch.go:52-62: odd /Search pages + even
+    # async /s_new.php pages): declare TWO PaginateRules on the same
+    # rule with page_expr (2,-1) and (2,0). Default (1,0) = identity.
+    page_expr: tuple[int, int] = (1, 0)
 
 
 @dataclasses.dataclass(frozen=True)

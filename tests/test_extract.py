@@ -283,3 +283,209 @@ def test_cursor_emits_follow_up_with_gate():
     empty = '{"more": true, "data": []}'
     _, links3, _ = _apply_rules_for(compiled, empty, "r", "http://h/api?x=1")
     assert links3 == []
+
+
+def test_forbid_fields_guard_engine_and_oracle():
+    """forbid_fields (wangyi.go:119-128 full-text redirect branch /
+    alibaba.go:63-75 pagination fallback): a NON-empty listed field
+    drops the item in BOTH interpreters. Paired require/forbid rules
+    on one rule name express the whole if/else branch."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.oracle import _extract_items
+    from pholcus_spark.spiderspec import ExtractRule
+
+    paged = (
+        '<html><body><div class="a"><a class="all" href="/full">all'
+        "</a><h1>t</h1></div></body></html>"
+    )
+    plain = '<html><body><div class="a"><h1>t</h1></div></body></html>'
+    er_out = ExtractRule(
+        rule="r", kind="css", item_pattern="div.a",
+        fields=("title", "pageall"),
+        field_css=(("title", "h1@text"), ("pageall", "a.all@href")),
+        forbid_fields=("pageall",),
+    )
+    er_probe = ExtractRule(
+        rule="r", kind="css", item_pattern="div.a",
+        fields=("pageall",), field_css=(("pageall", "a.all@href"),),
+        require_fields=("pageall",), emit=False, link_fields=("pageall",),
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er_out, er_probe]))
+    items, links, _c = _apply_rules_for(
+        compiled, paged, "r", "http://h.test/p"
+    )
+    # paged variant: output suppressed, full-text link enqueued
+    assert [i for i in items if "\x00noemit" not in i] == []
+    assert links == ["http://h.test/full"]
+    assert _extract_items(
+        {"body": paged.encode(), "content_type": "text/html"}, er_out
+    ) == []
+    # plain variant: output emitted, no link
+    items2, links2, _c2 = _apply_rules_for(
+        compiled, plain, "r", "http://h.test/p"
+    )
+    assert [i for i in items2 if "\x00noemit" not in i] == [
+        {"title": "t", "pageall": ""}
+    ]
+    assert links2 == []
+
+
+def test_require_equals_temp_guard():
+    """require_equals (car_home.go:55-57 / ganji_gongsi.go:54-56): the
+    extracted current-page marker must equal the carried Temp value or
+    the item (and its children) vanish — in BOTH interpreters."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.spiderspec import ExtractRule
+
+    html = (
+        '<html><body><div class="pages"><span class="cur">3</span>'
+        '</div><a class="n" href="/o4">next</a></body></html>'
+    )
+    er = ExtractRule(
+        rule="r", kind="css", item_pattern="body",
+        fields=("cur", "nxt"),
+        field_css=(("cur", ".pages .cur@text"), ("nxt", "a.n@href")),
+        require_equals=(("cur", "p"),),
+        link_fields=("nxt",), emit=False,
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er]))
+    _i, links, _c = _apply_rules_for(
+        compiled, html, "r", "http://h.test/o3", temp={"p": "3"}
+    )
+    assert links == ["http://h.test/o4"]  # marker matches carried p
+    _i2, links2, _c2 = _apply_rules_for(
+        compiled, html, "r", "http://h.test/o9", temp={"p": "9"}
+    )
+    assert links2 == []  # redirected to an existing page: walk stops
+    _i3, links3, _c3 = _apply_rules_for(
+        compiled, html, "r", "http://h.test/o3", temp=None
+    )
+    assert links3 == []  # no temp at all → "" != "3"
+
+
+def test_item_slice_ordinal_gates():
+    """item_slice — the Each-loop ordinal gates: kaola.go:49-50 skips
+    i==0, IJGUC.go:75 keeps k%2==0; applied to RAW match ordinals
+    before transforms/guards, in BOTH interpreters."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.oracle import _extract_items
+    from pholcus_spark.spiderspec import ExtractRule
+
+    html = "<html><body>" + "".join(
+        f'<li><a href="/d{i}">t{i}</a></li>' for i in range(6)
+    ) + "</body></html>"
+    for islice, want in [
+        ((1,), ["t1", "t2", "t3", "t4", "t5"]),
+        ((0, None, 2), ["t0", "t2", "t4"]),
+        ((2, 4), ["t2", "t3"]),
+    ]:
+        er = ExtractRule(
+            rule="r", kind="css", item_pattern="li",
+            fields=("t",), field_css=(("t", "a@text"),),
+            item_slice=islice,
+        )
+        compiled = compile_rule_specs(rule_spec_tuples([er]))
+        items, _l, _c = _apply_rules_for(compiled, html, "r", "http://b/")
+        assert [i["t"] for i in items] == want, islice
+        page = {"body": html.encode(), "content_type": "text/html"}
+        assert _extract_items(page, er) == items, islice
+
+
+def test_numeric_and_regex_transforms_twins_agree():
+    """int_add / ceil_div (Go strconv.Atoi err→0 semantics),
+    regex_find, default, prefix/suffix — engine-compiled closures vs
+    the oracle's op-tuple interpreter on the same inputs."""
+    from pholcus_spark.extract import compile_transforms
+    from pholcus_spark.oracle import _oracle_transform_value
+
+    cases = [
+        ((("regex_find", r"[\d]+$"),), "of 99", "99"),
+        ((("regex_find", r"T:(.*?)A:", 1),), "T: x A:", " x "),
+        ((("regex_find", r"zzz"),), "abc", ""),
+        ((("default", "未知"),), "", "未知"),
+        ((("prefix", "http:"), ("suffix", "#c")), "//a/b", "http://a/b#c"),
+        ((("int_add", 1),), "7", "8"),
+        ((("int_add", 1),), "x7", "1"),       # Atoi err → 0
+        ((("int_add", 0),), " 5", "0"),       # Go: no whitespace
+        ((("int_add", 0),), "1_0", "0"),      # Go: no underscores
+        ((("int_add", -4), ("ceil_div", 44)), "48", "1"),
+        ((("int_add", -4), ("ceil_div", 44)), "49", "2"),
+        ((("ceil_div", 10),), "junk", "0"),
+    ]
+    for ops, v, want in cases:
+        eng = compile_transforms((("f", ops),))["f"](v)
+        orc = _oracle_transform_value(v, ops)
+        assert eng == orc == want, (ops, v, eng, orc)
+
+
+def test_json_numeric_array_indices():
+    """gjson-style numeric LIST ordinals in json paths (a.0.b) — the
+    hollandandbarrett.go:128 contents[0].mainContent[0].records
+    nesting — in the item path AND per-field field_json paths, both
+    interpreters; out-of-range → no items / ''."""
+    import json
+
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.oracle import _extract_items
+    from pholcus_spark.spiderspec import ExtractRule
+
+    doc = json.dumps(
+        {
+            "contents": [
+                {
+                    "mainContent": [
+                        {
+                            "records": [
+                                {"records": [{"attributes": {"Name": "a",
+                                              "lp": ["1"]}}]},
+                                {"records": [{"attributes": {"Name": "b"}}]},
+                            ]
+                        }
+                    ]
+                }
+            ]
+        }
+    )
+    er = ExtractRule(
+        rule="r", kind="json",
+        item_pattern="contents.0.mainContent.0.records",
+        fields=("name", "lp", "miss"),
+        field_json=(
+            ("name", "records.0.attributes.Name"),
+            ("lp", "records.0.attributes.lp.0"),
+            ("miss", "records.9.attributes.Name"),
+        ),
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er]))
+    items, _l, _c = _apply_rules_for(compiled, doc, "r", "http://b/")
+    assert items == [
+        {"name": "a", "lp": "1", "miss": ""},
+        {"name": "b", "lp": "", "miss": ""},
+    ]
+    page = {"body": doc.encode(), "content_type": "application/json"}
+    assert _extract_items(page, er) == items
+    # out-of-range item path → no items
+    er2 = ExtractRule(
+        rule="r", kind="json", item_pattern="contents.7.mainContent",
+        fields=("x",),
+    )
+    compiled2 = compile_rule_specs(rule_spec_tuples([er2]))
+    items2, _l2, _c2 = _apply_rules_for(compiled2, doc, "r", "http://b/")
+    assert items2 == []
+    assert _extract_items(page, er2) == []

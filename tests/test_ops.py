@@ -822,6 +822,22 @@ def test_paginate_expand_edges(spark):
         by_id.setdefault(r.id, 0)
         by_id[r.id] += 1
     assert by_id == {"a": 3, "b": 8}
+    # page_expr affine numbering (jdSpider.go:84-97 dual-URL loop):
+    # TWO PaginateRules on one rule generate odd /Search pages 2i-1
+    # and even /s_new pages 2i for i in 1..count-1
+    pr_odd = PaginateRule(
+        rule="r", count_field="n", url_template="%s?page=%d",
+        target_rule="t", start=1, max_pages=3, page_expr=(2, -1),
+    )
+    pr_even = PaginateRule(
+        rule="r", count_field="n", url_template="%s?async=%d",
+        target_rule="t", start=1, max_pages=3, page_expr=(2, 0),
+    )
+    odd = paginate_expand(src.where("id = 'a'"), pr_odd).collect()
+    even = paginate_expand(src.where("id = 'a'"), pr_even).collect()
+    assert sorted(r._page for r in odd) == [1, 3, 5]
+    assert sorted(r._page for r in even) == [2, 4, 6]
+    assert sorted(r.raw_link for r in odd)[0] == "http://h/x?page=1"
 
 
 def test_aspect_bucket_assignment(spark):
