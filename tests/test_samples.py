@@ -584,3 +584,103 @@ def test_zolpc_out_rule_sample_matches_oracle(spark):
         assert eng == orc
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_carhome_sample_matches_oracle(spark):
+    """The car_home port: require_equals conditional page walk (the
+    current-page marker must equal the carried Temp p), int_add+prefix
+    next-URL derivation, @each(|) anchor-title accumulation with
+    empty-slot collapse, and @each() multi-selection Text(). Engine ==
+    oracle on items AND url_seen; the redirect-past-last-page probe
+    page fetches but expands nothing."""
+    sys.path.insert(0, "samples")
+    from carhome_spider import (
+        CARHOME_SPIDER,
+        N_LIST_PAGES,
+        THREADS_PER_PAGE,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-carhome-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # pages 1..N fetched plus the cur-mismatch page N+1 (fetched,
+        # probe dropped) plus every thread
+        assert state["totals"]["fetched"] == (
+            N_LIST_PAGES + 1 + N_LIST_PAGES * THREADS_PER_PAGE
+        )
+        rows = catalog.read("items").collect()
+        assert len(rows) == N_LIST_PAGES * THREADS_PER_PAGE
+        for r in rows:
+            d = r["data"]
+            # Split("当前积分：")[1] — digits only
+            assert d["当前积分"].isdigit()
+            # the Each-loop join: exactly the two titled car anchors,
+            # stat/所属/leftimgs slots collapsed away
+            assert d["关注的车"].count("|") == 1
+            assert d["关注的车"].startswith("车型A")
+            assert "品牌" not in d["关注的车"]  # 所属 row skipped
+            assert d["注册时间"].startswith("2015-")
+            # multi-selection Text(): every .conleft@eq(0) anchor text
+            assert d["作者"].startswith("用户")
+            assert d["作者"].endswith("A品牌文字B")
+        res = testkit.run_oracle(build_corpus(), CARHOME_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_kaola_sample_matches_oracle(spark):
+    """The kaola port: item_slice=(1,) skipping the Each loop's i==0
+    home tab, href-IsSome require guard, and the two-hop goodsType
+    temp relay (producer carry → list re-carry → detail temp_fields).
+    Engine == oracle on items AND url_seen."""
+    sys.path.insert(0, "samples")
+    from kaola_spider import (
+        GOODS_PER_SECTION,
+        KAOLA_SPIDER,
+        SECTIONS,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-kaola-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # home + sections + products; the skipped tab and the
+        # hrefless tab never crawl
+        n_products = len(SECTIONS) * GOODS_PER_SECTION
+        assert state["totals"]["fetched"] == 1 + len(SECTIONS) + n_products
+        rows = catalog.read("items").collect()
+        assert len(rows) == n_products
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["data"]["goodsType"], 0)
+            by_type[r["data"]["goodsType"]] += 1
+        # goodsType survived BOTH hops (tab → list → detail)
+        assert by_type == {s: GOODS_PER_SECTION for s in SECTIONS}
+        res = testkit.run_oracle(build_corpus(), KAOLA_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
