@@ -675,9 +675,11 @@ class CrawlEngine:
             else self.catalog.read("frontier")
         )
 
-        if state["queued_count"] == 0:
+        if state["queued_count"] <= 0:
             # requeue and termination decisions read the durable url_seen —
-            # flush pending deltas first
+            # flush pending deltas first (<=: a drifted counter — e.g. a
+            # fetcher answering one request with several rows — must
+            # still terminate, never spin on an empty frontier)
             self._flush(state)
             if state["failed_wait_count"] > 0 and self.config.requeue_failures:
                 self._requeue_failures(state, frontier)
@@ -1282,7 +1284,15 @@ class CrawlEngine:
                 if state["max_page"] is not None
                 else None
             ),
-            queued_count=state["queued_count"] - wave_size + n_children,
+            # an EMPTY wave despite queued_count > 0 is counter drift
+            # (selection takes a non-empty prefix whenever any queued
+            # row exists — budget >= 1 per host): trust the frontier,
+            # not the counter, or the loop would spin forever
+            queued_count=(
+                n_children
+                if wave_size == 0
+                else state["queued_count"] - wave_size + n_children
+            ),
             failed_wait_count=state["failed_wait_count"]
             + (n_failed - n_perm_failed),
         )

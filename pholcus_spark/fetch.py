@@ -109,6 +109,30 @@ class FixtureFetcher:
             self.pages = self.pages.withColumn(
                 "fail_attempts", F.lit(None).cast("int")
             )
+        # fixture contract: one page row per (url, post body). A
+        # duplicate would DOUBLE every wave row through the left join —
+        # downstream counters drift and the run never terminates. Fail
+        # loudly at construction instead (test-only fetcher: the eager
+        # count is fine here).
+        dup = (
+            self.pages.groupBy(
+                "_page_url",
+                *(
+                    ["_page_post"]
+                    if "_page_post" in self.pages.columns
+                    else []
+                ),
+            )
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"FixtureFetcher: duplicate page row for url "
+                f"{dup[0]['_page_url']!r} — one row per (url, post_data)"
+            )
 
     def _join(self, wave: DataFrame, pages: DataFrame) -> DataFrame:
         cond = wave["url"] == pages["_page_url"]

@@ -684,3 +684,112 @@ def test_kaola_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_jd_sample_matches_oracle(spark):
+    """The jd port (jdSpider.go; lewa.go is a byte-identical copy):
+    page_count scanned from ALL script tags via @each()@text +
+    regex_find, then TWO PaginateRules with page_expr (2,-1)/(2,0)
+    generating the odd /Search and even /s_new.php page pairs. Engine
+    == oracle on items AND url_seen."""
+    sys.path.insert(0, "samples")
+    from jd_spider import ITEMS_PER_PAGE, JD_SPIDER, build_corpus, run
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-jd-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # seed + 6 generated pages (the odd i=1 child IS the seed URL
+        # again, refetched under 搜索结果 — distinct dedup key)
+        assert state["totals"]["fetched"] == 7
+        rows = catalog.read("items").collect()
+        # result pages 2..6 carry items; page 1 is the script page and
+        # the titleless decoys are guarded out
+        assert len(rows) == 5 * ITEMS_PER_PAGE
+        assert all(r["data"]["链接"].startswith("http://item.jd.test/")
+                   for r in rows)
+        assert all(r["data"]["标题"].startswith("商品 ") for r in rows)
+        odd = [r for r in rows if "/Search" in r["url"]]
+        even = [r for r in rows if "/s_new.php" in r["url"]]
+        assert len(odd) == 2 * ITEMS_PER_PAGE  # pages 3, 5
+        assert len(even) == 3 * ITEMS_PER_PAGE  # pages 2, 4, 6
+        res = testkit.run_oracle(build_corpus(), JD_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_fixture_fetcher_rejects_duplicate_page_rows(spark):
+    """A duplicate (url, post_data) fixture row would double every
+    wave row through the fetch left-join and drift the scheduler's
+    queued counter (the run then never terminates) — the fetcher must
+    fail loudly at construction instead."""
+    import pytest
+
+    from pholcus_spark.fetch import FixtureFetcher
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h.test/a", "h.test", 200, False, "text/html", b"x"),
+            ("http://h.test/a", "h.test", 200, False, "text/html", b"y"),
+        ],
+        "url string, host string, status int, flaky boolean, "
+        "content_type string, body binary",
+    )
+    with pytest.raises(ValueError, match="duplicate page row"):
+        FixtureFetcher(pages)
+
+
+def test_chinanews_sample_matches_oracle(spark):
+    """The chinanews port: pagination nav fan-out, 3-value Temp carry
+    renamed onto output columns, mixed protocol-relative/site-relative
+    hrefs through absolutization, and the strings.Cut 来源 chain
+    (regex_find + replace + trim + default 未知). Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from chinanews_spider import (
+        CHINANEWS_SPIDER,
+        N_LIST_PAGES,
+        NEWS_PER_PAGE,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-chinanews-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # news1 fetches twice: once as the seed (滚动新闻 reads only
+        # the nav) and once via its own pagebox link under 新闻列表
+        n_details = N_LIST_PAGES * NEWS_PER_PAGE
+        assert state["totals"]["fetched"] == 1 + N_LIST_PAGES + n_details
+        rows = catalog.read("items").collect()
+        assert len(rows) == n_details
+        for r in rows:
+            d = r["data"]
+            assert d["类别"] == "社会"
+            assert d["来源"] in ("某网", "某社")  # Cut + strip + trim
+            assert "参与互动" not in d["来源"]
+            assert d["标题"].startswith("标题 ")
+            assert d["内容"].startswith("正文 ")
+        res = testkit.run_oracle(build_corpus(), CHINANEWS_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
