@@ -248,6 +248,7 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "require_equals", ()) or ()),
             tuple(getattr(er, "forbid_fields", ()) or ()),
             tuple(getattr(er, "item_slice", ()) or ()),
+            tuple(getattr(er, "const_fields", ()) or ()),
         )
         for er in extract_rules
     ]
@@ -556,9 +557,11 @@ def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
         reqeq = tuple(rest[7]) if len(rest) > 7 else ()
         forbid = tuple(rest[8]) if len(rest) > 8 else ()
         islice = tuple(rest[9]) if len(rest) > 9 else ()
+        consts = tuple(rest[10]) if len(rest) > 10 else ()
         out.append(
             (rule, kind, key, fields, link_fields, carry, tf, tfx, emit,
-             req, fjson, cursor, curreq, outrule, reqeq, forbid, islice)
+             req, fjson, cursor, curreq, outrule, reqeq, forbid, islice,
+             consts)
         )
     return out
 
@@ -925,6 +928,7 @@ def _apply_rules_for(
     for (
         r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit,
         req, fjson, cursor, curreq, outrule, reqeq, forbid, islice,
+        consts,
     ) in compiled:
         if r != rule:
             continue
@@ -942,6 +946,12 @@ def _apply_rules_for(
                     islice[2] if len(islice) > 2 else None,
                 )
             ]
+        # const_fields: literal output columns (area_codes.go:91-96
+        # level/parent constants) — set before transforms
+        if consts:
+            for it in items:
+                for f, v in consts:
+                    it[f] = v
         # field_transforms run FIRST (the reference munges the local
         # variable before Output/AddQueue, fang_resell_list.go:74-135),
         # so temp merge / carries / links all see the final form

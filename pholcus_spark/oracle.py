@@ -1095,6 +1095,10 @@ def _transform_items(items: list[dict], er) -> list[dict]:
                 islice[2] if len(islice) > 2 else None,
             )
         ]
+    # const_fields: literal output columns, before transforms
+    for f, v in tuple(getattr(er, "const_fields", ()) or ()):
+        for it in items:
+            it[f] = v
     specs = tuple(getattr(er, "field_transforms", ()) or ())
     for field, ops in specs:
         for it in items:

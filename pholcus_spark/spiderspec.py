@@ -203,6 +203,11 @@ class ExtractRule:
     # { return }` — the conditional next-page probe. Runs after
     # require_fields, before the temp_fields merge.
     require_equals: tuple[tuple[str, str], ...] = ()
+    # const_fields: ((field, literal), ...) — fields emitted with a
+    # constant value on every item, before transforms. The reference's
+    # Output-a-literal idiom (area_codes.go:91-96 `0: a.Text(), ...,
+    # 2: 0, 3: 0` — the level/parent constants of the top division).
+    const_fields: tuple[tuple[str, str], ...] = ()
     # item_slice: (start[, stop[, step]]) Python slice over the page's
     # raw container matches in document order, applied BEFORE
     # transforms/guards — the reference's Each-loop ordinal gates:

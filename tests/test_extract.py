@@ -489,3 +489,28 @@ def test_json_numeric_array_indices():
     items2, _l2, _c2 = _apply_rules_for(compiled2, doc, "r", "http://b/")
     assert items2 == []
     assert _extract_items(page, er2) == []
+
+
+def test_const_fields_literals():
+    """const_fields (area_codes.go:91-96 Output literals): constant
+    columns on every item, set before transforms, both interpreters."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.oracle import _extract_items
+    from pholcus_spark.spiderspec import ExtractRule
+
+    html = '<html><body><li><a href="/d1">n1</a></li></body></html>'
+    er = ExtractRule(
+        rule="r", kind="css", item_pattern="li",
+        fields=("名称", "级别", "上级"),
+        field_css=(("名称", "a@text"),),
+        const_fields=(("级别", "0"), ("上级", "0")),
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er]))
+    items, _l, _c = _apply_rules_for(compiled, html, "r", "http://b/")
+    assert items == [{"名称": "n1", "级别": "0", "上级": "0"}]
+    page = {"body": html.encode(), "content_type": "text/html"}
+    assert _extract_items(page, er) == items

@@ -793,3 +793,90 @@ def test_chinanews_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_people_sample_matches_oracle(spark):
+    """The people port: a kind="json" index (json.Unmarshal of
+    index.js) fanning one detail request per array element with the
+    four-temp AddQueue map, landed as output columns by temp_fields.
+    Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from people_spider import N_NEWS, PEOPLE_SPIDER, build_corpus, run
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-people-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        assert state["totals"]["fetched"] == 1 + N_NEWS
+        rows = catalog.read("items").collect()
+        assert len(rows) == N_NEWS
+        for r in rows:
+            d = r["data"]
+            assert d["ID"].isdigit()
+            assert d["类别"] in ("1001", "1002")
+            assert d["ReleaseTime"].startswith("2018-08-")
+            assert d["内容"].startswith("人民网正文")
+        res = testkit.run_oracle(build_corpus(), PEOPLE_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_area_codes_sample_matches_oracle(spark):
+    """The area_codes port: the recursive division walk as level-bound
+    rules — const_fields level literals, the short-code parent relay
+    (carry → temp → 上级 column), td-pair and villagetr-triple row
+    projections. Engine == oracle on all three levels."""
+    sys.path.insert(0, "samples")
+    from area_codes_spider import (
+        AREA_SPIDER,
+        CITIES_PER_PROVINCE,
+        N_PROVINCES,
+        VILLAGES_PER_CITY,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-areacodes-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        n_cities = N_PROVINCES * CITIES_PER_PROVINCE
+        assert state["totals"]["fetched"] == 1 + N_PROVINCES + n_cities
+        rows = catalog.read("items").collect()
+        by_level = {}
+        for r in rows:
+            by_level.setdefault(r["data"]["级别"], []).append(r["data"])
+        assert len(by_level["0"]) == N_PROVINCES
+        assert len(by_level["1"]) == n_cities
+        assert len(by_level["2"]) == n_cities * VILLAGES_PER_CITY
+        # the parent relay: every city's 上级 is a province short code,
+        # every village's 上级 is its city's short code
+        assert {d["上级"] for d in by_level["0"]} == {"0"}
+        assert {d["上级"] for d in by_level["1"]} == {
+            str(p) for p in range(11, 11 + N_PROVINCES)
+        }
+        for d in by_level["2"]:
+            assert d["代码"].startswith(d["上级"])
+        res = testkit.run_oracle(build_corpus(), AREA_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
