@@ -400,8 +400,14 @@ class CrawlEngine:
             # seed Temp carry (baidunews.go:96-103 AddQueue from Root
             # with Temp {"src": k}): rides the frontier row and merges
             # into items via temp_fields like any request temp
-            temp = {k: str(v) for k, v in (s.get("temp") or {}).items()}
             for k in parse_keyins(s.get("keyin", "") or "") or [""]:
+                # keyin tokens substitute in temp VALUES too (the
+                # reference builds Temps from keyin-derived locals,
+                # googlesearch.go:89 / alibaba's paginate base)
+                temp = {
+                    tk: apply_keyin(str(tv), k)
+                    for tk, tv in (s.get("temp") or {}).items()
+                }
                 spider = fanout_spider_name(s["spider"], k)
                 url = canonicalize_url(apply_keyin(s["url"], k))
                 host = host_of(url)

@@ -370,6 +370,15 @@ def compile_transforms(field_transforms: tuple) -> dict:
                 fns.append(lambda v, n=args[0]: str(_atoi(v) + n))
             elif name == "ceil_div":
                 fns.append(lambda v, d=args[0]: str(-(-_atoi(v) // d)))
+            elif name in ("temp_prefix", "temp_suffix"):
+                # compose with the REQUEST temp's value (the
+                # GetTemp-built URL idiom, hollandandbarrett.go:92-100
+                # baseUrl + "?showAll=" + total): the only ops with
+                # request context — transforms run before the
+                # temp_fields item merge, so a temp can compose here
+                # without ordering paradoxes. Kept as marker tuples;
+                # _chain resolves them against the temp it is given.
+                fns.append((name, args[0]))
             elif name == "clean_html":
                 depth = args[0] if args else 5
                 fns.append(lambda v, d=depth: clean_html_py(v, d))
@@ -384,9 +393,13 @@ def compile_transforms(field_transforms: tuple) -> dict:
             else:
                 raise ValueError(f"unknown transform op {name!r}")
 
-        def _chain(v: str, fns=tuple(fns)) -> str:
+        def _chain(v: str, temp=None, fns=tuple(fns)) -> str:
             for f in fns:
-                v = f(v)
+                if isinstance(f, tuple):  # temp-context op
+                    tval = str((temp or {}).get(f[1]) or "")
+                    v = tval + v if f[0] == "temp_prefix" else v + tval
+                else:
+                    v = f(v)
             return v
 
         out[field] = _chain
@@ -959,7 +972,7 @@ def _apply_rules_for(
             for it in items:
                 for f, fn in tfx.items():
                     if f in it:
-                        it[f] = fn(it[f])
+                        it[f] = fn(it[f], temp)
         # require_fields guard: drop the whole item when any listed
         # field is empty AFTER transforms — the reference's
         # skip-before-Output idiom (baidusearch.go:46-48 `if title ==

@@ -994,7 +994,7 @@ def _xml_items(text: str, er) -> list[dict]:
     return items
 
 
-def _oracle_transform_value(v: str, ops: tuple) -> str:
+def _oracle_transform_value(v: str, ops: tuple, temp=None) -> str:
     """Independent interpreter for ``ExtractRule.field_transforms``
     (spiderspec documents the op grammar; the engine compiles the same
     spec into closures in extract.compile_transforms — this one
@@ -1037,6 +1037,9 @@ def _oracle_transform_value(v: str, ops: tuple) -> str:
             v = op[1] + v
         elif name == "suffix":
             v = v + op[1]
+        elif name in ("temp_prefix", "temp_suffix"):
+            tval = str((temp or {}).get(op[1]) or "")
+            v = tval + v if name == "temp_prefix" else v + tval
         elif name in ("int_add", "ceil_div"):
             # Go strconv.Atoi with ignored error (parse failure → 0);
             # independent parse (sign-split digit check) vs the
@@ -1078,7 +1081,7 @@ def _oracle_transform_value(v: str, ops: tuple) -> str:
     return v
 
 
-def _transform_items(items: list[dict], er) -> list[dict]:
+def _transform_items(items: list[dict], er, temp=None) -> list[dict]:
     """field_transforms over freshly-extracted items — runs BEFORE the
     crawl loop's temp merge / carry / link / paginate reads, mirroring
     the engine's ordering in extract._apply_rules_for."""
@@ -1103,7 +1106,7 @@ def _transform_items(items: list[dict], er) -> list[dict]:
     for field, ops in specs:
         for it in items:
             if field in it:
-                it[field] = _oracle_transform_value(it[field], ops)
+                it[field] = _oracle_transform_value(it[field], ops, temp)
     # require_fields guard (baidusearch.go:46-48 skip-before-Output):
     # an item with any required field empty vanishes — no output, no
     # AddQueue children, no paginate count. Post-transforms,
@@ -1162,7 +1165,7 @@ def _root_json_str(page: dict, path: str) -> str:
     return json_mod.dumps(node, separators=(",", ":"))
 
 
-def _extract_items(page: dict, er) -> list[dict]:
+def _extract_items(page: dict, er, temp=None) -> list[dict]:
     """Apply one ExtractRule to a fixture page: charset-decode the body,
     regex over the text, one item per match, named groups → fields
     (HTML-unescaped, missing groups → '')."""
@@ -1179,9 +1182,9 @@ def _extract_items(page: dict, er) -> list[dict]:
     except LookupError:
         text = (page.get("body") or b"").decode("utf-8", errors="replace")
     if getattr(er, "kind", "regex") == "css":
-        return _transform_items(_css_items(text, er), er)
+        return _transform_items(_css_items(text, er), er, temp)
     if getattr(er, "kind", "regex") == "xml":
-        return _transform_items(_xml_items(text, er), er)
+        return _transform_items(_xml_items(text, er), er, temp)
     if getattr(er, "kind", "regex") == "json":
         # independent re-implementation of the json kind (dot-path to
         # the items array; non-string field values JSON-stringified)
@@ -1263,14 +1266,14 @@ def _extract_items(page: dict, er) -> list[dict]:
                         for f in er.fields
                     }
                 )
-        return _transform_items(out, er)
+        return _transform_items(out, er, temp)
     out = []
     for match in re_mod.finditer(er.item_pattern, text, re_mod.S):
         gd = match.groupdict()
         out.append(
             {f: html_mod.unescape(gd.get(f) or "") for f in er.fields}
         )
-    return _transform_items(out, er)
+    return _transform_items(out, er, temp)
 
 
 def crawl(
@@ -1344,10 +1347,17 @@ def crawl(
     for s in seeds:
         keyins = parse_keyins(s.get("keyin", "") or "") or [""]
         method = (s.get("method", "GET") or "GET").upper()
-        seed_temp = {k: str(v) for k, v in (s.get("temp") or {}).items()} or None
         for k in keyins:
             spider = fanout_spider_name(s["spider"], k)
             url = canonicalize_url(apply_keyin(s["url"], k))
+            # keyin tokens substitute in temp VALUES too — the
+            # reference builds AddQueue Temps from keyin-derived
+            # locals (googlesearch.go:89 baseUrl; alibaba's paginate
+            # base carries the gbk-escaped keyword)
+            seed_temp = {
+                tk: apply_keyin(str(tv), k)
+                for tk, tv in (s.get("temp") or {}).items()
+            } or None
             push(
                 Req(
                     spider=spider,
@@ -1496,7 +1506,7 @@ def crawl(
                 for er in spec.extract_rules:
                     if er.rule != req.rule:
                         continue
-                    extracted = _extract_items(page, er)
+                    extracted = _extract_items(page, er, req.temp)
                     # require_equals: field must string-equal the
                     # request temp's value (car_home.go:55-57 /
                     # ganji_gongsi.go:54-56 current-page probe) —
@@ -1645,7 +1655,7 @@ def crawl(
                         pag_items: list[dict] = []
                         for er in spec.extract_rules:
                             if er.rule == pr.rule:
-                                ex = _extract_items(page, er)
+                                ex = _extract_items(page, er, req.temp)
                                 # same require_equals gate the emission
                                 # path applies (a guarded probe rule's
                                 # dropped items expand no pages)

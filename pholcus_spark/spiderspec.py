@@ -406,6 +406,9 @@ KEYIN_TOKEN = "%keyin%"
 # googlesearch/jdsearch alike): search seeds embed the keyin in a query
 # string, which must be percent-encoded
 KEYIN_ESC_TOKEN = "%keyin_esc%"
+# percent-escaped GBK-encoded keyin — the spidercommon.EncodeString
+# (keyin, "gbk") seed idiom (alibaba.go:49)
+KEYIN_GBK_TOKEN = "%keyin_gbk%"
 
 
 def apply_keyin(url: str, keyin: str) -> str:
@@ -416,4 +419,13 @@ def apply_keyin(url: str, keyin: str) -> str:
 
         # Go's url.QueryEscape: space → '+', everything else %XX
         url = url.replace(KEYIN_ESC_TOKEN, quote_plus(keyin))
+    if KEYIN_GBK_TOKEN in url:
+        from urllib.parse import quote
+
+        # spidercommon.EncodeString(keyin, "gbk") (alibaba.go:49):
+        # percent-escaped GBK bytes (gb18030 = the strict superset
+        # registry codec, matching the decode side)
+        url = url.replace(
+            KEYIN_GBK_TOKEN, quote(keyin.encode("gb18030"), safe="")
+        )
     return url.replace(KEYIN_TOKEN, keyin)

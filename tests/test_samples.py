@@ -880,3 +880,121 @@ def test_area_codes_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_ganji_sample_matches_oracle(spark):
+    """The ganji_gongsi port (the reference repo's own 典型规则示例):
+    the require_equals page walk, the label-dispatch Each loop as one
+    @each blob re-read by six regex_find columns, and FileOutput with
+    a Temp-derived name (公司 carried onto the images caption). Engine
+    == oracle on items, images AND url_seen."""
+    sys.path.insert(0, "samples")
+    from ganji_spider import (
+        COMPANIES_PER_PAGE,
+        GANJI_SPIDER,
+        N_LIST_PAGES,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-ganji-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        n_companies = N_LIST_PAGES * COMPANIES_PER_PAGE
+        # list pages + the cur-mismatch probe + companies + phone PNGs
+        assert state["totals"]["fetched"] == (
+            N_LIST_PAGES + 1 + 2 * n_companies
+        )
+        rows = catalog.read("items").collect()
+        assert len(rows) == n_companies
+        for r in rows:
+            d = r["data"]
+            assert d["公司"].startswith("晨光文具")
+            assert "推广" not in d["公司"]      # triple-space cut
+            assert d["规模"].endswith("人")
+            assert d["地址"].startswith("深圳市")
+            assert "地图" not in d["地址"]
+            assert d["简介"].startswith("主营文具批发")
+        imgs = catalog.read("images").collect()
+        assert len(imgs) == n_companies
+        assert all(i.valid for i in imgs)
+        # the FileOutput name carry: every phone image captioned with
+        # its company (ganji_gongsi.go:124 Temp{"n": 公司+...})
+        assert {i.caption for i in imgs} == {d["data"]["公司"] for d in rows}
+        res = testkit.run_oracle(build_corpus(), GANJI_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        # image set + captions agree with the oracle too
+        eng_imgs = {(i.url, i.caption) for i in imgs}
+        orc_imgs = {(i["url"], i["caption"]) for i in res.images}
+        assert eng_imgs == orc_imgs
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_alibaba_sample_matches_oracle(spark):
+    """The alibaba port: %keyin_gbk% seed token (percent-escaped GBK,
+    substituted in the temp'd paginate base too), gbk-served bodies
+    through the transcode path, the two structurally-exclusive
+    branches (data-total-page paginate vs typemore category fallback),
+    and ctx.Parse via out_rule. Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from alibaba_spider import (
+        ALIBABA_SPIDER,
+        ITEMS_PER_PAGE,
+        KEYIN_PAGED,
+        KEYIN_REDIR,
+        TOTAL_PAGES,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-alibaba-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # paged keyin: seed + pages 2..TOTAL; redirect keyin: seed +
+        # 2 categories
+        assert state["totals"]["fetched"] == (TOTAL_PAGES) + (1 + 2)
+        rows = catalog.read("items").collect()
+        by_spider = {}
+        for r in rows:
+            by_spider.setdefault(r["spider"], []).append(r)
+        paged = by_spider[f"alibaba__{KEYIN_PAGED}"]
+        redir = by_spider[f"alibaba__{KEYIN_REDIR}"]
+        assert len(paged) == TOTAL_PAGES * ITEMS_PER_PAGE
+        assert len(redir) == 2 * ITEMS_PER_PAGE
+        # every item decoded from gbk correctly and relabeled 搜索结果
+        assert {r["rule"] for r in rows} == {"搜索结果"}
+        assert all(r["data"]["地址"] == "广东 深圳" for r in rows)
+        assert all(r["data"]["公司"].startswith("公司") for r in rows)
+        res = testkit.run_oracle(build_corpus(), ALIBABA_SPIDER)
+        eng = {
+            (r.spider, r.rule, r.url, tuple(sorted(r.data.items())))
+            for r in rows
+        }
+        orc = {
+            (i.get("spider") or "", i["rule"], i["url"],
+             tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        # oracle items may not carry spider; compare modulo when absent
+        if any(s == "" for s, *_ in orc):
+            eng = {t[1:] for t in eng}
+            orc = {t[1:] for t in orc}
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
