@@ -323,6 +323,15 @@ def compile_transforms(field_transforms: tuple) -> dict:
             if name == "trim":
                 chars = args[0] if args else None
                 fns.append(lambda v, c=chars: v.strip(c))
+            elif name in ("trim_left", "trim_right"):
+                # Go strings.TrimLeft/TrimRight: CUTSET semantics
+                # (googlesearch.go:144 TrimLeft(href, "/url?q="))
+                chars = args[0]
+                fns.append(
+                    (lambda v, c=chars: v.lstrip(c))
+                    if name == "trim_left"
+                    else (lambda v, c=chars: v.rstrip(c))
+                )
             elif name == "replace":
                 old, new = args[0], args[1]
                 n = args[2] if len(args) > 2 else -1

@@ -1005,6 +1005,10 @@ def _oracle_transform_value(v: str, ops: tuple, temp=None) -> str:
         name = op[0]
         if name == "trim":
             v = v.strip(op[1]) if len(op) > 1 else v.strip()
+        elif name == "trim_left":
+            v = v.lstrip(op[1])
+        elif name == "trim_right":
+            v = v.rstrip(op[1])
         elif name == "replace":
             count = op[3] if len(op) > 3 else -1
             v = v.replace(op[1], op[2], count)

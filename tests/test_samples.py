@@ -998,3 +998,142 @@ def test_alibaba_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_holland_sample_matches_oracle(spark):
+    """The hollandandbarrett port: regex count-carve with nested named
+    groups (one capture → three fields: the count, the temp-composed
+    sweep URL, the N=="0" stop guard), gjson numeric ordinals through
+    the deep records nesting, fmt.Sprint bracket trims, nil→"0"
+    default, and a two-hop type carry. Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from holland_spider import HOLLAND_SPIDER, SECTIONS, build_corpus, run
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-holland-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        live = [s for s in SECTIONS if s[2] > 0]
+        # home + one probe per section + one sweep per NON-empty one
+        assert state["totals"]["fetched"] == 1 + len(SECTIONS) + len(live)
+        rows = catalog.read("items").collect()
+        assert len(rows) == sum(n for _p, _t, n in live)
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r["data"]["分类"], []).append(r["data"])
+        assert {t for _p, t, n in live} == set(by_type)
+        for _p, t, n in live:
+            assert len(by_type[t]) == n
+        for r in rows:
+            d = r["data"]
+            assert "[" not in d["标题"] and '"' not in d["标题"]
+            assert d["星级"].isdigit()  # nil → "0"
+            assert d["原价"].endswith(".49")
+        res = testkit.run_oracle(build_corpus(), HOLLAND_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_ijguc_sample_matches_oracle(spark):
+    """The IJGUC port: the 1..7 id loop as one selector group, the
+    td-Eq(1)/table-Eq(1)/k%2 ordinal walk as nth-child containers +
+    item_slice step, and the Label:(.*?)Next: regex ladder over one
+    #col1 projection (with the Address(es) fallback alternation).
+    Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from ijguc_spider import (
+        ARTICLES_PER_ISSUE,
+        IJGUC_SPIDER,
+        N_ISSUES,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-ijguc-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        n_articles = N_ISSUES * ARTICLES_PER_ISSUE
+        # index + live issue pages + kept (even-ordinal) articles; the
+        # PDF decoys and the empty eventbody slots never crawl
+        assert state["totals"]["fetched"] == 1 + N_ISSUES + n_articles
+        rows = catalog.read("items").collect()
+        assert len(rows) == n_articles
+        for r in rows:
+            d = r["data"]
+            assert d["Title"].strip().startswith("Grid Paper")
+            assert d["Journal"].strip() == "IJGUC Vol 7"
+            assert d["DOI"].startswith("10.1504/IJGUC.2016.")
+            assert d["Author"].strip().startswith("A. Researcher")
+        res = testkit.run_oracle(build_corpus(), IJGUC_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_google_sample_matches_oracle(spark):
+    """The googlesearch port: the sequential mirror probe as a
+    PARALLEL seed race (dead mirrors land in the failure history, the
+    live one proceeds), the resultStats ceil_div/limit arithmetic,
+    page_expr=(10,0) start offsets, TrimLeft cutset semantics and
+    ctx.Parse via out_rule. Engine == oracle incl. failures."""
+    sys.path.insert(0, "samples")
+    from google_spider import (
+        GOOGLE_SPIDER,
+        LIMIT,
+        MIRRORS,
+        RESULTS_PER_PAGE,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-google-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # live probe + LIMIT-1 offset pages fetched; 2 dead mirrors
+        assert state["totals"]["fetched"] == 1 + (LIMIT - 1)
+        assert state["totals"]["failed"] >= 2
+        rows = catalog.read("items").collect()
+        # the probe page itself parses as search_results (ctx.Parse)
+        assert len(rows) == LIMIT * RESULTS_PER_PAGE
+        assert {r["rule"] for r in rows} == {"search_results"}
+        for r in rows:
+            d = r["data"]
+            assert d["href"].startswith("http://site")  # TrimLeft'd
+            assert d["title"].startswith("Result ")
+        fails = {r.key for r in catalog.read("failures_final").collect()}
+        assert len(fails) == len(MIRRORS) - 1
+        res = testkit.run_oracle(build_corpus(), GOOGLE_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        assert fails == set(res.failed_final)
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
