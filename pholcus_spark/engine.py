@@ -919,16 +919,18 @@ class CrawlEngine:
             # never enter the JVM plan (metadata filtered FIRST: filters
             # do not push through mapInPandas)
             parsed = self.fetcher.parse_pages(
-                fetched.where(_html_filter), self.spec.extract_rules
+                fetched.where(_html_filter), self.spec.extract_rules,
+                getattr(self.spec, "carry_concat", ()) or (),
             ).persist()
         else:
             html_ok = fetched_full.where(_html_filter)
             parsed = (
                 html_ok.withColumn(
                     "_ex",
-                    extract_all_vec(self.spec.extract_rules)(
-                        "body", "content_type", "url", "rule", "temp"
-                    ),
+                    extract_all_vec(
+                        self.spec.extract_rules,
+                        getattr(self.spec, "carry_concat", ()) or (),
+                    )("body", "content_type", "url", "rule", "temp"),
                 )
                 .withColumns(
                     {

@@ -249,6 +249,8 @@ def rule_spec_tuples(extract_rules) -> list[tuple]:
             tuple(getattr(er, "forbid_fields", ()) or ()),
             tuple(getattr(er, "item_slice", ()) or ()),
             tuple(getattr(er, "const_fields", ()) or ()),
+            tuple(getattr(er, "dynamic_kv", ()) or ()),
+            tuple(getattr(er, "carve", ()) or ()),
         )
         for er in extract_rules
     ]
@@ -536,21 +538,29 @@ def parse_field_spec(spec: str) -> tuple[list[tuple[str, int]], str]:
 
 
 def _compile_css_spec(pat: str, fields: tuple, field_css: tuple):
-    """(container-chains, [(field, [(sub-chains, index)], projection)])
-    — an empty segment list means project from the container element
-    itself; each segment is a goquery Find+Eq/Last step."""
+    """(container-chains, [(field, [(sub-chains, index)], projection,
+    is_root)]) — an empty segment list means project from the container
+    element itself; each segment is a goquery Find+Eq/Last step. A spec
+    with a leading ``^`` is ROOT-anchored: evaluated once per PAGE from
+    the document root instead of per container — the reference's
+    page-level lookups mixed into row rules (wangyi.go:73
+    ``query.Find(".titleBar h2").Text()`` while the rows iterate
+    ``.tabContents tr``; ``query`` is the document)."""
     from . import css as css_mod
 
     container = css_mod.compile_selector(pat)
     projections = []
     fc = dict(field_css)
     for f in fields:
-        segments, proj = parse_field_spec(fc.get(f, "@text"))
+        spec = fc.get(f, "@text")
+        is_root = spec.startswith("^")
+        segments, proj = parse_field_spec(spec[1:] if is_root else spec)
         projections.append(
             (
                 f,
                 [(css_mod.compile_selector(s), idx) for s, idx in segments],
                 proj,
+                is_root,
             )
         )
     return container, projections
@@ -580,10 +590,15 @@ def compile_rule_specs(specs: list[tuple]) -> list[tuple]:
         forbid = tuple(rest[8]) if len(rest) > 8 else ()
         islice = tuple(rest[9]) if len(rest) > 9 else ()
         consts = tuple(rest[10]) if len(rest) > 10 else ()
+        dynkv = tuple(rest[11]) if len(rest) > 11 else ()
+        carve = tuple(rest[12]) if len(rest) > 12 else ()
+        if carve:
+            carve = (re.compile(carve[0], re.S),
+                     carve[1] if len(carve) > 1 else 1)
         out.append(
             (rule, kind, key, fields, link_fields, carry, tf, tfx, emit,
              req, fjson, cursor, curreq, outrule, reqeq, forbid, islice,
-             consts)
+             consts, dynkv, carve)
         )
     return out
 
@@ -709,11 +724,22 @@ def apply_rule_spec(
 
         container, projections = key
         root = css_mod.parse_html(text)
+        # root-anchored fields (^spec): once per page, from the
+        # document root
+        root_vals = {
+            f: _project_css(css_mod, root, segments, proj)
+            for f, segments, proj, is_root in projections
+            if is_root
+        }
         items = []
         for node in css_mod.select(root, container):
             row = {
-                f: _project_css(css_mod, node, segments, proj)
-                for f, segments, proj in projections
+                f: (
+                    root_vals[f]
+                    if is_root
+                    else _project_css(css_mod, node, segments, proj)
+                )
+                for f, segments, proj, is_root in projections
             }
             items.append(row)
         return items
@@ -861,7 +887,7 @@ EXTRACT_FULL_TYPE = StructType(
 )
 
 
-def extract_all_vec(extract_rules=()):
+def extract_all_vec(extract_rules=(), carry_concat=()):
     """The fully-fused page parse: links + figures + user ExtractRule
     items + rule-emitted links (``link_fields`` — ctx.AddQueue from
     rule data, avatar.go:95-101) in ONE decoded-body pass and one
@@ -906,7 +932,7 @@ def extract_all_vec(extract_rules=()):
                 ]
             )
             row_items, row_links, row_carries = _apply_rules_for(
-                compiled, text, r, u, tp
+                compiled, text, r, u, tp, carry_concat
             )
             dsl_out.append(row_items)
             dlinks_out.append(row_links)
@@ -925,7 +951,8 @@ def extract_all_vec(extract_rules=()):
 
 
 def _apply_rules_for(
-    compiled, text: str, rule: str, base_url: str, temp: dict | None = None
+    compiled, text: str, rule: str, base_url: str, temp: dict | None = None,
+    carry_concat: tuple = (),
 ):
     """All compiled ExtractRules matching `rule` over one decoded page:
     (items, link_fields-emitted links in item order, per-link carry
@@ -950,11 +977,19 @@ def _apply_rules_for(
     for (
         r, kind, key, fields, link_fields, carry_fields, tfs, tfx, _emit,
         req, fjson, cursor, curreq, outrule, reqeq, forbid, islice,
-        consts,
+        consts, dynkv, carve,
     ) in compiled:
         if r != rule:
             continue
-        items = apply_rule_spec(text, kind, key, fields, fjson)
+        # carve: the embedded-JSON pre-step (taobaosearch.go:146-160) —
+        # the kind parses the regex-extracted span; no match → nothing
+        page_text = text
+        if carve:
+            m = carve[0].search(text)
+            if m is None:
+                continue
+            page_text = m.group(carve[1]) or ""
+        items = apply_rule_spec(page_text, kind, key, fields, fjson)
         # item_slice: Each-loop ordinal gates over the RAW matches in
         # document order (kaola.go:49-50 `if i == 0 { return }`,
         # IJGUC.go:75 `if k%2 == 0`) — before transforms/guards.
@@ -1012,6 +1047,18 @@ def _apply_rules_for(
                     for f, k in reqeq
                 )
             ]
+        # dynamic_kv: zip the joined key/value lists into runtime item
+        # columns (UpsertItemField, context.go:246-253 /
+        # taobaosearch.go:158-198); empty keys skipped, shortest list
+        # bounds (the Go loop), source fields dropped
+        if dynkv:
+            kf, vf, dsep = dynkv
+            for it in items:
+                ks = (it.pop(kf, "") or "").split(dsep)
+                vs = (it.pop(vf, "") or "").split(dsep)
+                for k2, v2 in zip(ks, vs):
+                    if k2:
+                        it[k2] = v2
         if not _emit:
             # per-ITEM emit marker (see NOEMIT_KEY): this ExtractRule's
             # items drive links/carries/pagination but produce no
@@ -1082,6 +1129,30 @@ def _apply_rules_for(
                 if val:
                     row_links.append(cursor_url(base_url, cursor[1], val))
                     row_carries.append(None)
+    if carry_concat and row_links:
+        # within-page carry merge (wangyi.go:74-90 urls_top[url] +=
+        # label+":"+rank+","): when one URL is emitted several times on
+        # a page, the listed carry keys CONCATENATE across emissions in
+        # emission order into the FIRST occurrence's temp (later dups
+        # are dropped by the push dedup anyway — this makes the
+        # surviving row carry the accumulated value). Page-local, like
+        # the reference's per-ParseFunc map; cross-page dups stay
+        # first-wins via history dedup.
+        first_at: dict[str, int] = {}
+        keep_links: list[str] = []
+        keep_carries: list[dict | None] = []
+        for link, carry in zip(row_links, row_carries):
+            if link not in first_at:
+                first_at[link] = len(keep_links)
+                keep_links.append(link)
+                keep_carries.append(dict(carry) if carry else carry)
+            else:
+                tgt = keep_carries[first_at[link]]
+                if carry and tgt is not None:
+                    for ck in carry_concat:
+                        if ck in carry:
+                            tgt[ck] = (tgt.get(ck) or "") + carry[ck]
+        row_links, row_carries = keep_links, keep_carries
     return row_items, row_links, row_carries
 
 
@@ -1115,7 +1186,7 @@ def extract_all_udf(
     return pd.DataFrame({"out_links": links_out, "figures": figs_out})
 
 
-def parse_pages_kernel(extract_rules=()):
+def parse_pages_kernel(extract_rules=(), carry_concat=()):
     """Body-store kernel (bodystore.map_bodies): one decoded-body pass
     computing out_links + figures + user ExtractRule items inside the
     task that read the bytes — html bodies never enter the JVM plan
@@ -1158,7 +1229,7 @@ def parse_pages_kernel(extract_rules=()):
                 ]
             )
             row_items, row_links, row_carries = _apply_rules_for(
-                compiled, text, r, u, tp
+                compiled, text, r, u, tp, carry_concat
             )
             dsl_out.append(row_items)
             dlinks_out.append(row_links)

@@ -231,7 +231,9 @@ class StoreFetcher(FixtureFetcher):
         prefers fetch_meta + per-branch attach_bodies."""
         return self.attach_bodies(self.fetch_meta(wave))
 
-    def parse_pages(self, meta: DataFrame, extract_rules=()) -> DataFrame:
+    def parse_pages(
+        self, meta: DataFrame, extract_rules=(), carry_concat=()
+    ) -> DataFrame:
         """Fused read+parse: the body-read task itself runs the
         link/figure/ExtractRule extraction and returns only the parsed
         columns — html bodies never enter the JVM plan (the html analog
@@ -244,7 +246,7 @@ class StoreFetcher(FixtureFetcher):
         ) + ", " + PARSE_EXTRA_DDL
         return self.store.map_bodies(
             meta,
-            parse_pages_kernel(extract_rules),
+            parse_pages_kernel(extract_rules, carry_concat),
             schema,
             n_tasks=self.store.n_buckets,
         )

@@ -663,9 +663,23 @@ def _css_items(text: str, er) -> list[dict]:
 
     container = _oracle_parse_selector(er.item_pattern)
     fc = dict(getattr(er, "field_css", ()) or ())
-    projections = [
-        (f,) + _oracle_parse_field_spec(fc.get(f, "@text"))
-        for f in er.fields
+    projections = []
+    root_projs = []  # ^-anchored: once per page, from the document
+    for f in er.fields:
+        spec = fc.get(f, "@text")
+        if spec.startswith("^"):
+            root_projs.append(
+                (f,) + _oracle_parse_field_spec(spec[1:])
+            )
+        else:
+            projections.append(
+                (f,) + _oracle_parse_field_spec(spec)
+            )
+    # page-level machines for root-anchored fields: floored at -1 (the
+    # virtual document container), live from the first event
+    root_machines = [
+        (f, _FieldMachine(stages, proj, -1, {}, False))
+        for f, stages, proj in root_projs
     ]
 
     done: list[tuple[int, dict]] = []
@@ -694,10 +708,15 @@ def _css_items(text: str, er) -> list[dict]:
         # below may anchor/re-anchor machines on THIS element, and a
         # @last re-anchor wipes the buffer we just appended to — the
         # fresh capture correctly starts empty)
+        for _f, m in root_machines:
+            m.on_markup(tag, amap, void)
         for cap in captures:
             for m in cap.machines:
                 m.on_markup(tag, amap, void)  # no-op when no live buffer
-        # feed existing captures' field machines
+        # feed existing captures' field machines (+ the page-level
+        # root-anchored machines, floored at the virtual document)
+        for _f, m in root_machines:
+            m.feed(path, depth, void, amap, -1)
         for cap in captures:
             for m in cap.machines:
                 m.feed(path, depth, void, amap, cap.depth)
@@ -728,6 +747,8 @@ def _css_items(text: str, er) -> list[dict]:
                     del counters[i + 1 :]
                     break
             new_depth = len(stack)
+            for _f, m in root_machines:
+                m.on_close(new_depth)
             for cap in list(captures):
                 if cap.depth >= new_depth:
                     for m in cap.machines:
@@ -742,6 +763,8 @@ def _css_items(text: str, er) -> list[dict]:
             if not data:
                 return
             esc_cache = [None]
+            for _f, m in root_machines:
+                m.on_data(data, esc_cache)
             for cap in captures:
                 for m in cap.machines:
                     m.on_data(data, esc_cache)
@@ -752,7 +775,18 @@ def _css_items(text: str, er) -> list[dict]:
     for cap in list(captures):  # unclosed containers at EOF
         finalize(cap)
     done.sort(key=lambda t: t[0])
-    return [row for _s, row in done]
+    rows = [row for _s, row in done]
+    if root_machines:
+        root_vals = {f: m.result() for f, m in root_machines}
+        order = list(er.fields)
+        rows = [
+            {
+                f: (root_vals[f] if f in root_vals else row[f])
+                for f in order
+            }
+            for row in rows
+        ]
+    return rows
 
 
 def oracle_main_content(html_text: str) -> str:
@@ -1123,6 +1157,16 @@ def _transform_items(items: list[dict], er, temp=None) -> list[dict]:
     forbid = tuple(getattr(er, "forbid_fields", ()) or ())
     if forbid:
         items = [it for it in items if not any(it.get(f) for f in forbid)]
+    # dynamic_kv: zipped runtime columns (UpsertItemField twin)
+    dynkv = tuple(getattr(er, "dynamic_kv", ()) or ())
+    if dynkv:
+        kf, vf, dsep = dynkv
+        for it in items:
+            ks = (it.pop(kf, "") or "").split(dsep)
+            vs = (it.pop(vf, "") or "").split(dsep)
+            for k2, v2 in zip(ks, vs):
+                if k2:
+                    it[k2] = v2
     return items
 
 
@@ -1185,6 +1229,14 @@ def _extract_items(page: dict, er, temp=None) -> list[dict]:
         text = (page.get("body") or b"").decode(charset, errors="replace")
     except LookupError:
         text = (page.get("body") or b"").decode("utf-8", errors="replace")
+    carve = tuple(getattr(er, "carve", ()) or ())
+    if carve:
+        # embedded-JSON pre-step twin (taobaosearch.go:146-160): the
+        # kind parses the regex-carved span; no match → no items
+        cm = re_mod.search(carve[0], text, re_mod.S)
+        if cm is None:
+            return []
+        text = cm.group(carve[1] if len(carve) > 1 else 1) or ""
     if getattr(er, "kind", "regex") == "css":
         return _transform_items(_css_items(text, er), er, temp)
     if getattr(er, "kind", "regex") == "xml":
@@ -1574,7 +1626,24 @@ def crawl(
                                 dsl_links.append(link)
                                 if carry is not None:
                                     c = canonicalize_url_safe(link)
-                                    if c is not None:
+                                    if c is None:
+                                        continue
+                                    cc = tuple(
+                                        getattr(spec, "carry_concat", ())
+                                        or ()
+                                    )
+                                    if cc and c in dsl_carry:
+                                        # page-local accumulate
+                                        # (wangyi.go:74-90): listed keys
+                                        # concatenate in emission order
+                                        merged = dict(dsl_carry[c])
+                                        for k2, v2 in carry.items():
+                                            if k2 in cc:
+                                                merged[k2] = (
+                                                    merged.get(k2) or ""
+                                                ) + v2
+                                        dsl_carry[c] = merged
+                                    else:
                                         dsl_carry[c] = carry
                     # cursor pagination twin (wukongwenda.go:125-141):
                     # one follow-up — page URL with the cursor param

@@ -69,7 +69,8 @@ def rule_fields_df(spark, spec) -> DataFrame:
 
 
 def export_items_csv(
-    items: DataFrame, out_dir: str, field_order=None, sub_field=None
+    items: DataFrame, out_dir: str, field_order=None, sub_field=None,
+    dynamic_rules=(),
 ) -> None:
     """CSV export of the items table, one partition dir per
     (spider, rule) — the namespace__subnamespace contract.
@@ -100,6 +101,24 @@ def export_items_csv(
     )
     for rule, fields in field_order.items():
         sub = items.where(F.col("rule") == rule)
+        if rule in (dynamic_rules or ()):
+            # UpsertItemField rules (ExtractRule.dynamic_kv): runtime
+            # columns appended after the declared ItemFields, SORTED
+            # (deterministic -- the reference appends in first-upsert
+            # order, which is scheduling-dependent across pages,
+            # context.go:246-253). One distinct-keys aggregation over
+            # the map keys; the key universe is small by construction
+            # (attribute names), never the row count.
+            extra = sorted(
+                r[0]
+                for r in sub.select(
+                    F.explode(F.map_keys("data")).alias("k")
+                )
+                .distinct()
+                .collect()
+                if r[0] not in fields
+            )
+            fields = tuple(fields) + tuple(extra)
         cols = [
             F.try_element_at(F.col("data"), F.lit(f)).alias(f) for f in fields
         ]

@@ -203,6 +203,28 @@ class ExtractRule:
     # { return }` — the conditional next-page probe. Runs after
     # require_fields, before the temp_fields merge.
     require_equals: tuple[tuple[str, str], ...] = ()
+    # carve: ("pattern"[, group]) — regex-carve the decoded body
+    # BEFORE kind parsing: the page becomes re.search(pattern).group
+    # (group default 1; no match → no items). The reference's
+    # embedded-JSON idiom — carve the array out of an HTML <script>
+    # then Unmarshal it (taobaosearch.go:146-160 `"auctions":...`
+    # FindString + two ReplaceAllString + json.Unmarshal;
+    # hollandandbarrett and jd carve counts the same way). Composes
+    # with kind="json": item_pattern walks the CARVED document.
+    carve: tuple = ()
+    # dynamic_kv: ("keys_field", "values_field", sep) — RUNTIME item
+    # columns, the reference's ctx.UpsertItemField surface
+    # (context.go:246-253; taobaosearch.go:158-198: parse attribute
+    # (name, value) pairs off the page, upsert each name into
+    # ItemFields and set r[name] = value). The two named fields hold
+    # sep-JOINED parallel lists (author them with @each projections
+    # sharing the separator); after transforms/guards they are zipped
+    # — empty-key pairs skipped, shortest list wins (the Go loop's
+    # bounds) — merged into the item's data map, and the two source
+    # fields are dropped. Sinks order dynamic columns AFTER the static
+    # ItemFields, sorted (deterministic; the reference's first-upsert
+    # order is scheduling-dependent across pages).
+    dynamic_kv: tuple = ()
     # const_fields: ((field, literal), ...) — fields emitted with a
     # constant value on every item, before transforms. The reference's
     # Output-a-literal idiom (area_codes.go:91-96 `0: a.Text(), ...,
@@ -347,6 +369,14 @@ class SpiderSpec:
     # engine's items table always keeps the rule column; the sink layer
     # (sinks.export_items_csv / export_items_xlsx sub_field=) applies it
     sub_namespace_field: str | None = None
+    # carry_concat: temp keys that CONCATENATE (emission order) when
+    # one URL is emitted several times on a page — the reference's
+    # accumulate-ranks-into-a-map idiom (wangyi.go:74-90
+    # ``urls_top[url] += topTit[n]+":"+top+","`` across six rank tabs,
+    # then one AddQueue per distinct URL). Page-local, like the Go
+    # map; other temp keys keep the first emission's value; cross-page
+    # duplicates stay first-wins via history dedup.
+    carry_concat: tuple[str, ...] = ()
     # static extra request headers sent with EVERY fetch — the
     # reference's `request.Request{Header: http.Header{...}}` when the
     # values are constants (avatar.go / alibaba.go / taobao.go set the
@@ -371,9 +401,17 @@ class SpiderSpec:
         Feeds the rule_fields dimension for ordered sink columns."""
         out = {r: ("image_id", "caption") for r in self.item_rules}
         for er in self.extract_rules:
+            fields = er.fields
+            dynkv = tuple(getattr(er, "dynamic_kv", ()) or ())
+            if dynkv:
+                # the joined key/value source fields never reach the
+                # item (dynamic_kv pops them after zipping)
+                fields = tuple(
+                    f for f in fields if f not in (dynkv[0], dynkv[1])
+                )
             # out_rule items land under the delegated rule name, so
             # sink column order keys there (ctx.Parse → SetRuleName)
-            out[er.out_rule or er.rule] = er.fields
+            out[er.out_rule or er.rule] = fields
         return out
 
 

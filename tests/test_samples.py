@@ -1137,3 +1137,137 @@ def test_google_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_taobaosearch_sample_matches_oracle(spark):
+    """The taobaosearch port: carve (regex pre-step) + kind=json over
+    an embedded auctions array, the totalCount ceil((N-4)/44)/limit
+    page arithmetic with s=44i offsets, a five-field CreateItem carry,
+    and UpsertItemField as dynamic_kv — runtime item columns differing
+    per product. Engine == oracle; the CSV sink appends the sorted
+    union of dynamic columns after the declared ItemFields."""
+    import csv
+    import glob
+
+    sys.path.insert(0, "samples")
+    from taobaosearch_spider import (
+        AUCTIONS_PER_PAGE,
+        LIMIT,
+        TBS_SPIDER,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+    from pholcus_spark.sinks import export_items_csv
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-tbs-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # count page + 2 generated pages + details
+        n_details = LIMIT * AUCTIONS_PER_PAGE
+        assert state["totals"]["fetched"] == LIMIT + n_details
+        rows = catalog.read("items").collect()
+        assert len(rows) == n_details
+        for r in rows:
+            d = r["data"]
+            assert d["标题"].startswith("机械键盘")   # carried statics
+            assert d["品牌"].startswith("雷柏")       # dynamic column
+            assert d["连接方式"] == "有线"
+            assert "_ks" not in d and "_vs" not in d  # sources dropped
+            # fullwidth-space padding trimmed on the padded row
+            if "轴体" in d:
+                assert d["轴体"] == d["轴体"].strip(" 　")
+        # the two runtime columns are product-dependent
+        assert any("键数" in r["data"] for r in rows)
+        assert any("轴体" in r["data"] for r in rows)
+        res = testkit.run_oracle(build_corpus(), TBS_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+        # sink contract: declared ItemFields first, then the SORTED
+        # union of runtime columns (the deterministic UpsertItemField
+        # append, context.go:246-253)
+        out = tempfile.mkdtemp(prefix="pholcus-tbs-csv-")
+        try:
+            export_items_csv(
+                catalog.read("items"), out,
+                field_order=TBS_SPIDER.item_fields(),
+                dynamic_rules=("商品详情",),
+            )
+            csvs = glob.glob(f"{out}/rule=商品详情/**/*.csv", recursive=True)
+            assert csvs
+            with open(csvs[0], newline="") as fh:
+                header = next(csv.reader(fh))
+            # spider is a partition column (partitionBy), not a file
+            # column — declared ItemFields lead the header
+            assert header[:5] == ["标题", "价格", "销量", "店铺", "发货地"]
+            dyn = header[5 : header.index("Url")]
+            assert dyn == sorted(dyn)
+            assert set(dyn) == {"品牌", "连接方式", "键数", "轴体"}
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_wangyi_sample_matches_oracle(spark):
+    """The wangyi port: the urls_top rank-map accumulation — the
+    reference's driver-local Go map as carry_concat (page-local merge
+    of duplicate links' carries in tab order), per-tab topTit[n] label
+    rules with item_slice header skips, a ^root-anchored page-title
+    field inside row rules, and the full-text redirect as a
+    require/forbid branch pair with Temp re-carry. Engine == oracle."""
+    sys.path.insert(0, "samples")
+    from wangyi_spider import (
+        N_BOARDS,
+        TOP_TITLES,
+        WANGYI_SPIDER,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-wangyi-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # hub + boards + 3 articles per board + 1 full-text per board
+        assert state["totals"]["fetched"] == 1 + N_BOARDS + N_BOARDS * 4
+        rows = catalog.read("items").collect()
+        assert len(rows) == N_BOARDS * 3
+        hot = [r for r in rows if r["url"].endswith("0.html")]
+        assert len(hot) == N_BOARDS
+        for r in hot:
+            # the accumulation: the hot article ranks in EVERY tab, in
+            # tab order (wangyi.go:87 urls_top[url] += ...)
+            ranks = r["data"]["排名"]
+            assert ranks == "".join(
+                f"{t}:{n + 1}," for n, t in enumerate(TOP_TITLES)
+            )
+        for r in rows:
+            d = r["data"]
+            assert d["类别"] == "新闻榜单"     # ^root-anchored field
+            assert d["ReleaseTime"].startswith("2016-07-")
+            assert "来源" not in d["ReleaseTime"]
+            # paged articles output only via their -all full page
+            if "-all" not in r["url"]:
+                assert not r["url"].endswith("1.html")
+        res = testkit.run_oracle(build_corpus(), WANGYI_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
