@@ -884,11 +884,16 @@ class CrawlEngine:
                 from .proxy import assign_user_agent
 
                 wave_out = assign_user_agent(wave_out, self.config.ua_mode)
-            fetched_full = self.fetcher.fetch(wave_out).persist()
-            self._harvest_cookies(fetched_full)
+            fetched_cached = self.fetcher.fetch(wave_out).persist()
+            # the PERSISTED handle must be the one unpersisted later:
+            # uncacheQuery matches on plan identity, so unpersisting the
+            # .drop() projection below would strand the cached parent
+            # (one wave of raw bodies leaked per superstep)
+            self._pending_unpersist.append(fetched_cached)
+            self._harvest_cookies(fetched_cached)
             # session/transport columns leave the plan here: downstream
             # stores / unions see the exact pre-attach schema
-            fetched_full = fetched_full.drop(
+            fetched_full = fetched_cached.drop(
                 "cookie", "set_cookies", "proxy", "ua", "hdr"
             )
             fetched = fetched_full

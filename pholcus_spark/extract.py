@@ -206,8 +206,6 @@ def extract_article_udf(texts: pd.Series) -> pd.Series:
     return texts.map(extract_article)
 
 
-ITEMS_TYPE = ArrayType(MapType(StringType(), StringType()))
-
 # hidden marker key tagging items produced by an emit=False ExtractRule
 # (a ParseFunc that never calls ctx.Output): the fused parse flattens
 # every same-named rule's items into ONE dsl_items array, so emit is
@@ -648,9 +646,17 @@ def cursor_url(base: str, param: str, value: str) -> str:
     an independent algorithm)."""
     from urllib.parse import quote
 
-    stripped = re.sub(
-        r"([?&])" + re.escape(param) + r"=[^&]*&?", r"\1", base
-    ).rstrip("?&")
+    # to fixpoint: one pass leaves a second adjacent occurrence behind
+    # (its separator was consumed by the first match — '?p=1&p=2' kept
+    # a stale 'p=2' ahead of the appended fresh cursor)
+    pat = re.compile(r"([?&])" + re.escape(param) + r"=[^&]*&?")
+    stripped = base
+    while True:
+        nxt = pat.sub(r"\1", stripped)
+        if nxt == stripped:
+            break
+        stripped = nxt
+    stripped = stripped.rstrip("?&")
     sep = "&" if "?" in stripped else "?"
     return stripped + sep + param + "=" + quote(str(value), safe="")
 
@@ -826,44 +832,12 @@ def apply_rule_spec(
     ]
 
 
-def extract_items_vec(
-    extract_rules,
-):
-    """Vectorized applier for user-authored ExtractRules (the
-    ParseFunc/goquery replacement, ``spider.go:48-58``): returns a
-    pandas UDF (body, content_type, url, rule) → array<map> of items.
-
-    The rules are captured as plain tuples so the closure ships to
-    executors; regex patterns compile once per task. One decoded-body
-    pass per row regardless of rule count.
-    """
-    specs = rule_spec_tuples(extract_rules)
-
-    @pandas_udf(ITEMS_TYPE)
-    def _udf(
-        bodies: pd.Series,
-        content_types: pd.Series,
-        base_urls: pd.Series,
-        rules: pd.Series,
-    ) -> pd.Series:
-        compiled = compile_rule_specs(specs)
-        out = []
-        for b, ct, _u, r in zip(bodies, content_types, base_urls, rules):
-            row_items: list[dict] = []
-            if b is not None:
-                text = None
-                for rule, kind, key, fields, *_rest in compiled:
-                    if rule != r:
-                        continue
-                    if text is None:
-                        text = decode_body(b, ct)
-                    row_items.extend(
-                        apply_rule_spec(text, kind, key, fields, _rest[6])
-                    )
-            out.append(row_items)
-        return pd.Series(out)
-
-    return _udf
+# NOTE: an earlier `extract_items_vec` standalone items UDF was removed:
+# it applied raw rule specs WITHOUT the per-rule pipeline the engine's
+# fused parse runs (field_transforms, require/forbid guards, item_slice,
+# const_fields, carve, dynamic_kv), so it silently produced different
+# items than the engine for the same ExtractRules. The engine path
+# (`udf_for` / the fused parse) is the one extraction surface.
 
 
 EXTRACT_ALL_TYPE = StructType(

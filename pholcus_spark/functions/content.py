@@ -76,11 +76,16 @@ def common_parse(html: str) -> str:
     last_in_body: dict = {"h1": None, "h2": None, "h3": None}
     last_any: dict = {"h1": None, "h2": None, "h3": None}
     nested_body = None
-    order: list = [(c, False) for c in root.children if isinstance(c, css_mod.HtmlNode)]
-    i = 0
-    while i < len(order):
-        node, under = order[i]
-        i += 1
+    # explicit-stack preorder (document order): list-middle insertion
+    # (`order[i:i] = kids`) would be O(n²) element moves on a
+    # 10^4-node page inside this Arrow-batched UDF hot path
+    stack: list = [
+        (c, False)
+        for c in reversed(root.children)
+        if isinstance(c, css_mod.HtmlNode)
+    ]
+    while stack:
+        node, under = stack.pop()
         if node.tag == "body":
             has_body = True
             if under and nested_body is None:
@@ -90,10 +95,11 @@ def common_parse(html: str) -> str:
             last_any[node.tag] = node
             if under:
                 last_in_body[node.tag] = node
-        kids = [
-            (c, under) for c in node.children if isinstance(c, css_mod.HtmlNode)
-        ]
-        order[i:i] = kids
+        stack.extend(
+            (c, under)
+            for c in reversed(node.children)
+            if isinstance(c, css_mod.HtmlNode)
+        )
     heads = last_in_body if has_body else last_any
     for level in ("h1", "h2", "h3"):
         if heads[level] is not None:

@@ -218,13 +218,24 @@ async def async_fetch_one(
             while True:
                 hdrs = dict(headers)
                 if extra_headers:
+                    present = {k.lower() for k in hdrs}
                     for k, v in extra_headers.items():
-                        if k.lower() == "cookie":
+                        kl = k.lower()
+                        if kl == "cookie":
                             extra_cookie = v  # merged below, home-host only
-                        else:
-                            hdrs.setdefault(k, v)
-                if ua:
-                    hdrs.setdefault("User-Agent", ua)
+                        elif kl not in present:
+                            # case-insensitive setdefault: never emit two
+                            # differently-cased copies of one header
+                            hdrs[k] = v
+                            present.add(kl)
+                if ua and not any(
+                    k.lower() == "user-agent" for k in hdrs
+                ):
+                    # case-insensitive presence check: an author-set
+                    # 'user-agent' must win (param.go:85-95 fills only
+                    # when missing) — a plain setdefault would add a
+                    # SECOND UA header beside a differently-cased one
+                    hdrs["User-Agent"] = ua
                 if urlsplit(cur_url).netloc == home_host:
                     parts = [
                         p

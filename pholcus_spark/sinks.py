@@ -223,32 +223,50 @@ def export_items_xlsx(
         for r in items.select("spider", "rule", sub_col).distinct()
         .orderBy("spider", "rule", "_sub").collect()
     ]
+    # the reference keys sheets on subNamespace ALONE
+    # (`output_excel.go:30-38`): every rule emitting one sub value
+    # appends to the SAME sheet; the header row comes from whichever
+    # rule created the sheet, and each data row renders with its OWN
+    # rule's ItemFields. Rules are visited in sorted order — the
+    # deterministic stand-in for the reference's buffer order.
+    sheet_rules: dict = {}
     for spider, rule, subns in pairs:
-        fields = list(field_order.get(rule) or ())
-        sub = items.where(
-            (F.col("spider") == spider)
-            & (F.col("rule") == rule)
-            & (sub_namespace_col(sub_field) == subns)
+        sheet_rules.setdefault((spider, subns), []).append(rule)
+
+    def sheet_rows(spider, subns, rules):
+        for rule in rules:
+            fields = list(field_order.get(rule) or ())
+            sub = items.where(
+                (F.col("spider") == spider)
+                & (F.col("rule") == rule)
+                & (sub_namespace_col(sub_field) == subns)
+            )
+            if fields:
+                yield from rows_for(
+                    sub.select(
+                        "data", "url", "parent_url", "download_time"
+                    ).toLocalIterator(),
+                    fields,
+                )
+            else:
+                yield from rows_for(
+                    sub.select(
+                        F.create_map(
+                            F.lit("data"), F.to_json("data")
+                        ).alias("data"),
+                        "url", "parent_url", "download_time",
+                    ).toLocalIterator(),
+                    ["data"],
+                )
+
+    for (spider, subns), rules in sheet_rules.items():
+        first_fields = list(field_order.get(rules[0]) or ())
+        header = (first_fields or ["data"]) + list(prov)
+        w.add_sheet(
+            f"{spider}__{file_name_replace(subns)}",
+            header,
+            sheet_rows(spider, subns, rules),
         )
-        if fields:
-            header = fields + list(prov)
-            it = rows_for(
-                sub.select("data", "url", "parent_url", "download_time")
-                .toLocalIterator(),
-                fields,
-            )
-        else:
-            header = ["data"] + list(prov)
-            it = rows_for(
-                sub.select(
-                    F.create_map(
-                        F.lit("data"), F.to_json("data")
-                    ).alias("data"),
-                    "url", "parent_url", "download_time",
-                ).toLocalIterator(),
-                ["data"],
-            )
-        w.add_sheet(f"{spider}__{file_name_replace(subns)}", header, it)
     w.save(path)
 
 
@@ -328,11 +346,21 @@ def kafka_items_payload(
     rest = items.where(~F.col("rule").isin(listed)) if listed else items
     payload = F.col("data")
     if out_default_field:
+        prov_keys = ["url", "parent_url"] + (
+            ["download_time"] if has_dlt else []
+        )
         prov_pairs = [F.lit("url"), F.col("url"),
                       F.lit("parent_url"), F.col("parent_url")]
         if has_dlt:
             prov_pairs += [F.lit("download_time"), F.col("download_time")]
-        payload = F.map_concat(payload, F.create_map(*prov_pairs))
+        # provenance wins on a name clash (the reference stamps default
+        # fields over the data map) — and map_concat THROWS on duplicate
+        # keys under the default mapKeyDedupPolicy, so drop clashing
+        # item fields first rather than crash the export
+        payload = F.map_concat(
+            F.map_filter(payload, lambda kk, _v: ~kk.isin(prov_keys)),
+            F.create_map(*prov_pairs),
+        )
     parts.append(rest.select(topic, F.to_json(payload).alias("value")))
 
     out = parts[0]
@@ -600,8 +628,11 @@ def beanstalk_items_payload(
     rest = items.where(~F.col("rule").isin(listed)) if listed else items
     payload = F.col("data")
     if out_default_field:
+        prov_keys = [k for k, _v in prov]
+        # provenance wins on a name clash; map_concat would throw on a
+        # duplicate key under the default mapKeyDedupPolicy
         payload = F.map_concat(
-            payload,
+            F.map_filter(payload, lambda kk, _v: ~kk.isin(prov_keys)),
             F.create_map(
                 *(x for k, v in prov for x in (F.lit(k), v))
             ),

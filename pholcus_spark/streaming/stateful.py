@@ -45,9 +45,15 @@ def sessionize_stream(
     Semantics notes:
     - events older than the current watermark are dropped (the same
       late-data rule `withWatermark` gives a windowed agg);
-    - several sessions can close inside one micro-batch (intra-batch
-      gaps) — all closed sessions are emitted immediately, only the
-      trailing open session occupies state;
+    - state holds the LIST of still-open sessions (exactly like Spark's
+      native streaming ``session_window``), and a session is emitted
+      only once the watermark passes ``last_event + gap`` — never
+      eagerly on an intra-batch gap. That is what makes the operator
+      correct for out-of-order arrivals within the watermark delay: an
+      on-time event landing between (or before) open sessions merges
+      them interval-style and can extend ``session_start`` backwards,
+      so the closed output equals the batch gap rule on the same
+      events;
     - event-time timeout requires a watermark: the input is watermarked
       here with ``watermark`` as the delay.
     """
@@ -57,7 +63,9 @@ def sessionize_stream(
         f"{key} {ktype}, session_start timestamp, "
         "session_end timestamp, n_events bigint"
     )
-    state_schema = "start_ms bigint, last_ms bigint, n bigint"
+    state_schema = (
+        "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
+    )
 
     def _mk(kval, s_ms, l_ms, n):
         return pd.DataFrame(
@@ -70,41 +78,51 @@ def sessionize_stream(
         )
 
     def fn(k, pdfs, state):
-        if state.hasTimedOut:
-            s_ms, l_ms, n = state.get
-            state.remove()
-            yield _mk(k[0], s_ms, l_ms, n)
-            return
+        # one transition for both entry reasons (new data / timeout):
+        # fold on-time events into the open-session list interval-style,
+        # close every session whose horizon the watermark has passed,
+        # keep the rest. On timeout pdfs is empty and this reduces to
+        # the close/keep sweep.
         wm = state.getCurrentWatermarkMs()
+        sessions = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [
+                (int(s), int(l), int(n))
+                for s, l, n in zip(starts, lasts, ns)
+            ]
         ts_ms = sorted(
             v
             for pdf in pdfs
             for v in (pdf[ts].astype("int64") // 1_000_000).tolist()
             if v >= wm
         )
-        cur = state.get if state.exists else None
-        closed = []
-        for v in ts_ms:
-            if cur is None:
-                cur = (v, v, 1)
-            elif v - cur[1] <= gap_ms:
-                cur = (cur[0], max(cur[1], v), cur[2] + 1)
-            else:
-                closed.append(cur)
-                cur = (v, v, 1)
-        if cur is not None and cur[1] + gap_ms <= wm:
-            # the watermark already passed the open session's horizon
-            # (e.g. barely-on-time stragglers): close it now rather
-            # than setting a timeout in the past (which is illegal)
-            closed.append(cur)
-            cur = None
-        if cur is None:
-            state.remove()
+        if ts_ms:
+            sessions.extend((v, v, 1) for v in ts_ms)
+            sessions.sort()
+            merged = []
+            for s, l, n in sessions:
+                if merged and s - merged[-1][1] <= gap_ms:
+                    ps, pl, pn = merged[-1]
+                    merged[-1] = (ps, max(pl, l), pn + n)
+                else:
+                    merged.append((s, l, n))
+            sessions = merged
+        closed = [t for t in sessions if t[1] + gap_ms <= wm]
+        kept = [t for t in sessions if t[1] + gap_ms > wm]
+        if kept:
+            state.update(
+                (
+                    [t[0] for t in kept],
+                    [t[1] for t in kept],
+                    [t[2] for t in kept],
+                )
+            )
+            # timeouts are cleared on every invocation — re-arm at the
+            # EARLIEST open horizon (strictly > wm by the kept filter)
+            state.setTimeoutTimestamp(min(t[1] + gap_ms for t in kept))
         else:
-            state.update(cur)
-            # timeouts are cleared on every invocation — re-arm even
-            # when the batch carried only late (dropped) rows
-            state.setTimeoutTimestamp(cur[1] + gap_ms)
+            state.remove()
         if closed:
             yield pd.concat(
                 [_mk(k[0], s, l, n) for (s, l, n) in closed],

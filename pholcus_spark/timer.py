@@ -67,10 +67,6 @@ class _Clock:
             return bell_today + 86400.0 * float(self.tol) - now
         return bell_today + 86400.0 * (float(self.tol) - 1.0) - now
 
-    def sleep(self) -> None:
-        self._wake.clear()
-        self._wake.wait(self.duration())
-
     def wake(self) -> None:
         self._wake.set()
 
@@ -103,9 +99,14 @@ class Timer:
             if self._closed:
                 return False
             c = self._setting.get(cid)
-        if c is None:
-            return False
-        c.sleep()
+            if c is None:
+                return False
+            # re-arm UNDER the lock: drop() flips _closed before it
+            # wakes, so a clear here can never swallow a drop's wake
+            # (the unguarded clear-then-wait lost the wake-up when a
+            # drop landed between them and slept the full duration)
+            c._wake.clear()
+        c._wake.wait(c.duration())
         with self._lock:
             return not self._closed and cid in self._setting
 

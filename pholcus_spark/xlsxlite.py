@@ -138,7 +138,10 @@ class XlsxWriter:
             'spreadsheetml/2006/main" xmlns:r="http://schemas.'
             'openxmlformats.org/officeDocument/2006/relationships"><sheets>'
             + "".join(
-                f'<sheet name="{escape(nm)}" sheetId="{i + 1}" '
+                # attribute context: '"' must be escaped too (escape()
+                # alone covers only text content)
+                f'<sheet name="{escape(nm, {chr(34): "&quot;"})}" '
+                f'sheetId="{i + 1}" '
                 f'r:id="rId{i + 1}"/>'
                 for i, (nm, _) in enumerate(self._sheets)
             )

@@ -6,7 +6,6 @@ from pholcus_spark.extract import (
     clean_html,
     decode_body,
     extract_article,
-    extract_items_vec,  # noqa: F401 - imported to pin the public surface
 )
 from pholcus_spark.spiderspec import ExtractRule
 
@@ -234,6 +233,14 @@ def test_cursor_url_strip_and_append():
     )
     # value gets percent-encoded
     assert cursor_url("http://h/a", "c", "a b") == "http://h/a?c=a%20b"
+    # ADJACENT duplicates: the single-pass sub consumed the separator
+    # of the next occurrence and left a stale cursor ahead of the new
+    # one (servers reading the first occurrence looped on one page)
+    assert cursor_url("http://h/a?c=1&c=2", "c", "9") == "http://h/a?c=9"
+    assert (
+        cursor_url("http://h/a?c=1&c=2&x=1&c=3", "c", "9")
+        == "http://h/a?x=1&c=9"
+    )
 
 
 def test_cursor_url_twins_agree_on_canonical_form():

@@ -733,6 +733,26 @@ def test_fetch_one_extra_headers_on_the_wire(server):
     assert got["Cookie"] == "a=extra; s=jar"
 
 
+def test_fetch_one_lowercase_ua_not_doubled(server):
+    """A differently-CASED author User-Agent still wins over the ua=
+    fallback: the presence check is case-insensitive, so the wire never
+    carries two UA headers (a plain setdefault('User-Agent') added a
+    second one beside an author-set 'user-agent')."""
+    _reset({})
+    _SiteHandler.hdr_echo_paths = {"/hecho"}
+    status, _ct, body = fetch_one(
+        f"http://{server}/hecho",
+        try_times=1,
+        ua="fallback-ua",
+        extra_headers={"user-agent": "custom-ua"},
+    )
+    assert status == 200
+    lines = body.decode().splitlines()
+    ua_lines = [l for l in lines if l.lower().startswith("user-agent:")]
+    assert len(ua_lines) == 1
+    assert ua_lines[0].split(": ", 1)[1] == "custom-ua"
+
+
 def test_fetch_one_extra_headers_ua_fallback(server):
     """Without an extra User-Agent the ua= fallback still applies."""
     _reset({})

@@ -284,6 +284,36 @@ def test_kafka_items_payload_contract(spark):
     assert vals[0] == '{"image_id":"i1","caption":"x"}'
 
 
+def test_kafka_payload_item_field_named_url_does_not_crash(spark):
+    """A fallback-rule item whose data map carries a key literally named
+    'url'/'parent_url' must not blow up map_concat with a duplicate-key
+    error (default mapKeyDedupPolicy=EXCEPTION) — provenance wins, like
+    the reference stamping default fields over the data map."""
+    import json as _json
+
+    items = spark.createDataFrame(
+        [("site", "misc", {"url": "stale", "k": "v"},
+          "http://h.test/m/1", "http://h.test/p/0", "t1", 2)],
+        ITEMS_DDL,
+    )
+    (row,) = sinks.kafka_items_payload(items).collect()
+    assert _json.loads(row.value) == {
+        "k": "v", "url": "http://h.test/m/1",
+        "parent_url": "http://h.test/p/0", "download_time": "t1",
+    }
+
+    items_b = spark.createDataFrame(
+        [("site", "misc", {"Url": "stale", "k": "v"},
+          "http://h.test/m/1", "http://h.test/p/0", "t1", 2)],
+        ITEMS_DDL,
+    )
+    (brow,) = sinks.beanstalk_items_payload(items_b, sums=(0, 9)).collect()
+    assert _json.loads(brow.content) == {
+        "k": "v", "Url": "http://h.test/m/1",
+        "ParentUrl": "http://h.test/p/0", "DownloadTime": "t1",
+    }
+
+
 def test_write_kafka_through_python_datasource(spark):
     """Executed transport coverage: the EXACT write_kafka dispatch path
     (format→bootstrap option→per-row topic routing→save) through a
@@ -476,6 +506,68 @@ def test_export_items_csv_sub_namespace(spark):
         assert by_sub.get("国内最新") == {"t1", "t3"}
         assert by_sub.get("体育最新") == {"t2"}
         assert len(rows) == 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_xlsx_sheet_name_with_quote_is_valid_xml():
+    """'\"' inside a sheet name must be &quot;-escaped in workbook.xml's
+    name=\"...\" attribute (text-content escape() alone leaves it raw,
+    producing a workbook Excel rejects as corrupt)."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from pholcus_spark.xlsxlite import XlsxWriter, read_xlsx
+
+    w = XlsxWriter()
+    w.add_sheet('a"b', ["h"], iter([["v"]]))
+    data = w.save_bytes()
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        ET.fromstring(z.read("xl/workbook.xml"))  # must parse
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+        f.write(data)
+        f.flush()
+        sheets = read_xlsx(f.name)
+    assert set(sheets) == {'a"b'}
+    assert sheets['a"b'] == [["h"], ["v"]]
+
+
+def test_export_items_xlsx_shared_sub_namespace_merges_sheets(spark):
+    """Two rules emitting the same sub-namespace value share ONE sheet
+    (output_excel.go:30-38 keys sheets on FileNameReplace(subNamespace)
+    only) — header from the sheet-creating rule, each row rendered with
+    its own rule's ItemFields, never a name_2 split."""
+    import os
+
+    from pholcus_spark.xlsxlite import read_xlsx
+
+    items = spark.createDataFrame(
+        [
+            ("news", "a_rule", {"t": "x1", "cat": "shared"},
+             "http://n.test/a/1", "http://n.test/p", "t1", 1),
+            ("news", "b_rule", {"u": "y1", "cat": "shared"},
+             "http://n.test/b/1", "http://n.test/p", "t2", 1),
+        ],
+        ITEMS_DDL,
+    )
+    out = tempfile.mkdtemp(prefix="pholcus-xlsx-merge-")
+    try:
+        path = os.path.join(out, "m.xlsx")
+        sinks.export_items_xlsx(
+            items, path,
+            field_order={"a_rule": ("t",), "b_rule": ("u",)},
+            sub_field="cat",
+        )
+        sheets = read_xlsx(path)
+        assert set(sheets) == {"news__shared"}
+        rows = sheets["news__shared"]
+        # header from a_rule (first in sorted order) + provenance
+        assert rows[0] == ["t", "Url", "ParentUrl", "DownloadTime"]
+        assert ["x1", "http://n.test/a/1", "http://n.test/p", "t1"] in rows
+        assert ["y1", "http://n.test/b/1", "http://n.test/p", "t2"] in rows
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -255,9 +255,11 @@ def test_sessionize_stream_stateful(spark, tmp_path):
 
     # gap 30s, watermark delay 10s
     # drain 1 (wm 0 -> 1045): u1 {1000,1010}; u2 {1005}; u3 {1000,1055}
-    #   -> u3's intra-batch gap 55 > 30 closes [1000,1000] immediately;
-    #   the trailing no-data batch (wm 1045) times out u1 (horizon
-    #   1040) and u2 (1035) -> closed; u3's open [1055] (1085) survives
+    #   -> u3's intra-batch gap 55 > 30 splits [1000,1000] off as a
+    #   separate open session (closed only when the watermark passes
+    #   its 1030 horizon — the trailing no-data batch, wm 1045); that
+    #   batch also times out u1 (horizon 1040) and u2 (1035); u3's
+    #   open [1055] (horizon 1085) survives in state
     _pq_events(
         src / "f1.parquet",
         [(1000.0, 1), (1010.0, 1), (1005.0, 2), (1000.0, 3), (1055.0, 3)],
@@ -275,7 +277,7 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     take(_drain(sess_df(), "sess", tmp_path / "ckpt_sess", "append"))
 
     assert got == {
-        (3, 1000, 1000, 1),  # intra-batch closure
+        (3, 1000, 1000, 1),  # intra-batch gap split, closed at wm 1045
         (1, 1000, 1010, 2),  # two-event session closed by timeout
         (2, 1005, 1005, 1),  # closed by watermark; late 1020 ignored
         (3, 1055, 1055, 1),  # event-time timeout after drain 2
@@ -283,6 +285,58 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     }
     # the sentinel's own session is still open: in state, not emitted
     assert not any(u == 999 for (u, *_rest) in got)
+
+
+def test_sessionize_stream_out_of_order_merge(spark, tmp_path):
+    """An on-time event arriving in a LATER micro-batch that precedes
+    the open session merges interval-style — extending session_start
+    backwards, or bridging two open sessions into one — so the closed
+    output equals the batch gap rule on the union of events. (The
+    pre-fix operator glued any on-time straggler onto the open session
+    without moving its start, and could never re-merge a session it
+    had already split off intra-batch.)"""
+    from pholcus_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess_ooo_src"
+    src.mkdir()
+
+    def sess_df():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id bigint"
+        ).parquet(str(src))
+        # long watermark delay: everything below stays on time
+        return sessionize_stream(stream, gap_s=30.0, watermark="500 seconds")
+
+    got = set()
+
+    def take(rows):
+        got.update(
+            (
+                r.user_id,
+                int(r.session_start.timestamp()),
+                int(r.session_end.timestamp()),
+                r.n_events,
+            )
+            for r in rows
+        )
+
+    # batch 1: u1 {1000, 1060} -> gap 60 > 30: TWO open sessions
+    _pq_events(src / "f1.parquet", [(1000.0, 1), (1060.0, 1)], 1000)
+    take(_drain(sess_df(), "sess_ooo", tmp_path / "ckpt_ooo", "append"))
+    assert got == set()  # watermark (560) passed nothing yet
+    # batch 2: u1's 1030 bridges them (1030-1000 and 1060-1030 both
+    # <= 30) -> ONE session [1000,1060]; u2's 990 precedes u2's
+    # nothing (fresh key)
+    _pq_events(src / "f2.parquet", [(1030.0, 1), (990.0, 2)], 2000)
+    take(_drain(sess_df(), "sess_ooo", tmp_path / "ckpt_ooo", "append"))
+    # batch 3: sentinel advances the watermark far enough to flush all
+    _pq_events(src / "f3.parquet", [(9000.0, 999)], 3000)
+    take(_drain(sess_df(), "sess_ooo", tmp_path / "ckpt_ooo", "append"))
+
+    assert got == {
+        (1, 1000, 1060, 3),  # bridged across micro-batches
+        (2, 990, 990, 1),
+    }
 
 
 def test_sessionize_stream_matches_batch_session_window(spark, tmp_path):
