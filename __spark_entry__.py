@@ -843,8 +843,6 @@ def dedup_components(spark, sf_dir):
 def sim_knn_batch(spark, sf_dir):
     """Batch k-NN: every 50th vector queries the corpus through the
     bucket-partitioned LSH join (no per-query scan)."""
-    from pyspark.sql import functions as F
-
     from pholcus_spark.ops.similarity import knn_batch_lsh
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -858,8 +856,6 @@ def sim_knn_ivf(spark, sf_dir):
     """Batch k-NN through the IVF inverted-list index (the LSH path's
     quantizer-based twin): hash-sampled deterministic centroids, map-
     side cell assignment + probe expansion, one equi-join on cell."""
-    from pyspark.sql import functions as F
-
     from pholcus_spark.ops.similarity import knn_batch_ivf
 
     emb = _load(spark, sf_dir, "embeddings")

@@ -115,9 +115,16 @@ def paginate_expand(src: DataFrame, pr) -> DataFrame:
     out = out.withColumn(
         "_page", (F.col("_i") * F.lit(mult) + F.lit(add)).cast("int")
     ).drop("_i")
+    # nullif: an EMPTY base (e.g. a temp_fields merge writing '' for a
+    # missing temp) must fall back like a missing one — a bare coalesce
+    # passed '' through and format_string built garbage '&page=N' URLs
+    # (the oracle twin's `or req.url` already treated '' as missing)
     base = (
         F.coalesce(
-            F.col("_data").getItem(pr.base_field), F.col("parent_url")
+            F.nullif(
+                F.col("_data").getItem(pr.base_field), F.lit("")
+            ),
+            F.col("parent_url"),
         )
         if pr.base_field is not None
         else F.col("parent_url")

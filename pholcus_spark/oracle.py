@@ -1157,6 +1157,21 @@ def _transform_items(items: list[dict], er, temp=None) -> list[dict]:
     forbid = tuple(getattr(er, "forbid_fields", ()) or ())
     if forbid:
         items = [it for it in items if not any(it.get(f) for f in forbid)]
+    # require_equals: field must string-equal the request temp's value
+    # (car_home.go:55-57 / ganji_gongsi.go:54-56 current-page probe).
+    # MUST run BEFORE dynamic_kv, matching the engine's order in
+    # extract._apply_rules_for — the guard reads the raw zipped blob
+    # fields that dynamic_kv pops
+    reqeq = tuple(getattr(er, "require_equals", ()) or ())
+    if reqeq:
+        items = [
+            it
+            for it in items
+            if all(
+                it.get(f, "") == str((temp or {}).get(k) or "")
+                for f, k in reqeq
+            )
+        ]
     # dynamic_kv: zipped runtime columns (UpsertItemField twin)
     dynkv = tuple(getattr(er, "dynamic_kv", ()) or ())
     if dynkv:
@@ -1220,15 +1235,34 @@ def _extract_items(page: dict, er, temp=None) -> list[dict]:
     import html as html_mod
     import re as re_mod
 
+    body = page.get("body") or b""
     ct = page.get("content_type") or ""
-    m = re_mod.search(r"charset=([\w-]+)", ct, re_mod.I)
-    charset = (m.group(1) if m else "utf-8").lower()
-    if charset in ("gb2312", "gbk", "gb18030"):
-        charset = "gb18030"
+    # same resolution ladder as the engine's sniff_charset (BOM >
+    # Content-Type param (quoted or bare) > <meta charset> in the first
+    # 1 KiB > utf-8), written independently: startswith probes + two
+    # fresh regexes rather than the engine's table
+    if body.startswith(b"\xef\xbb\xbf"):
+        charset = "utf-8-sig"
+    elif body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+        charset = "utf-16"
+    else:
+        m = re_mod.search(r"charset=['\"]?([\w-]+)", ct, re_mod.I)
+        if m:
+            charset = m.group(1)
+        else:
+            mm = re_mod.search(
+                r"<meta[^>]+charset=['\"]?([\w-]+)",
+                body[:1024].decode("latin-1"),
+                re_mod.I,
+            )
+            charset = mm.group(1) if mm else "utf-8"
+        charset = charset.lower()
+        if charset in ("gb2312", "gbk", "gb18030"):
+            charset = "gb18030"
     try:
-        text = (page.get("body") or b"").decode(charset, errors="replace")
+        text = body.decode(charset, errors="replace")
     except LookupError:
-        text = (page.get("body") or b"").decode("utf-8", errors="replace")
+        text = body.decode("utf-8", errors="replace")
     carve = tuple(getattr(er, "carve", ()) or ())
     if carve:
         # embedded-JSON pre-step twin (taobaosearch.go:146-160): the
@@ -1562,22 +1596,9 @@ def crawl(
                 for er in spec.extract_rules:
                     if er.rule != req.rule:
                         continue
+                    # require_equals applies inside _transform_items
+                    # (before dynamic_kv, matching the engine order)
                     extracted = _extract_items(page, er, req.temp)
-                    # require_equals: field must string-equal the
-                    # request temp's value (car_home.go:55-57 /
-                    # ganji_gongsi.go:54-56 current-page probe) —
-                    # after transforms/guards, before the temp merge
-                    reqeq = tuple(getattr(er, "require_equals", ()) or ())
-                    if reqeq:
-                        extracted = [
-                            d
-                            for d in extracted
-                            if all(
-                                d.get(f, "")
-                                == str((req.temp or {}).get(k) or "")
-                                for f, k in reqeq
-                            )
-                        ]
                     # temp_fields consumer merge (ctx.GetTemp in Output,
                     # shunfenghaitao.go:75): request temp overrides any
                     # same-named extracted field
@@ -1729,26 +1750,8 @@ def crawl(
                         for er in spec.extract_rules:
                             if er.rule == pr.rule:
                                 ex = _extract_items(page, er, req.temp)
-                                # same require_equals gate the emission
-                                # path applies (a guarded probe rule's
-                                # dropped items expand no pages)
-                                _rq = tuple(
-                                    getattr(er, "require_equals", ())
-                                    or ()
-                                )
-                                if _rq:
-                                    ex = [
-                                        d
-                                        for d in ex
-                                        if all(
-                                            d.get(f, "")
-                                            == str(
-                                                (req.temp or {}).get(k)
-                                                or ""
-                                            )
-                                            for f, k in _rq
-                                        )
-                                    ]
+                                # require_equals already gated inside
+                                # _transform_items (engine order)
                                 # same temp merge the emission path does:
                                 # count/base/carry fields may be
                                 # GetTemp-sourced (taobao.go:206-211)

@@ -50,7 +50,7 @@ ARTICLES_PER_ISSUE = 2  # kept anchors per issue page (k%2==0)
 _COL1 = "#col1@text"
 
 
-def _label(pat: str, fallback: bool = False) -> tuple:
+def _label(pat: str) -> tuple:
     return (("regex_sub", r"<[\S\s]+?>", ""), ("regex_find", pat, 1))
 
 

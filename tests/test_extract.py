@@ -378,6 +378,103 @@ def test_require_equals_temp_guard():
     assert links3 == []  # no temp at all → "" != "3"
 
 
+def test_require_equals_with_dynamic_kv_order_parity():
+    """require_equals must run BEFORE dynamic_kv in BOTH interpreters:
+    the guard reads the raw zipped blob field that dynamic_kv pops. The
+    oracle used to apply the guard after dynamic_kv (at its call
+    sites), silently diverging from the engine the first time a rule
+    combined the two features."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.oracle import _extract_items
+    from pholcus_spark.spiderspec import ExtractRule
+
+    html = (
+        '<html><body><div class="a"><span class="ks">k1|k2</span>'
+        '<span class="vs">v1|v2</span></div></body></html>'
+    )
+    er = ExtractRule(
+        rule="r", kind="css", item_pattern="div.a",
+        fields=("_ks", "_vs"),
+        field_css=(("_ks", ".ks@text"), ("_vs", ".vs@text")),
+        require_equals=(("_ks", "want"),),
+        dynamic_kv=("_ks", "_vs", "|"),
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er]))
+    for temp, n_expected in [
+        ({"want": "k1|k2"}, 1),  # guard sees the raw blob → passes
+        ({"want": "nope"}, 0),   # mismatch → item vanishes
+        (None, 0),
+    ]:
+        items, _l, _c = _apply_rules_for(
+            compiled, html, "r", "http://h.test/p", temp=temp
+        )
+        got_engine = [
+            {k: v for k, v in i.items() if not k.startswith("\x00")}
+            for i in items
+        ]
+        got_oracle = _extract_items(
+            {"body": html.encode(), "content_type": "text/html"},
+            er,
+            temp,
+        )
+        assert got_engine == got_oracle, (temp, got_engine, got_oracle)
+        assert len(got_engine) == n_expected
+        if n_expected:
+            # the blob fields were popped and zipped into runtime cols
+            assert got_engine[0] == {"k1": "v1", "k2": "v2"}
+
+
+def test_oracle_charset_parity_with_engine():
+    """The oracle's body decode follows the same resolution ladder as
+    the engine's sniff_charset: BOM > Content-Type param (quoted or
+    bare) > <meta charset> in the first 1 KiB > utf-8. A BOM'd or
+    meta-declared page must extract identically through both."""
+    from pholcus_spark.extract import (
+        _apply_rules_for,
+        compile_rule_specs,
+        rule_spec_tuples,
+    )
+    from pholcus_spark.oracle import _extract_items
+    from pholcus_spark.spiderspec import ExtractRule
+
+    er = ExtractRule(
+        rule="r", kind="css", item_pattern="body",
+        fields=("t",), field_css=(("t", "h1@text"),),
+    )
+    compiled = compile_rule_specs(rule_spec_tuples([er]))
+    plain = "<html><body><h1>标题x</h1></body></html>"
+    cases = [
+        # UTF-8 BOM, bare content type (BOM must be stripped, not
+        # decoded as U+FEFF)
+        (b"\xef\xbb\xbf" + plain.encode("utf-8"), "text/html"),
+        # charset only in <meta>, gbk body
+        (
+            ('<html><head><meta charset="gbk"></head>'
+             "<body><h1>标题x</h1></body></html>").encode("gb18030"),
+            "text/html",
+        ),
+        # QUOTED charset param in the header
+        (plain.encode("gb18030"), 'text/html; charset="gbk"'),
+    ]
+    for body, ct in cases:
+        from pholcus_spark.extract import decode_body
+
+        text = decode_body(body, ct)
+        items, _l, _c = _apply_rules_for(
+            compiled, text, "r", "http://h.test/p"
+        )
+        got_engine = [
+            {k: v for k, v in i.items() if not k.startswith("\x00")}
+            for i in items
+        ]
+        got_oracle = _extract_items({"body": body, "content_type": ct}, er)
+        assert got_engine == got_oracle == [{"t": "标题x"}], (ct, got_oracle)
+
+
 def test_item_slice_ordinal_gates():
     """item_slice — the Each-loop ordinal gates: kaola.go:49-50 skips
     i==0, IJGUC.go:75 keeps k%2==0; applied to RAW match ordinals

@@ -839,6 +839,30 @@ def test_paginate_expand_edges(spark):
     assert sorted(r._page for r in even) == [2, 4, 6]
     assert sorted(r.raw_link for r in odd)[0] == "http://h/x?page=1"
 
+    # base_field: an EMPTY base falls back to parent_url exactly like a
+    # missing one (a temp_fields merge writes '' for an absent temp;
+    # bare coalesce passed '' through and built '?p=2' garbage URLs —
+    # the oracle's `or req.url` always treated '' as missing)
+    src_b = spark.createDataFrame(
+        [
+            ("f", "http://h/f", {"n": "3", "b": "http://b/x"}),
+            ("g", "http://h/g", {"n": "3", "b": ""}),
+            ("h", "http://h/h", {"n": "3"}),
+        ],
+        "id string, parent_url string, _data map<string,string>",
+    )
+    pr_b = PaginateRule(
+        rule="r", count_field="n", url_template="%s?p=%d",
+        target_rule="t", start=2, base_field="b",
+    )
+    by = {r.id: r.raw_link for r in paginate_expand(src_b, pr_b).collect()
+          if r._page == 2}
+    assert by == {
+        "f": "http://b/x?p=2",
+        "g": "http://h/g?p=2",
+        "h": "http://h/h?p=2",
+    }
+
 
 def test_aspect_bucket_assignment(spark):
     """Integer-exact rational argmin: hand-checked picks, ties to the

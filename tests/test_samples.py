@@ -1271,3 +1271,58 @@ def test_wangyi_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_jdsearch_sample_matches_oracle(spark):
+    """The jdsearch port (jdsearch.go — distinct from jingdong's
+    jdSpider.go): keyin fan-out seeds pages 1+2, the GetLimit clamp
+    (max_pages = LIMIT-1) bounds the dual page_expr expansion at pages
+    3..6 (clamp decoys live on pages 7/8), and ctx.Parse re-dispatch
+    (out_rule) makes the seed pages emit under 搜索结果 alongside the
+    children. Engine == oracle on items AND url_seen."""
+    sys.path.insert(0, "samples")
+    from jdsearch_spider import (
+        ITEMS_PER_PAGE,
+        JDSEARCH_SPIDER,
+        KEYINS,
+        LIMIT,
+        TOTAL,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-jdsearch-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # per keyin: seeds 1,2 + clamped expansion 3..6 (i walks
+        # 1..min(TOTAL,LIMIT)-1 → 2i+1/2i+2); 7/8 must stay unfetched
+        n_pages = 2 + 2 * (min(TOTAL, LIMIT) - 1)
+        assert state["totals"]["fetched"] == len(KEYINS) * n_pages
+        rows = catalog.read("items").collect()
+        assert len(rows) == len(KEYINS) * n_pages * ITEMS_PER_PAGE
+        assert all(r.rule == "搜索结果" for r in rows)
+        for r in rows:
+            d = r["data"]
+            assert d["标题"].startswith("商品 ")      # tag-strip + trim
+            assert d["链接"].endswith(".html")
+            assert d["价格"].endswith(".90")          # @data-price attr
+            assert d["评论数"].isdigit()              # first digit run
+            assert d["星级"] in set("01234")          # class-attr digits
+            assert "DECOY" not in d["标题"]           # :nth-child(1) skip
+        pages_seen = {int(r.url.split("page=")[1].split("&")[0])
+                      for r in rows}
+        assert pages_seen == {1, 2, 3, 4, 5, 6}       # clamp: no 7/8
+        res = testkit.run_oracle(build_corpus(), JDSEARCH_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
