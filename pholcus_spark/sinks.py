@@ -70,7 +70,7 @@ def rule_fields_df(spark, spec) -> DataFrame:
 
 def export_items_csv(
     items: DataFrame, out_dir: str, field_order=None, sub_field=None,
-    dynamic_rules=(),
+    dynamic_rules=(), out_default_field: bool = True,
 ) -> None:
     """CSV export of the items table, one partition dir per
     (spider, rule) — the namespace__subnamespace contract.
@@ -81,7 +81,12 @@ def export_items_csv(
     per-subnamespace CSV shape (`output_csv.go:46-61`). Rules without a
     declared order fall back to a JSON blob column (the reference
     JSON-stringifies unknown values, `output_csv.go:56-60`). The default
-    provenance columns Url/ParentUrl ride along (`context.go:236-240`).
+    provenance columns Url/ParentUrl ride along (`context.go:236-240`)
+    unless ``out_default_field=False`` — the spider's NotDefaultField
+    opt-out (`spider.go:34`, spider files' ``<NotDefaultField>``), which
+    suppresses the default fields at the datacell so no sink sees them.
+    ``superstep`` (engine partition lineage, not a reference field)
+    always rides.
 
     ``sub_field`` (= ``spec.sub_namespace_field``): data-dependent
     sub-namespace (`output_util.go:18-28`, baidunews.go:77-79) — the
@@ -94,6 +99,11 @@ def export_items_csv(
     field_order = field_order or {}
     listed = [r for r in field_order if r is not None]
     rest = items.where(~F.col("rule").isin(listed)) if listed else items
+    prov_cols = (
+        [F.col("url").alias("Url"), F.col("parent_url").alias("ParentUrl")]
+        if out_default_field
+        else []
+    )
     sub_part = ["sub"] if sub_field is not None else []
     sub_cols = (
         [sub_namespace_col(sub_field).alias("sub")] if sub_field is not None
@@ -123,10 +133,7 @@ def export_items_csv(
             F.try_element_at(F.col("data"), F.lit(f)).alias(f) for f in fields
         ]
         (
-            sub.select("spider", *sub_cols, *cols,
-                       F.col("url").alias("Url"),
-                       F.col("parent_url").alias("ParentUrl"),
-                       "superstep")
+            sub.select("spider", *sub_cols, *cols, *prov_cols, "superstep")
             .repartition("spider", *sub_part)
             .write.mode("overwrite")
             .partitionBy("spider", *sub_part)
@@ -140,8 +147,7 @@ def export_items_csv(
             "rule",
             *sub_cols,
             F.to_json("data").alias("data_json"),
-            F.col("url").alias("Url"),
-            F.col("parent_url").alias("ParentUrl"),
+            *prov_cols,
             F.col("superstep"),
         )
         .repartition("spider", *rest_part)

@@ -62,6 +62,38 @@ def test_export_items_csv_ordered_itemfields(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_export_items_csv_not_default_field(spark):
+    """NotDefaultField (spider.go:34, spider-file envelope): the
+    Url/ParentUrl provenance columns vanish from BOTH the ordered pivot
+    and the JSON fallback; superstep (engine lineage) stays."""
+    items = spark.createDataFrame(
+        [
+            ("site", "detail", {"caption": "x", "image_id": "i1"},
+             "http://h.test/d/1", "http://h.test/p/0", 2),
+            ("site", "other", {"k": "v"},
+             "http://h.test/d/2", "http://h.test/p/0", 2),
+        ],
+        "spider string, rule string, data map<string,string>, url string, "
+        "parent_url string, superstep int",
+    )
+    out = tempfile.mkdtemp(prefix="pholcus-sink-ndf-")
+    try:
+        sinks.export_items_csv(
+            items, out, field_order={"detail": ("image_id", "caption")},
+            out_default_field=False,
+        )
+        files = glob.glob(f"{out}/rule=detail/spider=*/part-*.csv")
+        assert files
+        header = open(files[0]).readline().strip().split(",")
+        assert header == ["image_id", "caption", "superstep"]
+        ufiles = glob.glob(f"{out}/unordered/spider=*/rule=*/part-*.csv")
+        assert ufiles
+        uheader = open(ufiles[0]).readline().strip().split(",")
+        assert uheader == ["data_json", "superstep"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_rule_fields_dim(spark):
     spec = SpiderSpec(
         "site",
