@@ -47,6 +47,7 @@ PUBLIC_MODULES = [
     "pholcus_spark.sinks",
     "pholcus_spark.sitemap",
     "pholcus_spark.sources",
+    "pholcus_spark.spiderfile",
     "pholcus_spark.spiderspec",
     "pholcus_spark.streaming",
     "pholcus_spark.streaming.stateful",
