@@ -827,6 +827,41 @@ def dedup_lines(spark, sf_dir):
     return line_dedup(lined, text_col="text", min_words=2)
 
 
+def dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup against a persistent fingerprint store
+    (`ops/seenstore.py` — the engine's 10^10-key url_seen machinery
+    factored for content keys): the documents table arrives as two
+    batches (even/odd doc_id split); batch 1's normalized-text md5
+    fingerprints are committed to a fresh SeenStore with a forced
+    sidecar build, then batch 2 flows through the cogrouped Bloom probe
+    + exact-tail path. Output = batch-2 survivors (key absent from
+    batch 1; min-doc_id representative within batch 2). The store root
+    is a throwaway tmp dir — the returned frame stays readable until
+    the session ends; batch sizes at gate scale are trivial."""
+    import tempfile
+
+    from pholcus_spark.ops.seenstore import SeenStore
+    from pholcus_spark.ops.text import norm_text
+
+    docs = _load(spark, sf_dir, "documents")
+    key = F.md5(norm_text(F.col("text"))).alias("key")
+    b1 = docs.where(F.col("doc_id") % 2 == 0).select(key)
+    b2 = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", key)
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    store = SeenStore(
+        spark,
+        tempfile.mkdtemp(prefix="pholcus-seen-gate-"),
+        num_buckets=8,
+        rebuild_min=0,  # sidecar built at add → the gate runs the probe
+    )
+    store.add(b1)
+    return store.filter_unseen(b2).select("doc_id", "key")
+
+
 def dedup_components(spark, sf_dir):
     """Near-dup clustering: connected components (iterative min-label
     propagation — one shuffle per round) over the MinHash/LSH candidate
@@ -1484,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_semantic": dedup_semantic,
         "dedup_lines": dedup_lines,
+        "dedup_incremental": dedup_incremental,
         "dedup_components": dedup_components,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -2721,6 +2757,20 @@ dups AS (
 )
 SELECT a.vec_id, a.cluster, d.dup_of
 FROM a3 a LEFT JOIN dups d USING (vec_id)
+""",
+        # the store answers membership; the oracle replays it as two
+        # plain set operations over the same even/odd batch split (the
+        # Spark side runs the persistent SeenStore with a Bloom probe)
+        "dedup_incremental": f"""
+WITH b1 AS (
+  SELECT DISTINCT md5({_NORM.format(x='text')}) AS key
+  FROM documents WHERE doc_id % 2 = 0
+),
+b2 AS (
+  SELECT md5({_NORM.format(x='text')}) AS key, min(doc_id) AS doc_id
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+)
+SELECT doc_id, key FROM b2 WHERE key NOT IN (SELECT key FROM b1)
 """,
         # transitive closure with min-reachable as the canonical label
         # (closure is Σ|component|² rows — tractable at gate scale; the

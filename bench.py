@@ -67,9 +67,14 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_json_extract",
     "q_css_extract",
+    "q_xml_extract",
+    "q_accumulate_items",
     "q_global_rank",
     "text_bm25",
+    "text_main_content",
     "dedup_exact",
+    "dedup_lines",
+    "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

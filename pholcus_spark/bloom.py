@@ -190,6 +190,46 @@ def probe(df: DataFrame, sidecar: BloomSidecar, key_col: str = "key") -> DataFra
     )
 
 
+def filter_unseen(
+    candidates: DataFrame,
+    sidecar: BloomSidecar | None,
+    covered_df: DataFrame | None,
+    tail_df: DataFrame | None,
+    key_col: str = "key",
+) -> DataFrame:
+    """Rows of ``candidates`` whose key is in neither the covered store
+    portion nor the tail — the shared core of every history dedup.
+
+    ``covered_df`` is the portion of the key store the ``sidecar``'s
+    filters were built over; ``tail_df`` is everything appended since
+    (small and recent). With a sidecar, definitely-unseen rows pass on
+    the cogrouped per-bucket probe alone — the exact anti-join against
+    ``covered_df`` is paid only by probable hits (candidates × FPR +
+    true dups). Without one, the whole covered portion is exact-joined.
+    The tail is always exact-joined. At 10^10 stored keys this keeps a
+    batch dedup O(batch), never O(store), with no driver-resident or
+    broadcast bitmap state (SURVEY.md §7.3).
+    """
+    if sidecar is None:
+        out = candidates
+        if covered_df is not None:
+            out = out.join(
+                covered_df.select(key_col), key_col, "left_anti"
+            )
+    else:
+        probed = probe(candidates, sidecar, key_col)
+        fresh = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+        maybe = probed.where(F.col("_maybe_seen")).drop("_maybe_seen")
+        if covered_df is not None:
+            maybe = maybe.join(
+                covered_df.select(key_col), key_col, "left_anti"
+            )
+        out = fresh.unionByName(maybe)
+    if tail_df is not None:
+        out = out.join(tail_df.select(key_col), key_col, "left_anti")
+    return out
+
+
 def contains(spark: SparkSession, sidecar: BloomSidecar, key: str) -> bool:
     """Point probe — test helper; reads a single bucket row."""
     bucket = int(key[:8], 16) % sidecar.num_buckets

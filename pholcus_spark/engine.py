@@ -1707,31 +1707,25 @@ class CrawlEngine:
         with no driver-resident or broadcast bitmap state (SURVEY.md
         §7.3).
         """
+        from . import bloom
+
         dirs = self._seen_dirs()
         pending = self._pending.get("url_seen", [])
         sidecar = (
             self._valid_sidecar(dirs) if self.config.bloom_enabled else None
         )
         if sidecar is None:
-            seen = self._read_seen(dirs, pending)
-            if seen is None:
-                return candidates
-            return candidates.join(seen.select("key"), "key", "left_anti")
-        from . import bloom
-
+            return bloom.filter_unseen(
+                candidates, None, None, self._read_seen(dirs, pending)
+            )
         covered = list(sidecar.covered_dirs)
         uncovered = [d for d in dirs if d not in sidecar.covered_dirs]
-        probed = bloom.probe(candidates, sidecar, "key")
-        fresh = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen")
-        maybe = probed.where(F.col("_maybe_seen")).drop("_maybe_seen")
-        covered_df = self.catalog.read_dirs("url_seen", covered)
-        if covered_df is not None:
-            maybe = maybe.join(covered_df.select("key"), "key", "left_anti")
-        out = fresh.unionByName(maybe)
-        tail = self._read_seen(uncovered, pending)
-        if tail is not None:
-            out = out.join(tail.select("key"), "key", "left_anti")
-        return out
+        return bloom.filter_unseen(
+            candidates,
+            sidecar,
+            self.catalog.read_dirs("url_seen", covered),
+            self._read_seen(uncovered, pending),
+        )
 
     def _maybe_rebuild_bloom(self) -> None:
         """At flush time: fold the uncovered url_seen tail into a fresh

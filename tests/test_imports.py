@@ -36,6 +36,7 @@ PUBLIC_MODULES = [
     "pholcus_spark.ops.multimodal",
     "pholcus_spark.ops.packing",
     "pholcus_spark.ops.sampling",
+    "pholcus_spark.ops.seenstore",
     "pholcus_spark.ops.similarity",
     "pholcus_spark.ops.temporal",
     "pholcus_spark.ops.text",
