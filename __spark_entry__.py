@@ -992,6 +992,23 @@ def q_train_split(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style data selection (`ops/sampling.py:dsir_select` —
+    Xie et al. 2023): hashed unigram+bigram features (64 buckets),
+    add-one-smoothed bucket-probability ratios between the en-language
+    target slice and the full raw corpus, per-doc score = ordered fold
+    of f_b·r_b rounded to 4dp, top-50 by (score desc, doc_id). Every
+    arithmetic step is an IEEE op on identical integers, so DuckDB
+    replays the whole pipeline bit-exactly — incl. the fold order
+    (list_reduce over a bucket-ordered list)."""
+    from pholcus_spark.ops.sampling import dsir_select
+
+    docs = _load(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, docs.where(F.col("lang") == "en"), n=50, n_buckets=64
+    )
+
+
 # north-rule pair table (image_id, w, h, fmt, caption, phash) derived
 # deterministically from documents — the driver's testdata carries no
 # binary image table, so both engines build the SAME metadata view
@@ -1489,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
+        "q_dsir_weights": q_dsir_weights,
         "q_pair_filter": q_pair_filter,
         "q_caption_dedup": q_caption_dedup,
         "q_pair_phash_neardup": q_pair_phash_neardup,
@@ -2153,6 +2171,54 @@ SELECT CASE WHEN {_H.format(x="CAST(doc_id AS VARCHAR) || 'v1'")} % 1000000 < 10
   CAST(count(*) AS BIGINT) AS n,
   min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY 1
+""",
+        # the DSIR replay: same grams, same hash buckets, same smoothed
+        # ratio arithmetic (identical IEEE op tree), same ordered fold
+        "q_dsir_weights": f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         string_split({_NORM.format(x='text')}, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM tk
+),
+gb AS (
+  SELECT doc_id, lang,
+         ({_H.format(x='gram')}) % 64 AS bucket
+  FROM grams WHERE gram <> ''
+),
+rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM gb GROUP BY 1),
+tcnt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+  FROM gb WHERE lang = 'en' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM rc) AS R,
+         (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tcnt) AS T
+),
+ratios AS (
+  SELECT rc.bucket,
+    (CAST(coalesce(tc, 0) + 1 AS DOUBLE) * CAST(R + 64 AS DOUBLE))
+      / (CAST(rc + 1 AS DOUBLE) * CAST(T + 64 AS DOUBLE)) AS r
+  FROM rc LEFT JOIN tcnt ON rc.bucket = tcnt.bucket CROSS JOIN tot
+),
+f AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS f
+  FROM gb GROUP BY 1, 2
+),
+contrib AS (
+  SELECT doc_id, f.bucket, CAST(f AS DOUBLE) * r AS c
+  FROM f JOIN ratios ON f.bucket = ratios.bucket
+)
+SELECT doc_id,
+       round(CAST(list_reduce(list(c ORDER BY bucket),
+                              (a, b) -> a + b) AS DOUBLE), 4) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 50
 """,
         "q_pair_filter": f"""
 WITH {_SQL_PAIRS},

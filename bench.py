@@ -55,6 +55,7 @@ HEADLINE = [
     "q_hash_sample",
     "q_stratified_sample",
     "q_train_split",
+    "q_dsir_weights",
     "q_pair_filter",
     "q_caption_dedup",
     "q_pair_phash_neardup",

@@ -131,3 +131,128 @@ def top_k_per_group(
         cand.withColumn("rk", F.row_number().over(exact))
         .where(F.col("rk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Data Selection via Importance
+# Resampling, Xie et al., NeurIPS 2023 — public method): score raw
+# documents by how much their hashed-n-gram feature distribution looks
+# like a TARGET corpus, then keep the top-weighted ones. The standard
+# way to steer a 100 TB crawl toward a curated distribution without a
+# model in the loop.
+# ---------------------------------------------------------------------------
+
+
+def _gram_buckets(
+    df: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, bucket) rows: every unigram and bigram of the normalized
+    text, hashed into ``n_buckets`` (the paper's hashed feature space).
+    All JVM: split + one guarded transform for bigrams + explode."""
+    from .text import norm_text
+
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    with_tk = df.select(F.col(id_col), toks.alias("_tk"))
+    bigrams = F.when(
+        F.size("_tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_tk) - 1),"
+            " i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        with_tk.select(
+            id_col, F.explode(F.concat(F.col("_tk"), bigrams)).alias("gram")
+        )
+        .where(F.col("gram") != "")
+        .select(
+            id_col,
+            (portable_hash64(F.col("gram")) % n_buckets).alias("bucket"),
+        )
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance weight per raw document: ``score = Σ_b f_b · r_b``
+    where ``f_b`` is the doc's count in hashed-n-gram bucket ``b`` and
+    ``r_b = p_b / q_b`` is the add-one-smoothed bucket-probability
+    ratio between the target and raw corpora.
+
+    Cross-engine-exact scoring (the bm25_topk discipline): the paper
+    sums LOG ratios — libm-dependent, so irreproducible bit-for-bit
+    across engines. Here the weight sums the ratios themselves: still
+    monotone per bucket in the same direction (r_b > 1 iff the bucket
+    is target-enriched), selection quality is equivalent in practice,
+    and every arithmetic step is an IEEE operation on identical
+    integers — ``r_b = (double(tc_b+1) · double(R+k)) /
+    (double(rc_b+1) · double(T+k))`` — summed in ascending-bucket
+    order via an ordered fold, rounded to 4dp. A DuckDB oracle replays
+    it bit-exactly (gate ``q_dsir_weights``).
+
+    Scale shape: one explode + two k-row aggregations (map-side
+    combine), ratio dim is ≤ ``n_buckets`` rows (broadcast join), one
+    groupBy per doc. No shuffle is corpus² anywhere; overflow-safe —
+    products are computed in double, never int64. Docs whose normalized
+    text is empty emit no grams and are absent from the output (no
+    evidence → no weight).
+    """
+    raw_g = _gram_buckets(raw, n_buckets, text_col, id_col)
+    tgt_g = _gram_buckets(target, n_buckets, text_col, id_col)
+
+    rc = raw_g.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tc = tgt_g.groupBy("bucket").agg(F.count("*").alias("tc"))
+    totals = rc.agg(F.sum("rc").alias("R")).crossJoin(
+        tc.agg(F.sum("tc").alias("T"))
+    )
+    k = F.lit(n_buckets).cast("long")
+    ratios = (
+        rc.join(tc, "bucket", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                ((F.col("tc") + 1).cast("double")
+                 * (F.col("R") + k).cast("double"))
+                / ((F.col("rc") + 1).cast("double")
+                   * (F.col("T") + k).cast("double"))
+            ).alias("r"),
+        )
+    )
+    f = raw_g.groupBy(id_col, "bucket").agg(F.count("*").alias("f"))
+    contrib = f.join(F.broadcast(ratios), "bucket").select(
+        id_col,
+        "bucket",
+        (F.col("f").cast("double") * F.col("r")).alias("contrib"),
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("bucket", "contrib"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
+    return contrib.groupBy(id_col).agg(
+        F.round(folded, 4).alias("score")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selection step: top-``n`` raw docs by importance weight
+    (deterministic ``(score desc, id asc)`` order — the paper's
+    gumbel-resampling randomness replaced by the deterministic rank,
+    like every sampler in this module). TakeOrderedAndProject — no
+    global sort materializes."""
+    w = dsir_weights(raw, target, n_buckets, text_col, id_col)
+    return w.orderBy(F.desc("score"), F.asc(id_col)).limit(n)

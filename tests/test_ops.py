@@ -1322,3 +1322,77 @@ def test_top_k_per_group_k_exceeds_group_size(spark):
     out = top_k_per_group(df, "grp", [("score", "desc"), ("doc_id", "asc")], 10)
     got = sorted((r.grp, r.rk, r.doc_id) for r in out.collect())
     assert got == [("a", 1, 1), ("a", 2, 2), ("b", 1, 3)]
+
+
+def test_dsir_weights_match_pure_python_twin(spark):
+    """dsir_weights vs an INDEPENDENT pure-python replay (hashlib md5
+    buckets, collections.Counter stats, same smoothed-ratio arithmetic,
+    ascending-bucket fold) — exact to the 4dp rounding."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from pholcus_spark.ops import sampling
+
+    K = 16
+    raw_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "spark query engine for big data"),
+        (2, "cat videos and cat pictures"),
+        (3, "distributed query planning in spark"),
+        (4, "  Mixed   CASE    and   spacing  "),
+        (5, "solo"),
+        (6, "   "),  # empty after norm: no grams, no weight row
+    ]
+    target_rows = [
+        (100, "spark query optimization"),
+        (101, "query engine internals"),
+        (102, "spark spark spark"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+
+    def grams(text):
+        t = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        t = [x for x in t if x != ""]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % K
+
+    raw_b = {d: Counter(bucket(g) for g in grams(t)) for d, t in raw_rows}
+    rc = Counter()
+    for c in raw_b.values():
+        rc.update(c)
+    tc = Counter()
+    for _d, t in target_rows:
+        tc.update(bucket(g) for g in grams(t))
+    R, T = sum(rc.values()), sum(tc.values())
+    expected = {}
+    for d, fb in raw_b.items():
+        if not fb:
+            continue
+        acc = 0.0
+        for b in sorted(fb):
+            r = (float(tc.get(b, 0) + 1) * float(R + K)) / (
+                float(rc[b] + 1) * float(T + K)
+            )
+            acc += float(fb[b]) * r
+        expected[d] = round(acc, 4)
+
+    got = {
+        r.doc_id: r.score
+        for r in sampling.dsir_weights(raw, target, n_buckets=K).collect()
+    }
+    assert got == expected
+    assert 6 not in got  # no grams → no row
+
+    # selection: spark/query docs must outrank the cat docs, and the
+    # order is the deterministic (score desc, doc_id asc)
+    sel = sampling.dsir_select(raw, target, n=3, n_buckets=K).collect()
+    ranked = sorted(
+        expected.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:3]
+    assert [(r.doc_id, r.score) for r in sel] == ranked
+    top_two = {r.doc_id for r in sel[:2]}
+    assert top_two <= {1, 3}, "target-enriched docs should lead"
