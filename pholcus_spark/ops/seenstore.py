@@ -72,11 +72,12 @@ class SeenStore:
         self.rebuild_frac = rebuild_frac
         self.headroom = headroom
 
-    # constructor alias: opening an existing root and creating a fresh
-    # one are the same operation (the manifest is the source of truth)
-    open = classmethod(
-        lambda cls, spark, root, **kw: cls(spark, root, **kw)
-    )
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, **kw) -> "SeenStore":
+        """Constructor alias: opening an existing root and creating a
+        fresh one are the same operation (the manifest is the source of
+        truth)."""
+        return cls(spark, root, **kw)
 
     # -- internal ----------------------------------------------------------
 
