@@ -509,6 +509,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the fixpoint test rides the same pass: a vertex changed iff a
+        # neighbor offered a strictly smaller label — no extra
+        # old-vs-new join, the count is a scan of the checkpointed rows
         new_labels = (
             labels.join(nbr, labels["v"] == nbr["a"], "left")
             .select(
@@ -516,16 +519,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()
