@@ -1,6 +1,7 @@
 """The samples/ spiders are real runnable user code (the porting guide
 for reference rule authors) — run the gallery sample end-to-end."""
 
+import re
 import shutil
 import sys
 import tempfile
@@ -1316,6 +1317,67 @@ def test_jdsearch_sample_matches_oracle(spark):
                       for r in rows}
         assert pages_seen == {1, 2, 3, 4, 5, 6}       # clamp: no 7/8
         res = testkit.run_oracle(build_corpus(), JDSEARCH_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_lewa_sample_matches_oracle(spark):
+    """The lewa port (lewa.go — the "京东搜索new" variant): page_count
+    probed from the joined <script> texts (@each), int_add(-1) bounds
+    the dual page_expr expansion at pages 2..6 (off-by-one decoys live
+    on 7/8), the probe page's own grid is never emitted (emit=False),
+    and the tag-strip + empty-title guard run per item. Engine ==
+    oracle on items AND url_seen."""
+    sys.path.insert(0, "samples")
+    from lewa_spider import (
+        ITEMS_PER_PAGE,
+        KEYINS,
+        LEWA_SPIDER,
+        PAGE_COUNT,
+        build_corpus,
+        run,
+    )
+
+    from pholcus_spark import testkit
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-lewa-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        # per keyin: the probe + odd 1,3,5 + even 2,4,6 (i walks
+        # 1..PAGE_COUNT-1; the regenerated page 1 is a DIFFERENT
+        # request from the probe — Unique() keys on spider+rule+url,
+        # request.go:139-145); 7/8 stay unfetched
+        n_result_pages = 2 * (PAGE_COUNT - 1)
+        assert state["totals"]["fetched"] == len(KEYINS) * (1 + n_result_pages)
+        rows = catalog.read("items").collect()
+        # the probe page's grid (page 1) must NOT be in the output —
+        # 判断页数 never calls ctx.Output (lewa.go:61-76)
+        assert len(rows) == len(KEYINS) * n_result_pages * ITEMS_PER_PAGE
+        assert all(r.rule == "搜索结果" for r in rows)
+        for r in rows:
+            d = r["data"]
+            # tag-strip removed the unescaped <热> and trim ate the
+            # \n/\t padding: "商品NN  " collapses to a clean prefix
+            assert d["标题"].startswith("商品")
+            assert "<" not in d["标题"] and "\t" not in d["标题"]
+            assert d["链接"].startswith("http://item.lewa.test/")
+            assert d["价格"].endswith(".00")
+            assert d["评论数"].isdigit()
+            assert "DECOY" not in d["标题"]
+        pages_seen = {
+            int(re.search(r"page=(\d+)", r.url).group(1)) for r in rows
+        }
+        assert pages_seen == {1, 2, 3, 4, 5, 6}
+        res = testkit.run_oracle(build_corpus(), LEWA_SPIDER)
         eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
         orc = {
             (i["rule"], i["url"], tuple(sorted(i["data"].items())))
