@@ -45,49 +45,68 @@ from pholcus_spark.spiderspec import ExtractRule, SpiderSpec
 HOST = "bbs.zol.com.cn"
 PAGES = (1, 2, 3)  # zolpc.go:43 loops 1..720; sample scale
 
+# The three zol forum rules are ONE rule at three board paths — they
+# differ ONLY in spider name, list-page path and Aid loop bound
+# (diff zolpc.go zolphone.go zolslab.go): 笔记本 /nbbbs/p{N} 1..720,
+# 苹果手机 /sjbbs/d544_p{N} 1..950 (zolphone.go:43,52), 平板
+# /padbbs/p{N} 1..640 (zolslab.go:43,52). samples/zolphone_spider.py
+# and samples/zolslab_spider.py instantiate the variants.
+VARIANTS = {
+    "中关村笔记本": ("nbbbs/p", 720),
+    "中关村手机": ("sjbbs/d544_p", 950),
+    "中关村平板": ("padbbs/p", 640),
+}
+
+
 ITEM_FIELDS = (
     "机型", "链接", "主题", "发表者", "发表时间",
     "总回复", "总查看", "最后回复者", "最后回复时间",
 )
 
-ZOLPC_SPIDER = SpiderSpec(
-    "中关村笔记本",
-    link_rules=(),
-    item_rules=(),
-    follow_anchors=False,  # the reference never follows page anchors
-    extract_rules=(
-        # zolpc.go:58-65 (row selection) + 68-124 (per-row projections,
-        # emitted under the ctx.Parse'd rule)
-        ExtractRule(
-            rule="生成请求",
-            out_rule="获取结果",
-            kind="css",
-            item_pattern="tbody tr[id]",
-            fields=ITEM_FIELDS,
-            field_css=(
-                # outType (zolpc.go:93): td Eq(1) .iclass a Text()
-                ("机型", "td@eq(1) .iclass a@text"),
-                # outURL (zolpc.go:87-90): td Eq(1) data-url attr
-                ("链接", "td@eq(1)@data-url"),
-                # outTitle (zolpc.go:94): td Eq(1) div a Text()
-                ("主题", "td@eq(1) div a@text"),
-                # author/stime (zolpc.go:97-99): td Eq(2) a / span
-                ("发表者", "td@eq(2) a@text"),
-                ("发表时间", "td@eq(2) span@text"),
-                # reply/read (zolpc.go:102-104): td Eq(3) span / i
-                ("总回复", "td@eq(3) span@text"),
-                ("总查看", "td@eq(3) i@text"),
-                # ereply/etime (zolpc.go:107-109): td Eq(4) a Eq(0)/Eq(1)
-                ("最后回复者", "td@eq(4) a@eq(0)@text"),
-                ("最后回复时间", "td@eq(4) a@eq(1)@text"),
-            ),
-            field_transforms=(
-                # zolpc.go:90 unconditional host prefix
-                ("链接", (("regex_sub", "^", "http://bbs.zol.com.cn/", 1),),),
+def make_spider(name: str) -> SpiderSpec:
+    """The shared zol rule under a variant's spider name (the three Go
+    files carry byte-identical ParseFuncs)."""
+    return SpiderSpec(
+        name,
+        link_rules=(),
+        item_rules=(),
+        follow_anchors=False,  # the reference never follows page anchors
+        extract_rules=(
+            # zolpc.go:58-65 (row selection) + 68-124 (per-row
+            # projections, emitted under the ctx.Parse'd rule)
+            ExtractRule(
+                rule="生成请求",
+                out_rule="获取结果",
+                kind="css",
+                item_pattern="tbody tr[id]",
+                fields=ITEM_FIELDS,
+                field_css=(
+                    # outType (zolpc.go:93): td Eq(1) .iclass a Text()
+                    ("机型", "td@eq(1) .iclass a@text"),
+                    # outURL (zolpc.go:87-90): td Eq(1) data-url attr
+                    ("链接", "td@eq(1)@data-url"),
+                    # outTitle (zolpc.go:94): td Eq(1) div a Text()
+                    ("主题", "td@eq(1) div a@text"),
+                    # author/stime (zolpc.go:97-99): td Eq(2) a / span
+                    ("发表者", "td@eq(2) a@text"),
+                    ("发表时间", "td@eq(2) span@text"),
+                    # reply/read (zolpc.go:102-104): td Eq(3) span / i
+                    ("总回复", "td@eq(3) span@text"),
+                    ("总查看", "td@eq(3) i@text"),
+                    # ereply/etime (zolpc.go:107-109): td Eq(4) a Eq(0)/Eq(1)
+                    ("最后回复者", "td@eq(4) a@eq(0)@text"),
+                    ("最后回复时间", "td@eq(4) a@eq(1)@text"),
+                ),
+                field_transforms=(
+                    # zolpc.go:90 unconditional host prefix
+                    ("链接", (("regex_sub", "^", "http://bbs.zol.com.cn/", 1),),),
+                ),
             ),
         ),
-    ),
-)
+    )
+
+
+ZOLPC_SPIDER = make_spider("中关村笔记本")
 
 
 def _row(tid: str, typ: str, title: str, author: str, stime: str,
@@ -139,14 +158,15 @@ def _list_body(page_no: int) -> bytes:
     ).encode()
 
 
-def page_url(n: int) -> str:
-    return f"http://{HOST}/nbbbs/p{n}.html"
+def page_url(n: int, path: str = "nbbbs/p") -> str:
+    return f"http://{HOST}/{path}{n}.html"
 
 
-def build_corpus() -> fixtures.Corpus:
+def build_corpus(name: str = "中关村笔记本") -> fixtures.Corpus:
+    path, _bound = VARIANTS[name]
     pages = [
         {
-            "url": page_url(n),
+            "url": page_url(n, path),
             "host": HOST,
             "depth": 0,
             "status": 200,
@@ -160,8 +180,8 @@ def build_corpus() -> fixtures.Corpus:
     ]
     seeds = [
         {
-            "spider": "中关村笔记本",
-            "url": page_url(n),
+            "spider": name,
+            "url": page_url(n, path),
             "rule": "生成请求",
             "priority": 0,
         }
@@ -173,18 +193,18 @@ def build_corpus() -> fixtures.Corpus:
     )
 
 
-def run(workdir: str, spark=None):
+def run(workdir: str, spark=None, name: str = "中关村笔记本"):
     owns_spark = spark is None
     if spark is None:
         spark = build_spark(
             "zolpc-spider", parallelism=8, shuffle_partitions=8
         )
         spark.sparkContext.setLogLevel("ERROR")
-    corpus = build_corpus()
+    corpus = build_corpus(name)
     pages, _imgs, _truth, _seeds, robots = fixtures.to_spark(spark, corpus)
     catalog = SnapshotCatalog(workdir, spark)
     engine = CrawlEngine(
-        spark, catalog, FixtureFetcher(pages), ZOLPC_SPIDER, robots,
+        spark, catalog, FixtureFetcher(pages), make_spider(name), robots,
         EngineConfig(wave_window_ms=6000, commit_every=3),
     )
     engine.seed(corpus.seeds)

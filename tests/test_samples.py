@@ -1388,3 +1388,45 @@ def test_lewa_sample_matches_oracle(spark):
         assert seen_eng == res.seen
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_zol_variant_samples(spark):
+    """zolphone/zolslab (zolphone.go, zolslab.go) are the zolpc rule at
+    other boards — same ParseFunc, different name/path/loop bound. The
+    phone variant runs end-to-end against the oracle; the tablet
+    variant's spec and corpus pin the parametrization."""
+    sys.path.insert(0, "samples")
+    import dataclasses
+
+    from zolphone_spider import NAME as PHONE, ZOLPHONE_SPIDER, run
+    from zolslab_spider import NAME as SLAB, ZOLSLAB_SPIDER
+    from zolpc_spider import ZOLPC_SPIDER, build_corpus
+
+    from pholcus_spark import testkit
+
+    # the three specs differ ONLY in spider name (byte-identical Go
+    # ParseFuncs → one shared rule body)
+    for spec, nm in ((ZOLPHONE_SPIDER, PHONE), (ZOLSLAB_SPIDER, SLAB)):
+        assert spec.name == nm
+        assert dataclasses.replace(spec, name=ZOLPC_SPIDER.name) == ZOLPC_SPIDER
+    slab_corpus = build_corpus(SLAB)
+    assert all("/padbbs/p" in s["url"] for s in slab_corpus.seeds)
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-zolphone-")
+    try:
+        catalog, state = run(workdir, spark=spark)
+        assert state["stopped"]
+        rows = catalog.read("items").collect()
+        assert rows and all(r.rule == "获取结果" for r in rows)
+        assert all("/sjbbs/d544_p" in r.url for r in rows)
+        res = testkit.run_oracle(build_corpus(PHONE), ZOLPHONE_SPIDER)
+        eng = {(r.rule, r.url, tuple(sorted(r.data.items()))) for r in rows}
+        orc = {
+            (i["rule"], i["url"], tuple(sorted(i["data"].items())))
+            for i in res.items
+        }
+        assert eng == orc
+        seen_eng = {r.key for r in catalog.read("url_seen").collect()}
+        assert seen_eng == res.seen
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
