@@ -925,7 +925,17 @@ class CrawlEngine:
         from .extract import extract_all_vec
         from .validate import validate_image_udf
 
+        _file_rules = {
+            fr.rule: fr.name_or_ext
+            for fr in getattr(self.spec, "file_rules", ()) or ()
+        }
         _html_filter = F.col("ok") & (F.col("rule") != self.spec.image_rule)
+        if _file_rules:
+            # FileOutput rules consume the raw body (context.go:252-256
+            # io.ReadAll) — never parsed as a page
+            _html_filter = _html_filter & ~F.col("rule").isin(
+                list(_file_rules)
+            )
         if has_store:
             # fused read+parse inside the body-read task — html bodies
             # never enter the JVM plan (metadata filtered FIRST: filters
@@ -1077,6 +1087,39 @@ class CrawlEngine:
             )
             .withColumns({"superstep": F.lit(superstep), "download_time": _dlt()})
         )
+        files = None
+        if _file_rules:
+            # FileCells (context.go:247-284): raw body + derived name.
+            # Name derivation is pure JVM (file_output_name_col); the
+            # per-rule nameOrExt constants fold into a when-chain.
+            from .sinks import file_output_name_col
+
+            _file_filter = F.col("ok") & F.col("rule").isin(list(_file_rules))
+            if has_store:
+                file_ok = self.fetcher.attach_bodies(
+                    fetched.where(_file_filter)
+                )
+            else:
+                file_ok = fetched_full.where(_file_filter)
+            name_col = F.lit(None).cast("string")
+            for r, arg in _file_rules.items():
+                name_col = F.when(
+                    F.col("rule") == r, file_output_name_col(F.col("url"), arg)
+                ).otherwise(name_col)
+            files = (
+                file_ok.select(
+                    "spider",
+                    "rule",
+                    "url",
+                    "parent_url",
+                    name_col.alias("name"),
+                    F.col("body").alias("bytes"),
+                    F.length("body").cast("long").alias("size"),
+                )
+                .withColumns(
+                    {"superstep": F.lit(superstep), "download_time": _dlt()}
+                )
+            )
         items = items.persist()
         # images is intentionally NOT persisted and NOT counted via its own
         # branch: its row count equals the ok image-rule rows (metadata),
@@ -1188,9 +1231,8 @@ class CrawlEngine:
             print(f"  [t] plan-build {time.time()-t0:.2f}")
         _tc = time.time()
         tag = lambda df, t: df.select(F.lit(t).alias("t"))  # noqa: E731
-        counts = dict(
-            (r.t, r.n)
-            for r in tag(fetched, "wave")
+        counts_src = (
+            tag(fetched, "wave")
             .union(tag(ok, "ok"))
             .union(tag(items, "items"))
             .union(
@@ -1198,7 +1240,14 @@ class CrawlEngine:
             )
             .union(tag(perm_failed, "perm"))
             .union(tag(kept, "children"))
-            .groupBy("t")
+        )
+        if _file_rules:
+            counts_src = counts_src.union(
+                tag(ok.where(F.col("rule").isin(list(_file_rules))), "files")
+            )
+        counts = dict(
+            (r.t, r.n)
+            for r in counts_src.groupBy("t")
             .agg(F.count("*").alias("n"))
             .collect()
         )
@@ -1210,6 +1259,7 @@ class CrawlEngine:
         n_perm_failed = counts.get("perm", 0)
         n_items = counts.get("items", 0)
         n_images = counts.get("images", 0)
+        n_files = counts.get("files", 0)
         n_children = counts.get("children", 0)
 
         # -- lineage: per-host (the crawl's natural partition) --------------
@@ -1251,6 +1301,8 @@ class CrawlEngine:
             )
         if n_items > 0:
             appends["items"] = items
+        if n_files > 0:
+            appends["files"] = files
         if n_images > 0 and not use_pysink:
             appends["images"] = images
         elif n_images > 0:
@@ -1320,6 +1372,11 @@ class CrawlEngine:
         state["totals"]["failed"] += n_failed
         state["totals"]["items"] += n_items
         state["totals"]["images"] += n_images
+        if _file_rules:
+            # resume-safe: older checkpoints predate the files counter
+            state["totals"]["files"] = (
+                state["totals"].get("files", 0) + n_files
+            )
         ap = self.config.append_partitions
         appends = {k: v.coalesce(ap) for k, v in appends.items()}
         _tf = time.time()

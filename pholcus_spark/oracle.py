@@ -91,6 +91,8 @@ class OracleResult:
     dropped_robots: int
     dropped_limit: int
     dropped_dup: int
+    # FileCells from FileRule-matched fetches: rule, url, name, size
+    files: list[dict] = dataclasses.field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -1028,6 +1030,34 @@ def _xml_items(text: str, er) -> list[dict]:
     return items
 
 
+def _oracle_file_name(url: str, name_or_ext: str = "") -> str:
+    """Independent twin of ``sinks.file_output_name`` — the
+    ``ctx.FileOutput(nameOrExt)`` name derivation
+    (`app/spider/context.go:259-279`), restated with regex splits and
+    ``posixpath`` instead of the engine's rfind/substring arithmetic."""
+    import posixpath
+    import re as re_mod
+
+    def split_ext(n: str) -> tuple[str, str]:
+        # Go path.Ext: suffix from the FINAL dot ('' when dotless)
+        m = re_mod.search(r"\.[^.]*$", n)
+        return (n[: m.start()], m.group(0)) if m else (n, "")
+
+    seg = re_mod.sub(r"\?.*$", "", url.rsplit("/", 1)[-1])
+    u_stem, u_ext = split_ext(seg)
+    base = ext = ""
+    if name_or_ext:
+        d, leaf = posixpath.split(name_or_ext)
+        a_stem, ext = split_ext(leaf)
+        if a_stem:
+            base = (d + "/" if d else "") + a_stem
+    if not base:
+        base = u_stem
+    if not ext:
+        ext = u_ext or ".html"
+    return base + ext
+
+
 def _oracle_transform_value(v: str, ops: tuple, temp=None) -> str:
     """Independent interpreter for ``ExtractRule.field_transforms``
     (spiderspec documents the op grammar; the engine compiles the same
@@ -1406,7 +1436,12 @@ def crawl(
     order: list[dict] = []
     items: list[dict] = []
     images: list[dict] = []
+    files: list[dict] = []
     metrics: list[dict] = []
+    file_rule_args = {
+        fr.rule: fr.name_or_ext
+        for fr in getattr(spec, "file_rules", ()) or ()
+    }
     next_seq = 0
     # maxPage semantics: starts at -limit, each accepted push increments;
     # refused once >= 0 (matrix.go:59-61,97)
@@ -1564,6 +1599,20 @@ def crawl(
                             # engine's coalesce(temp['caption'], '')
                             "caption": (req.temp or {}).get("caption") or "",
                             "url": req.url,
+                        }
+                    )
+                    continue
+                if req.rule in file_rule_args:
+                    # ctx.FileOutput (context.go:247-284): collect the
+                    # raw body as a FileCell, never parse the page
+                    files.append(
+                        {
+                            "rule": req.rule,
+                            "url": req.url,
+                            "name": _oracle_file_name(
+                                req.url, file_rule_args[req.rule]
+                            ),
+                            "size": len(page.get("body") or b""),
                         }
                     )
                     continue
@@ -1858,6 +1907,7 @@ def crawl(
         items=items,
         images=images,
         failed_final=failed_final,
+        files=files,
         metrics=metrics,
         dropped_robots=dropped["robots"],
         dropped_limit=dropped["limit"],

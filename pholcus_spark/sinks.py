@@ -41,6 +41,120 @@ def file_name_replace(name: str) -> str:
     return "".join(out).replace("\r\t\n", "")
 
 
+def _go_path_ext(n: str) -> str:
+    """Go ``path.Ext`` on a slash-free element: suffix beginning at the
+    final dot, '' when there is none (``path/path.go:142-150``)."""
+    i = n.rfind(".")
+    return n[i:] if i >= 0 else ""
+
+
+def file_output_name(url: str, name_or_ext: str = "") -> str:
+    """The FileCell name ``ctx.FileOutput(nameOrExt)`` derives
+    (`app/spider/context.go:247-284`):
+
+    * take the URL's last path segment, strip any ``?query``;
+    * a non-empty ``name_or_ext`` is split Go-``path.Split``-style into
+      a dir prefix + final element; the element's extension (if any)
+      overrides the URL's, the remaining stem (if any, dir prefix kept)
+      overrides the URL-derived base name;
+    * missing pieces fall back to the URL (base = segment minus ext,
+      ext = segment ext), and a still-empty ext defaults to ``.html``.
+
+    ``FileOutput("baidu")`` on ``…/bd_logo1.png`` → ``baidu.png``;
+    ``FileOutput()`` on ``…/pholcus`` → ``pholcus.html``.
+    """
+    s = url.rsplit("/", 1)[-1]
+    n = s.split("?", 1)[0]
+    base, ext = "", ""
+    if name_or_ext:
+        i = name_or_ext.rfind("/")
+        p, n2 = name_or_ext[: i + 1], name_or_ext[i + 1 :]
+        ext = _go_path_ext(n2)
+        stem = n2[: len(n2) - len(ext)] if ext else n2
+        if stem:
+            base = p + stem
+    if not base:
+        uext = _go_path_ext(n)
+        base = n[: len(n) - len(uext)] if uext else n
+    if not ext:
+        ext = _go_path_ext(n)
+    if not ext:
+        ext = ".html"
+    return base + ext
+
+
+def file_output_name_col(url, name_or_ext: str = ""):
+    """Column twin of :func:`file_output_name` — pure JVM expressions
+    (``name_or_ext`` is a per-rule SPEC CONSTANT, so its Go-path
+    splitting happens driver-side; only the URL-derived parts are
+    per-row). Used by the engine's files branch so the names land in
+    the plan without a UDF."""
+    if isinstance(url, str):
+        url = F.col(url)
+    seg = F.substring_index(F.substring_index(url, "/", -1), "?", 1)
+    url_ext = F.regexp_extract(seg, r"(\.[^.]*)$", 1)
+    url_base = F.substring(seg, F.lit(1), F.length(seg) - F.length(url_ext))
+    arg_base, arg_ext = "", ""
+    if name_or_ext:
+        i = name_or_ext.rfind("/")
+        p, n2 = name_or_ext[: i + 1], name_or_ext[i + 1 :]
+        arg_ext = _go_path_ext(n2)
+        stem = n2[: len(n2) - len(arg_ext)] if arg_ext else n2
+        if stem:
+            arg_base = p + stem
+    base_col = F.lit(arg_base) if arg_base else url_base
+    ext_col = (
+        F.lit(arg_ext)
+        if arg_ext
+        else F.when(url_ext != "", url_ext).otherwise(F.lit(".html"))
+    )
+    return F.concat(base_col, ext_col)
+
+
+def file_cell_relpath(namespace: str, name: str) -> str:
+    """Disk layout of one FileCell relative to FileDir
+    (`output_file.go:26-30`): ``FNR(namespace)/<dir-part>/FNR(base)``
+    where ``(dir-part, base) = filepath.Split(filepath.Clean(name))``.
+    Go's ``filepath.Join`` treats every element as relative, so an
+    absolute-looking name stays under FileDir — mirrored by stripping
+    the leading '/'. Pure (no Spark): runs inside the task-side file
+    sink writer."""
+    import posixpath
+
+    cleaned = posixpath.normpath(name).lstrip("/")
+    i = cleaned.rfind("/")
+    p, n = cleaned[: i + 1], cleaned[i + 1 :]
+    parts = [file_name_replace(namespace)]
+    if p:
+        parts.append(p.rstrip("/"))
+    parts.append(file_name_replace(n))
+    return "/".join(parts)
+
+
+def export_files(files: DataFrame, file_dir: str, namespace_col: str = "spider"):
+    """Distributed FileCell disk sink (`output_file.go:20-73`): each
+    partition writes its rows under ``file_dir/FNR(namespace)/<dir>/
+    FNR(base)``, create-or-truncate like the reference's O_TRUNC open.
+    ``file_dir`` must be a shared filesystem on a real cluster (every
+    executor writes directly — same contract as the reference's one
+    process, scaled out); rows need (``namespace_col``, name, bytes)."""
+    import os
+
+    rows = files.select(
+        F.col(namespace_col).alias("_ns"), "name", "bytes"
+    )
+
+    def _write(part):
+        for r in part:
+            rel = file_cell_relpath(r["_ns"], r["name"])
+            path = os.path.join(file_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(bytes(r["bytes"]))
+
+    rows.foreachPartition(_write)
+
+
 def sub_namespace_col(sub_field: str | None):
     """The subNamespace column (`output_util.go:18-28`): rule name by
     default; with a :class:`SpiderSpec.sub_namespace_field` set, the

@@ -29,6 +29,22 @@ class LinkRule:
 
 
 @dataclasses.dataclass(frozen=True)
+class FileRule:
+    """``ctx.FileOutput(nameOrExt)`` as a declarative rule
+    (`app/spider/context.go:244-284`; filetest.go:56-64): fetched
+    bodies whose rule matches are collected as FileCells — name
+    derived from the URL's last path segment, optionally overridden
+    by ``name_or_ext`` (a new stem and/or extension, empty keeps the
+    original, extension falls back to ``.html``). The engine lands
+    them in the typed ``files`` table (spider, rule, url, name, bytes,
+    size); :func:`pholcus_spark.sinks.export_files` writes the
+    reference's ``FileDir/FNR(namespace)/…`` disk layout."""
+
+    rule: str
+    name_or_ext: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
 class ExtractRule:
     """Declarative per-rule item extraction — the user-authorable
     replacement for the reference's arbitrary ``ParseFunc`` + goquery
@@ -345,6 +361,10 @@ class SpiderSpec:
     )
     item_rules: tuple[str, ...] = ("detail",)  # rules that emit item rows
     image_rule: str = "image"  # the FileOutput-style rule
+    # raw-body FileOutput rules (see FileRule): bodies land in the
+    # ``files`` table with context.go:247-284 naming instead of being
+    # parsed as pages or decoded as images
+    file_rules: tuple[FileRule, ...] = ()
     reloadable_urls: frozenset[str] = frozenset()  # request.go:270-277 opt-out
     limit: int | None = None  # total enqueue cap (matrix.go:59-61,97)
     max_depth: int | None = None

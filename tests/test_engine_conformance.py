@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 from pholcus_spark import fixtures, testkit
 from pholcus_spark.engine import EngineConfig
 from pholcus_spark.oracle import OracleConfig
-from pholcus_spark.spiderspec import ExtractRule, LinkRule, SpiderSpec
+from pholcus_spark import sinks
+from pholcus_spark.spiderspec import (
+    ExtractRule,
+    FileRule,
+    LinkRule,
+    SpiderSpec,
+)
 
 
 def run_pair(
@@ -951,3 +957,112 @@ def test_request_headers_conformance(runs):
     assert dkey("/d/walled") not in seen_keys
     ff = {r.key for r in run.df("failures_final").collect()}
     assert ff == {dkey("/d/walled")}
+
+
+# ---------------------------------------------------------------------------
+# ctx.FileOutput / FileRule (context.go:247-284, filetest.go:41-64)
+# ---------------------------------------------------------------------------
+
+_PNG_BODY = b"\x89PNG\r\n\x1a\n" + b"\x00" * 48
+_DOC_BODY = b"<html><body>pholcus readme</body></html>"
+
+
+def _file_corpus() -> fixtures.Corpus:
+    """filetest.go shape over fixtures: an index page linking one binary
+    download (named rule, like FileOutput("baidu")) and one extension-less
+    text download (default naming -> .html)."""
+    host = "files.test"
+
+    def page(path, body, content_type, out_links=()):
+        return {
+            "url": f"http://{host}{path}",
+            "host": host,
+            "depth": 0,
+            "status": 200,
+            "flaky": False,
+            "fail_attempts": 0,
+            "content_type": content_type,
+            "body": body,
+            "out_links": list(out_links),
+            "image_refs": [],
+        }
+
+    pages = [
+        page(
+            "/idx",
+            b'<html><body><a href="/dl/bd_logo1.png">l</a>'
+            b'<a href="/txt/pholcus">p</a></body></html>',
+            "text/html; charset=utf-8",
+            out_links=[f"http://{host}/dl/bd_logo1.png",
+                       f"http://{host}/txt/pholcus"],
+        ),
+        page("/dl/bd_logo1.png", _PNG_BODY, "image/png"),
+        page("/txt/pholcus", _DOC_BODY, "text/html; charset=utf-8"),
+    ]
+    seeds = [
+        {"spider": "filetest", "url": f"http://{host}/idx", "rule": "list",
+         "priority": 0},
+    ]
+    robots = [{"host": host, "disallow_prefixes": [], "crawl_delay_ms": None}]
+    return fixtures.Corpus(
+        pages=pages, images=[], images_truth=[], seeds=seeds, robots=robots
+    )
+
+
+_FILE_SPIDER = SpiderSpec(
+    "filetest",
+    link_rules=(
+        LinkRule("/idx", "list", 0),
+        LinkRule("/dl/", "百度图片", 1),
+        LinkRule("/txt/", "Pholcus页面", 1),
+    ),
+    item_rules=(),
+    image_rule="image",
+    file_rules=(
+        FileRule("百度图片", "baidu"),   # ctx.FileOutput("baidu")
+        FileRule("Pholcus页面"),          # ctx.FileOutput()
+    ),
+)
+
+
+@pytest.mark.parametrize("body_store", [False, True])
+def test_file_output_conformance(spark, body_store, tmp_path):
+    """FileRule-matched fetches land in the typed `files` table (raw
+    body, context.go naming), are never parsed as pages, and match the
+    oracle's FileCell set exactly — in both the plain fixture fetcher
+    and the body-store (attach_bodies) modes. export_files then writes
+    the reference's FileDir/FNR(namespace)/ layout from the table."""
+    corpus = _file_corpus()
+    run, res = run_pair(spark, corpus, _FILE_SPIDER, body_store=body_store)
+    try:
+        check_conformance(run, res)
+        fdf = run.df("files")
+        rows = fdf.collect()
+        eng = {(r.rule, r.url, r.name, r.size) for r in rows}
+        assert eng == {
+            (f["rule"], f["url"], f["name"], f["size"]) for f in res.files
+        }
+        assert len(eng) == 2
+        by_name = {r.name: bytes(r.bytes) for r in rows}
+        # context.go naming: arg stem + URL ext; URL stem + .html default
+        assert by_name["baidu.png"] == _PNG_BODY
+        assert by_name["pholcus.html"] == _DOC_BODY
+        # file pages are fetched but never parsed: no children from them
+        assert all(
+            i["url"] != "http://files.test/dl/bd_logo1.png"
+            for i in res.items
+        )
+        # disk sink: output_file.go FileDir layout
+        out = str(tmp_path / "filedir")
+        sinks.export_files(fdf, out)
+        import os
+        assert (
+            open(os.path.join(out, "filetest", "baidu.png"), "rb").read()
+            == _PNG_BODY
+        )
+        assert (
+            open(os.path.join(out, "filetest", "pholcus.html"), "rb").read()
+            == _DOC_BODY
+        )
+    finally:
+        run.cleanup()

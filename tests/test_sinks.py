@@ -642,3 +642,84 @@ def test_kafka_payload_sub_namespace_topic(spark):
     # data-dependent topic; the non-ascii one fails TOPIC_PATTERN and is
     # dropped (output_kafka.go:48-51 skip-and-continue)
     assert topics == ["news__sports"]
+
+
+# --- ctx.FileOutput naming parity (context.go:247-284) ----------------
+
+FILE_NAME_CASES = [
+    # (url, name_or_ext, expected) — first two are the filetest sample's
+    # own cells (sample/static_rules/filetest/filetest.go:41-64)
+    ("https://www.baidu.com/img/bd_logo1.png", "baidu", "baidu.png"),
+    ("https://github.com/andeya/pholcus", "", "pholcus.html"),
+    # query stripped before ext derivation
+    ("http://h.test/a/pic.jpg?x=1&y=2", "", "pic.jpg"),
+    # extension-only arg overrides the URL ext, keeps URL stem
+    ("http://h.test/a/pic.jpg", ".webp", "pic.webp"),
+    # dotted arg: stem AND ext both from the arg
+    ("http://h.test/a/pic.jpg", "cover.png", "cover.png"),
+    # dir-part arg is carried into the name (p + stem)
+    ("http://h.test/a/pic.jpg", "sub/dir/cover", "sub/dir/cover.jpg"),
+    # arg that is ONLY a dir (trailing slash): stem empty -> URL base,
+    # and the dir prefix is dropped (Go's baseName2 == "" branch)
+    ("http://h.test/a/pic.jpg", "sub/", "pic.jpg"),
+    # URL ending in '/': empty segment -> ".html"
+    ("http://h.test/a/", "", ".html"),
+    # multi-dot URL segment: Go path.Ext takes the FINAL dot
+    ("http://h.test/x/archive.tar.gz", "", "archive.tar.gz"),
+    ("http://h.test/x/archive.tar.gz", "bak", "bak.gz"),
+    # no ext anywhere -> .html appended to URL stem
+    ("http://h.test/about", "", "about.html"),
+]
+
+
+def test_file_output_name_reference_cases():
+    for url, arg, want in FILE_NAME_CASES:
+        assert sinks.file_output_name(url, arg) == want, (url, arg)
+
+
+def test_file_output_name_col_matches_pure(spark):
+    import pyspark.sql.functions as F
+
+    urls = sorted({u for u, _, _ in FILE_NAME_CASES})
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    for arg in ["", "baidu", ".webp", "cover.png", "sub/dir/cover", "sub/"]:
+        got = {
+            r.url: r.name
+            for r in df.select(
+                "url", sinks.file_output_name_col("url", arg).alias("name")
+            ).collect()
+        }
+        for u in urls:
+            assert got[u] == sinks.file_output_name(u, arg), (u, arg)
+
+
+def test_file_cell_relpath_layout():
+    # output_file.go:26-30: FNR(namespace)/<dir>/FNR(base); Clean first
+    assert sinks.file_cell_relpath("spider", "baidu.png") == "spider/baidu.png"
+    assert (
+        sinks.file_cell_relpath("s:p", "a/../b/x?.png") == "s：p/b/x？.png"
+    )
+    # absolute-looking names stay under FileDir (filepath.Join contract)
+    assert sinks.file_cell_relpath("s", "/etc/x.png") == "s/etc/x.png"
+    assert sinks.file_cell_relpath("名字", ".html") == "名字/.html"
+
+
+def test_export_files_writes_layout(spark):
+    import os
+
+    files = spark.createDataFrame(
+        [
+            ("site__a", "baidu.png", bytearray(b"\x89PNG")),
+            ("site__a", "sub/dir/cover.jpg", bytearray(b"\xff\xd8")),
+            ("site:b", "pholcus.html", bytearray(b"<html>")),
+        ],
+        "spider string, name string, bytes binary",
+    )
+    out = tempfile.mkdtemp(prefix="pholcus-files-")
+    try:
+        sinks.export_files(files, out)
+        assert open(f"{out}/site__a/baidu.png", "rb").read() == b"\x89PNG"
+        assert open(f"{out}/site__a/sub/dir/cover.jpg", "rb").read() == b"\xff\xd8"
+        assert open(f"{out}/site：b/pholcus.html", "rb").read() == b"<html>"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
