@@ -371,6 +371,47 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_file_output_name(spark, sf_dir):
+    """ctx.FileOutput name derivation (context.go:247-284) gated
+    end-to-end: deterministic download URLs are synthesized from doc_id
+    (plain ext, multi-dot ext, extension-less, query-carrying,
+    trailing-slash) and pushed through the REAL pure-JVM naming column
+    under the four arg shapes a rule can declare — default, new stem
+    (``FileOutput("baidu")``), ext-only override, dir-carrying stem —
+    and compared against an independent SQL restatement."""
+    from pholcus_spark.sinks import file_output_name_col
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("http://h.test/img/logo_"), did, F.lit(".png")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("http://h.test/f/arch_"), did, F.lit(".tar.gz")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("http://h.test/p/page_"), did),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://h.test/dl/blob_"), did, F.lit(".bin?sid="), did),
+        )
+        .otherwise(F.concat(F.lit("http://h.test/dir_"), did, F.lit("/")))
+    )
+    return d.withColumn("url", url).select(
+        "doc_id",
+        "url",
+        file_output_name_col("url").alias("name_default"),
+        file_output_name_col("url", "baidu").alias("name_stem"),
+        file_output_name_col("url", ".webp").alias("name_ext"),
+        file_output_name_col("url", "sub/dir/cover").alias("name_dir"),
+    )
+
+
 def text_token_count(spark, sf_dir):
     from pholcus_spark.ops.text import token_count
 
@@ -1494,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_rollup": q_cube_rollup,
         "q_pivot": q_pivot,
         "q_url_canonical": q_url_canonical,
+        "q_file_output_name": q_file_output_name,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -1930,6 +1972,45 @@ SELECT doc_id,
     ELSE 'https://host' || (doc_id % 7) || '.example.com/x%20y/'
   END AS canon_url,
   'host' || (doc_id % 7) || '.example.com' AS host
+FROM documents
+""",
+        "q_file_output_name": """
+SELECT doc_id,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'http://h.test/img/logo_' || doc_id || '.png'
+    WHEN 1 THEN 'http://h.test/f/arch_' || doc_id || '.tar.gz'
+    WHEN 2 THEN 'http://h.test/p/page_' || doc_id
+    WHEN 3 THEN 'http://h.test/dl/blob_' || doc_id || '.bin?sid=' || doc_id
+    ELSE 'http://h.test/dir_' || doc_id || '/'
+  END AS url,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'logo_' || doc_id || '.png'
+    WHEN 1 THEN 'arch_' || doc_id || '.tar.gz'
+    WHEN 2 THEN 'page_' || doc_id || '.html'
+    WHEN 3 THEN 'blob_' || doc_id || '.bin'
+    ELSE '.html'
+  END AS name_default,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'baidu.png'
+    WHEN 1 THEN 'baidu.gz'
+    WHEN 2 THEN 'baidu.html'
+    WHEN 3 THEN 'baidu.bin'
+    ELSE 'baidu.html'
+  END AS name_stem,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'logo_' || doc_id || '.webp'
+    WHEN 1 THEN 'arch_' || doc_id || '.tar.webp'
+    WHEN 2 THEN 'page_' || doc_id || '.webp'
+    WHEN 3 THEN 'blob_' || doc_id || '.webp'
+    ELSE '.webp'
+  END AS name_ext,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'sub/dir/cover.png'
+    WHEN 1 THEN 'sub/dir/cover.gz'
+    WHEN 2 THEN 'sub/dir/cover.html'
+    WHEN 3 THEN 'sub/dir/cover.bin'
+    ELSE 'sub/dir/cover.html'
+  END AS name_dir
 FROM documents
 """,
         "q_cube_rollup": """
