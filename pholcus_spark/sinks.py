@@ -496,6 +496,61 @@ def write_jdbc(df: DataFrame, url: str, table: str, **options) -> None:
     df.write.mode("append").options(**options).jdbc(url, table)
 
 
+def export_items_jdbc(
+    items: DataFrame, url: str, field_order=None, sub_field=None,
+    out_default_field: bool = True, **options,
+) -> None:
+    """The MySQL sink (`output_mysql.go:37-87`) over ``df.write.jdbc``:
+    one table per ``FNR(namespace)__FNR(subNamespace)`` (namespace =
+    spider, subNamespace = rule, or the ``sub_field`` item value —
+    `output_util.go:18-28`), columns = the rule's declared ItemFields
+    in order, with ``Url``/``ParentUrl``/``DownloadTime`` riding along
+    unless the spider's NotDefaultField opt-out (`spider.go:34`) set
+    ``out_default_field=False``; every flush is an append
+    (``AutoInsert``/``FlushInsert`` batching is the connector's
+    batch-insert path). Rules without a declared field order fall back
+    to one JSON blob column, like the CSV exporter.
+
+    The table universe is a dim (one row per spider × subNamespace),
+    so the driver-side distinct-collect here is control flow, not data
+    flow; each table's rows move executor→database in partition-
+    parallel JDBC batches. Works against any JDBC database the driver
+    jar for which is on the classpath — tested in-container on Spark's
+    bundled embedded Derby, server targets take the same ``url`` +
+    ``options`` (user/password/driver)."""
+    field_order = field_order or {}
+    sub = sub_namespace_col(sub_field).alias("_sub")
+    tabs = sorted(
+        (r.spider, r._sub, r.rule)
+        for r in items.select("spider", sub, "rule").distinct().collect()
+    )
+    prov = (
+        [
+            F.col("url").alias("Url"),
+            F.col("parent_url").alias("ParentUrl"),
+            F.col("download_time").alias("DownloadTime"),
+        ]
+        if out_default_field
+        else []
+    )
+    for spider, subns, rule in tabs:
+        fields = field_order.get(rule)
+        if fields:
+            cols = [
+                F.try_element_at(F.col("data"), F.lit(f)).alias(f)
+                for f in fields
+            ]
+        else:
+            cols = [F.to_json("data").alias("data_json")]
+        part = items.where(
+            (F.col("spider") == spider)
+            & (F.col("rule") == rule)
+            & (sub_namespace_col(sub_field) == subns)
+        )
+        tname = f"{file_name_replace(spider)}__{file_name_replace(subns)}"
+        write_jdbc(part.select(*cols, *prov), url, tname, **options)
+
+
 def write_kafka(df: DataFrame, servers: str, topic: str | None = None,
                 fmt: str = "kafka", **options) -> None:
     """Kafka-sink transport (`output_kafka.go:38-65`). ``df`` is either

@@ -723,3 +723,90 @@ def test_export_files_writes_layout(spark):
         assert open(f"{out}/site：b/pholcus.html", "rb").read() == b"<html>"
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --- MySQL sink parity, EXECUTED on embedded Derby (output_mysql.go) --
+
+
+def _derby(db: str):
+    url = f"jdbc:derby:memory:{db};create=true"
+    return url, {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _items_df(spark):
+    return spark.createDataFrame(
+        [
+            ("site", "detail", "http://h/1", "http://h/0", "t1", 1,
+             {"title": "A", "price": "9", "cat": "x"}),
+            ("site", "detail", "http://h/2", "http://h/0", "t2", 1,
+             {"title": "B", "price": "7", "cat": "y"}),
+            ("site", "misc", "http://h/3", "http://h/0", "t3", 2,
+             {"k": "v"}),
+        ],
+        "spider string, rule string, url string, parent_url string, "
+        "download_time string, superstep int, data map<string,string>",
+    )
+
+
+def test_export_items_jdbc_derby_roundtrip(spark):
+    """The jdbc dispatch EXECUTED, not monkeypatched: Spark's bundled
+    embedded Derby takes the same df.write.jdbc path a MySQL server
+    would (DriverRegistry, type mapping, batched inserts). One table
+    per namespace__subNamespace, ItemFields column order + provenance,
+    JSON-blob fallback for undeclared rules, append-on-reflush."""
+    spark._jvm.java.lang.System.setProperty("derby.system.home", "/tmp")
+    url, opts = _derby("pholcus_items")
+    items = _items_df(spark)
+    fo = {"detail": ("title", "price")}
+
+    sinks.export_items_jdbc(items, url, field_order=fo, **opts)
+
+    def read(t):
+        return (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", t).options(**opts).load()
+        )
+
+    det = read("site__detail")
+    # declared ItemFields order, then the default provenance columns
+    assert det.columns == ["title", "price", "Url", "ParentUrl",
+                           "DownloadTime"]
+    assert {(r.title, r.price, r.Url) for r in det.collect()} == {
+        ("A", "9", "http://h/1"), ("B", "7", "http://h/2"),
+    }
+    misc = read("site__misc")
+    assert misc.columns == ["data_json", "Url", "ParentUrl",
+                            "DownloadTime"]
+    import json
+
+    assert json.loads(misc.first().data_json) == {"k": "v"}
+    # AutoInsert/FlushInsert semantics: a second flush APPENDS
+    sinks.export_items_jdbc(items, url, field_order=fo, **opts)
+    assert det.count() == 4
+
+
+def test_export_items_jdbc_not_default_field_and_sub(spark):
+    """NotDefaultField (spider.go:34) suppresses Url/ParentUrl/
+    DownloadTime; sub_namespace_field routes rows to data-valued
+    tables (output_util.go:18-28, baidunews.go:77-79)."""
+    spark._jvm.java.lang.System.setProperty("derby.system.home", "/tmp")
+    from pyspark.sql import functions as F
+
+    url, opts = _derby("pholcus_sub")
+    items = _items_df(spark).where(F.col("rule") == "detail")
+
+    sinks.export_items_jdbc(
+        items, url, field_order={"detail": ("title",)},
+        sub_field="cat", out_default_field=False, **opts,
+    )
+
+    def read(t):
+        return (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", t).options(**opts).load()
+        )
+
+    x = read("site__x")
+    assert x.columns == ["title"]
+    assert [r.title for r in x.collect()] == ["A"]
+    assert [r.title for r in read("site__y").collect()] == ["B"]
