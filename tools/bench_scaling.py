@@ -96,6 +96,9 @@ def prepare(workdir: str) -> None:
                     "require_header": pd.array(
                         [None] * len(ids), dtype="string"
                     ),
+                    # '' = the page answers any request to the url
+                    # (fixtures.PAGES_DDL post_data contract)
+                    "post_data": [""] * len(ids),
                 }
             )
 
