@@ -424,6 +424,12 @@ def text_quality(spark, sf_dir):
     return quality_score(_load(spark, sf_dir, "documents"))
 
 
+def text_gopher(spark, sf_dir):
+    from pholcus_spark.ops.text import gopher_rules
+
+    return gopher_rules(_load(spark, sf_dir, "documents"))
+
+
 def text_lang_id(spark, sf_dir):
     from pholcus_spark.ops.text import lang_id
 
@@ -1538,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_output_name": q_file_output_name,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
+        "text_gopher": text_gopher,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "text_clean_html": text_clean_html,
@@ -2105,6 +2112,55 @@ SELECT doc_id, n_chars AS n_chars_measured, n_tokens,
     * alpha_ratio
     * (1.0 - least(punct_ratio * 5.0, 1.0))
     * (1.0 - least(upper_ratio * 2.0, 1.0)), 4) AS quality
+FROM r
+""",
+        "text_gopher": """
+WITH f AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS words,
+    string_split(text, chr(10)) AS lines,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    greatest(len(words), 1) AS nw,
+    greatest(len(lines), 1) AS nl,
+    list_sum(list_transform(words, w -> length(w))) AS sum_wlen,
+    len(list_filter(lines,
+        l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS ell_lines,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'be') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'to') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'of') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'that') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'have') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'with') THEN 1 ELSE 0 END
+    ) AS stop_hits,
+    n_hash, n_ell
+  FROM f
+), r AS (
+  SELECT doc_id, n_words, stop_hits,
+    round(coalesce(sum_wlen, 0) / nw, 4) AS mean_word_len,
+    round((n_hash + n_ell) / nw, 4) AS symbol_ratio,
+    round(bullet_lines / nl, 4) AS bullet_line_frac,
+    round(ell_lines / nl, 4) AS ellipsis_line_frac,
+    round(alpha_words / nw, 4) AS alpha_word_frac
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac, CAST(stop_hits AS INT) AS stop_hits,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio <= 0.1
+   AND bullet_line_frac < 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND stop_hits >= 2) AS gopher_pass
 FROM r
 """,
         "text_lang_id": """

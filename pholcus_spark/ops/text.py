@@ -495,3 +495,91 @@ def bm25_topk(
         # only the emitted value (the sim_cosine_topk convention)
         .select(id_col, F.round("_score", 6).alias("score"))
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — the
+# standard rule-based pretraining filter). All pure JVM: split /
+# higher-order array functions / occurrence counting, no UDFs.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_cols(text_col: str) -> dict:
+    """The rule metrics as row-local Column expressions (shared by the
+    metrics view and the filter, so the filter is a plain where() with
+    no join/shuffle)."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(sum_wlen / nw, 4)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ell) / nw, 4)
+    lines = F.split(text, "\n")
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*\u2022]"))
+    )
+    ell_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    bullet_frac = F.round(bullet_lines / nl, 4)
+    ell_frac = F.round(ell_lines / nl, 4)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(alpha_words / nw, 4)
+    low = F.transform(words, lambda w: F.lower(w))
+    stop_hits = sum(
+        (
+            F.when(F.array_contains(low, sw), F.lit(1)).otherwise(F.lit(0))
+            for sw in GOPHER_STOPWORDS
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    gopher_pass = (
+        n_words.between(50, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ell_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ell_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "gopher_pass": gopher_pass,
+    }
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule metrics + pass flag:
+
+    * 50 <= word count <= 100000
+    * 3 <= mean word length <= 10
+    * symbol-to-word ratio ('#' or '...') <= 0.1
+    * < 90% of lines starting with a bullet ('-' / '*' / U+2022);
+      <= 30% of lines ending with '...'
+    * >= 80% of words contain an alphabetic character
+    * >= 2 distinct stop words from {the be to of and that have with}
+
+    Ratios round to 4 places so the DuckDB oracle restatement is
+    bit-identical."""
+    cols = _gopher_cols(text_col)
+    return docs.select(
+        "doc_id", *(c.alias(name) for name, c in cols.items())
+    )
+
+
+def gopher_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only rule-passing documents (the curation-pipeline step):
+    a row-local where() — one scan, no join, no shuffle."""
+    return docs.where(_gopher_cols(text_col)["gopher_pass"])

@@ -1396,3 +1396,31 @@ def test_dsir_weights_match_pure_python_twin(spark):
     assert [(r.doc_id, r.score) for r in sel] == ranked
     top_two = {r.doc_id for r in sel[:2]}
     assert top_two <= {1, 3}, "target-enriched docs should lead"
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One document per failure mode + one clean pass (Rae et al. 2021
+    §A1.1 thresholds); gopher_filter keeps exactly the passing doc and
+    is a plain where() over the scan (no join in the plan)."""
+    good = ("the quick brown fox jumps over that lazy dog and then it "
+            "went to have a long rest with friends of mine nearby " * 3)
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # passes
+            (1, "too few words to pass the gate"),       # word count < 50
+            (2, ("a " * 60).strip()),                    # mean word len < 3
+            (3, good + " " + "#tag " * 20),              # symbol ratio > 0.1
+            (4, "\n".join(f"- bullet {i} of the set to have and that be with"
+                          for i in range(20))),          # 100% bullet lines
+            (5, good.replace(" ", "... ", 40)),          # ellipsis symbols
+            (6, ("123 456 " * 40 + "the be ").strip()),  # alpha frac < 0.8
+            (7, ("lorem ipsum dolor sit amet " * 12).strip()),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r.doc_id: r.gopher_pass for r in text.gopher_rules(docs).collect()}
+    assert flags[0] is True
+    assert all(flags[i] is False for i in range(1, 8)), flags
+    kept = text.gopher_filter(docs)
+    assert [r.doc_id for r in kept.collect()] == [0]
+    assert "Join" not in kept._jdf.queryExecution().executedPlan().toString()
