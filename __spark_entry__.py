@@ -412,6 +412,37 @@ def q_file_output_name(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source/sink (ISO 28500) gated end-to-end: the documents
+    table is exported as per-partition .warc.gz archives (one gzip
+    member per record, Common-Crawl convention), read back through the
+    binaryFile + mapInPandas record splitter, and must reproduce every
+    (doc_id, text) pair byte-exactly — the oracle is the identity
+    query, so any framing/gzip/splitting defect breaks the hash."""
+    import tempfile
+
+    from pholcus_spark.sources.warc import read_warc, write_warc
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = d.select(
+        F.concat(F.lit("http://docs.test/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.encode("text", "utf-8").alias("payload"),
+        F.concat(
+            F.lit("<urn:uuid:doc-"), F.col("doc_id"), F.lit(">")
+        ).alias("record_id"),
+    )
+    out = tempfile.mkdtemp(prefix="pholcus-warc-gate-")
+    write_warc(src.repartition(8), out, content_type="text/plain")
+    return read_warc(spark, out).select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "utf-8").alias("text"),
+    )
+
+
 def text_token_count(spark, sf_dir):
     from pholcus_spark.ops.text import token_count
 
@@ -1542,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_url_canonical": q_url_canonical,
         "q_file_output_name": q_file_output_name,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_gopher": text_gopher,
@@ -2113,6 +2145,9 @@ SELECT doc_id, n_chars AS n_chars_measured, n_tokens,
     * (1.0 - least(punct_ratio * 5.0, 1.0))
     * (1.0 - least(upper_ratio * 2.0, 1.0)), 4) AS quality
 FROM r
+""",
+        "q_warc_roundtrip": """
+SELECT doc_id, text FROM documents
 """,
         "text_gopher": """
 WITH f AS (

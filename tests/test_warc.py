@@ -1,0 +1,113 @@
+"""WARC source (ISO 28500 framing, Common-Crawl .warc.gz member
+convention): pure framing roundtrips + the distributed read/write
+surface."""
+
+import gzip
+
+import pytest
+
+from pholcus_spark.sources import warc
+
+
+def _recs(n=3, typ="response"):
+    return [
+        dict(
+            warc_type=typ,
+            payload=f"payload {i}\r\n\r\nwith fake boundary".encode(),
+            record_id=f"<urn:uuid:rec-{i}>",
+            target_uri=f"http://h.test/p/{i}",
+            content_type="text/plain",
+        )
+        for i in range(n)
+    ]
+
+
+def test_framing_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        data = warc.build_warc(_recs(), gzipped=gz)
+        out = list(warc.parse_warc(data))
+        assert [r["warc-target-uri"] for r in out] == [
+            f"http://h.test/p/{i}" for i in range(3)
+        ]
+        # payload bytes survive even though they CONTAIN the \r\n\r\n
+        # frame boundary — Content-Length framing, not delimiter split
+        assert all(b"fake boundary" in r["payload"] for r in out)
+        assert [r["warc-type"] for r in out] == ["response"] * 3
+        assert all(r["warc-record-id"].startswith("<urn:uuid:") for r in out)
+
+
+def test_gzip_members_are_individually_valid():
+    """The CC convention: each record is its own gzip member, so a
+    range-read of one member decompresses standalone."""
+    data = warc.build_warc(_recs(2), gzipped=True)
+    members = list(warc._gzip_members(data))
+    assert len(members) == 2
+    one = list(warc.parse_warc(members[1], gzipped=False))
+    assert len(one) == 1 and one[0]["warc-target-uri"].endswith("/1")
+    # and the archive bytes are stable (mtime pinned)
+    assert warc.build_warc(_recs(2), gzipped=True) == data
+
+
+def test_parse_stops_at_trailing_garbage():
+    data = warc.build_warc(_recs(2)) + b"NOT A RECORD"
+    assert len(list(warc.parse_warc(data))) == 2
+
+
+def test_build_is_deterministic():
+    assert warc.build_warc(_recs()) == warc.build_warc(_recs())
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(
+        warc.build_warc(_recs(3), gzipped=True)
+    )
+    # a second, PLAIN archive with a warcinfo record to be type-pruned
+    plain = warc.build_warc(
+        [
+            dict(
+                warc_type="warcinfo",
+                payload=b"software: test",
+                record_id="<urn:uuid:info>",
+            )
+        ]
+        + _recs(2),
+    )
+    (tmp_path / "b.warc").write_bytes(plain)
+    df = warc.read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 5  # warcinfo pruned task-side
+    assert {r.warc_type for r in rows} == {"response"}
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file.rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["a.warc.gz"]) == 3
+    assert len(by_file["b.warc"]) == 2
+    assert all(b"fake boundary" in bytes(r.payload) for r in rows)
+    # offsets are the framing offsets in the decompressed stream
+    offs = sorted(r.record_offset for r in by_file["a.warc.gz"])
+    assert offs[0] == 0 and offs == sorted(set(offs))
+
+
+def test_write_then_read_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            (f"http://h.test/d/{i}", f"body {i}".encode(), f"<urn:uuid:w-{i}>")
+            for i in range(10)
+        ],
+        "target_uri string, payload binary, record_id string",
+    ).repartition(3)
+    out = str(tmp_path / "export")
+    warc.write_warc(src, out, content_type="text/plain")
+    import glob
+
+    files = glob.glob(f"{out}/part-*.warc.gz")
+    assert 1 <= len(files) <= 3
+    # every produced file is a valid gzip stream
+    for f in files:
+        gzip.decompress(open(f, "rb").read())
+    back = warc.read_warc(spark, out)
+    got = {(r.target_uri, bytes(r.payload)) for r in back.collect()}
+    assert got == {
+        (f"http://h.test/d/{i}", f"body {i}".encode()) for i in range(10)
+    }
+    assert {r.content_type for r in back.collect()} == {"text/plain"}
