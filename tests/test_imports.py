@@ -48,6 +48,7 @@ PUBLIC_MODULES = [
     "pholcus_spark.sinks",
     "pholcus_spark.sitemap",
     "pholcus_spark.sources",
+    "pholcus_spark.sources.warc",
     "pholcus_spark.spiderfile",
     "pholcus_spark.spiderspec",
     "pholcus_spark.streaming",
