@@ -733,7 +733,7 @@ def _derby(db: str):
     return url, {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 
-def _items_df(spark):
+def _jdbc_items_df(spark):
     return spark.createDataFrame(
         [
             ("site", "detail", "http://h/1", "http://h/0", "t1", 1,
@@ -756,7 +756,7 @@ def test_export_items_jdbc_derby_roundtrip(spark):
     JSON-blob fallback for undeclared rules, append-on-reflush."""
     spark._jvm.java.lang.System.setProperty("derby.system.home", "/tmp")
     url, opts = _derby("pholcus_items")
-    items = _items_df(spark)
+    items = _jdbc_items_df(spark)
     fo = {"detail": ("title", "price")}
 
     sinks.export_items_jdbc(items, url, field_order=fo, **opts)
@@ -793,7 +793,7 @@ def test_export_items_jdbc_not_default_field_and_sub(spark):
     from pyspark.sql import functions as F
 
     url, opts = _derby("pholcus_sub")
-    items = _items_df(spark).where(F.col("rule") == "detail")
+    items = _jdbc_items_df(spark).where(F.col("rule") == "detail")
 
     sinks.export_items_jdbc(
         items, url, field_order={"detail": ("title",)},
