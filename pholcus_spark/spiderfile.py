@@ -37,6 +37,11 @@ log-and-skip on malformed files), while the ``<Script>`` slots hold
 * ``Rule name="X"`` / ``AidFunc>Script`` — PaginateRule kwargs (or a
   list); ``rule`` filled from the attribute (the reference AidFunc is
   the Aid-loop page generator, which PaginateRule already models).
+* ``Rule name="X"`` / ``ParseFunc>Script`` = ``{"file_output":
+  "<nameOrExt>"}`` — the ``ctx.FileOutput(nameOrExt)`` ParseFunc body
+  (filetest.go:56-64): declares a :class:`FileRule` — the rule's
+  fetched bodies land raw in the ``files`` table; no other keys
+  allowed on that object.
 * ``SubNamespace>Script`` — the item-data FIELD NAME whose value
   names the output table (``spider.go:40-47``; the reference script
   returns ``dataCell["分类"]`` — ours names the field).
@@ -59,7 +64,13 @@ import re
 import warnings
 import xml.etree.ElementTree as ET
 
-from .spiderspec import ExtractRule, LinkRule, PaginateRule, SpiderSpec
+from .spiderspec import (
+    ExtractRule,
+    FileRule,
+    LinkRule,
+    PaginateRule,
+    SpiderSpec,
+)
 
 # reference config.go:30-31
 SPIDER_EXT = ".pholcus.xml"
@@ -223,6 +234,7 @@ def parse_spider_xml(text: str, path: str = "") -> SpiderFile:
 
     extract_rules: list[ExtractRule] = []
     paginate_rules: list[PaginateRule] = []
+    file_rules: list[FileRule] = []
     for rule_node in root.findall("Rule"):
         rule_name = (rule_node.get("name") or "").strip()
         if not rule_name:
@@ -233,6 +245,21 @@ def parse_spider_xml(text: str, path: str = "") -> SpiderFile:
                 parse_script, f"{path}: Rule {rule_name!r} ParseFunc"
             )):
                 kw = _kwargs(obj, f"{path}: Rule {rule_name!r} ParseFunc")
+                if "file_output" in kw:
+                    # the ctx.FileOutput(nameOrExt) ParseFunc body
+                    # (filetest.go:56-64): the rule collects the raw
+                    # body as a FileCell, nothing else may be declared
+                    extra = set(kw) - {"file_output"}
+                    if extra:
+                        raise SpiderFileError(
+                            f"{path}: Rule {rule_name!r} ParseFunc: "
+                            f"file_output excludes other keys "
+                            f"{sorted(extra)}"
+                        )
+                    file_rules.append(
+                        FileRule(rule_name, kw["file_output"] or "")
+                    )
+                    continue
                 kw.setdefault("rule", rule_name)
                 try:
                     extract_rules.append(ExtractRule(**kw))
@@ -257,6 +284,7 @@ def parse_spider_xml(text: str, path: str = "") -> SpiderFile:
     spec_kw: dict = {
         "extract_rules": tuple(extract_rules),
         "paginate_rules": tuple(paginate_rules),
+        "file_rules": tuple(file_rules),
         "sub_namespace_field": sub_field,
     }
     if "link_rules" in root_obj:

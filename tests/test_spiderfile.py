@@ -239,3 +239,67 @@ def test_default_spec_shape_matches_spiderspec_defaults():
     loader adds nothing the dataclass doesn't declare."""
     sf = spiderfile.parse_spider_xml("<Spider><Name>d</Name></Spider>")
     assert sf.spec == SpiderSpec("d")
+
+
+def test_file_output_rule_in_spider_file():
+    """{"file_output": nameOrExt} ParseFunc payloads declare FileRules
+    (filetest.go:56-64 as a dynamic file); the parsed spec equals the
+    python-authored filetest spider, and mixing file_output with other
+    keys is rejected."""
+    from pholcus_spark.spiderspec import FileRule
+
+    sf = spiderfile.load_spider_file("samples/filetest.pholcus.xml")
+    assert sf.spec.file_rules == (
+        FileRule("百度图片", "baidu"),
+        FileRule("Pholcus页面", ""),
+    )
+    assert sf.spec.extract_rules == ()
+    import sys
+
+    sys.path.insert(0, "samples")
+    try:
+        from filetest_spider import FILETEST_SPIDER
+    finally:
+        sys.path.remove("samples")
+    assert sf.spec == FILETEST_SPIDER
+    assert [s["url"] for s in sf.seeds] == [
+        "http://www.baidu.test/img/bd_logo1.png",
+        "http://github.test/andeya/pholcus",
+    ]
+    with pytest.raises(spiderfile.SpiderFileError, match="file_output"):
+        spiderfile.parse_spider_xml(
+            '<Spider><Name>x</Name><Rule name="r"><ParseFunc><Script>'
+            '{"file_output": "a", "fields": ["x"]}'
+            "</Script></ParseFunc></Rule></Spider>"
+        )
+
+
+def test_file_output_spider_file_crawls_like_oracle(spark):
+    """End-to-end: the XML-defined filetest spider drives the engine
+    and its files table matches the oracle's FileCell set."""
+    import sys
+
+    sys.path.insert(0, "samples")
+    try:
+        import filetest_spider
+    finally:
+        sys.path.remove("samples")
+    from pholcus_spark import testkit
+    from pholcus_spark.oracle import OracleConfig
+
+    sf = spiderfile.load_spider_file("samples/filetest.pholcus.xml")
+    corpus = filetest_spider.build_corpus()
+    run = testkit.run_engine(spark, corpus, sf.spec)
+    try:
+        res = testkit.run_oracle(corpus, sf.spec, OracleConfig())
+        fdf = run.df("files")
+        eng = {(r.rule, r.name, r.size) for r in fdf.collect()}
+        assert eng == {
+            (f["rule"], f["name"], f["size"]) for f in res.files
+        }
+        assert eng == {
+            ("百度图片", "baidu.png", len(filetest_spider.PNG_BODY)),
+            ("Pholcus页面", "pholcus.html", len(filetest_spider.DOC_BODY)),
+        }
+    finally:
+        run.cleanup()
