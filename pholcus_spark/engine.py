@@ -150,6 +150,14 @@ def canonical_split(df: DataFrame, src_col: str) -> DataFrame:
     )
     slow = (
         df.where(fast_cond.isNull() | ~fast_cond)
+        # repartition BY COLUMN (no fixed count): the slow branch
+        # inherits the parent's width (e.g. one partition per body-store
+        # bucket) while usually holding a tiny minority of rows — every
+        # inherited partition then pays a python-worker round trip for
+        # ~0 rows (measured ~140 ms/task at 0 rows). A column shuffle
+        # lets AQE size python parallelism by the DATA: near-empty
+        # coalesces to one partition, a slow-heavy wave still fans out.
+        .repartition(F.col(src_col))
         .withColumn("_ch", canon_host_udf(src_col))
         .withColumns({"curl": F.col("_ch.curl"), "host": F.col("_ch.host")})
         .drop("_ch")
@@ -715,7 +723,7 @@ class CrawlEngine:
         # each of its many Dataset creations (driver-side cost, grows
         # with plan size); the wave is materialized exactly once either
         # way, and it is small by construction (Σ host budgets)
-        wave = wave.localCheckpoint(eager=False)
+        wave = wave.localCheckpoint(eager=True)
 
         return self._superstep_after_wave(
             state, frontier, others, wave, rest, superstep, t0
@@ -867,7 +875,7 @@ class CrawlEngine:
             fetched = (
                 self.fetcher.fetch_meta(wave)
                 .drop("hdr")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
         elif getattr(self.fetcher, "has_cheap_meta", False):
             # deterministic fetcher: body branches re-derive lazily
@@ -875,7 +883,7 @@ class CrawlEngine:
             fetched = (
                 self.fetcher.fetch_meta(wave)
                 .drop("hdr")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
         else:
             # live fetcher: fetch exactly once, cache bodies (idempotence)
@@ -1132,7 +1140,7 @@ class CrawlEngine:
         # failure Dataset below; truncating it once keeps those trees
         # flat. Wave-proportional rows, materialized once either way.
         children = self._emit_children(parsed, superstep).localCheckpoint(
-            eager=False
+            eager=True
         )
         # dedup (matrix.go:81-86 hasHistory = success-history ∪ temp-history):
         #   in-run keys (this wave's successes + still-queued) are small and
