@@ -135,8 +135,16 @@ def parse_warc(data: bytes, gzipped: bool | None = None) -> Iterator[dict]:
         lines = buf[pos:head_end].split(b"\r\n")
         for line in lines[1:]:  # lines[0] is the version
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
-        length = int(headers.get("content-length", "0"))
+            # header bytes are untrusted archive content: replace
+            # (never raise) on non-UTF8 so one mangled header cannot
+            # fail the task for the whole archive
+            headers[k.strip().lower().decode(errors="replace")] = v.strip().decode(
+                errors="replace"
+            )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return  # unframeable record: stop at the last whole one
         body_start = head_end + 4
         payload = buf[body_start : body_start + length]
         pos = body_start + length
@@ -218,11 +226,16 @@ def write_warc(
     rows = df.select(F.spark_partition_id().alias("_pid"), *cols)
 
     def _dump(it):
-        recs, pid = [], None
-        for r in it:
-            pid = r["_pid"]
-            recs.append(
-                dict(
+        # stream one gzip member per record: task memory stays
+        # O(record), not O(partition) — a partition of ~1 GB of bodies
+        # must not buffer twice before hitting disk
+        f = None
+        try:
+            for r in it:
+                if f is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    f = open(f"{out_dir}/part-{r['_pid']:05d}.warc.gz", "wb")
+                raw = build_record(
                     warc_type="response",
                     payload=bytes(r[payload_col]),
                     record_id=r[id_col],
@@ -230,10 +243,9 @@ def write_warc(
                     content_type=content_type,
                     **({"warc_date": r[date_col]} if date_col else {}),
                 )
-            )
-        if recs:
-            os.makedirs(out_dir, exist_ok=True)
-            with open(f"{out_dir}/part-{pid:05d}.warc.gz", "wb") as f:
-                f.write(build_warc(recs, gzipped=True))
+                f.write(gzip.compress(raw, mtime=0))
+        finally:
+            if f is not None:
+                f.close()
 
     rows.foreachPartition(_dump)

@@ -57,6 +57,25 @@ def test_build_is_deterministic():
     assert warc.build_warc(_recs()) == warc.build_warc(_recs())
 
 
+def test_parse_tolerates_non_utf8_header_bytes():
+    """Archive headers are untrusted content: a latin-1 byte in a header
+    value must not raise — the record still parses (value replaced)."""
+    data = warc.build_warc(_recs(1))
+    # corrupt the target-uri value with a raw 0xE9 byte
+    data = data.replace(b"http://h.test/p/0", b"http://h.t\xe9st/p/0")
+    out = list(warc.parse_warc(data))
+    assert len(out) == 1
+    assert out[0]["payload"].endswith(b"fake boundary")
+
+
+def test_parse_stops_at_malformed_content_length():
+    """A record whose Content-Length is not an integer ends the walk at
+    the last whole record instead of failing the task."""
+    good = warc.build_warc(_recs(1))
+    bad = good.replace(b"Content-Length: ", b"Content-Length: x")
+    assert len(list(warc.parse_warc(good + bad))) == 1
+
+
 def test_read_warc_distributed(spark, tmp_path):
     (tmp_path / "a.warc.gz").write_bytes(
         warc.build_warc(_recs(3), gzipped=True)
