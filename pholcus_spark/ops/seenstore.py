@@ -128,12 +128,19 @@ class SeenStore:
 
     # -- write side --------------------------------------------------------
 
-    def add(self, keys: DataFrame, key_col: str = "key") -> dict:
+    def add(
+        self,
+        keys: DataFrame,
+        key_col: str = "key",
+        state_extra: dict | None = None,
+    ) -> dict:
         """Append a batch of keys as one snapshot commit; returns the
         new manifest. The batch is deduped internally (`distinct`) but
         NOT against the store — pair with :meth:`filter_unseen` (adding
         an already-present key is harmless for membership but wastes a
-        tail row until the next compaction).
+        tail row until the next compaction). ``state_extra`` entries are
+        merged into the committed snapshot state (e.g. a stream batch id
+        for replay idempotence — :func:`streaming.seenstore_sink`).
 
         When the uncovered tail outgrows the rebuild threshold the
         per-bucket sidecar is rebuilt — one distributed applyInPandas
@@ -150,7 +157,10 @@ class SeenStore:
         manifest = self.catalog.commit(
             appends={_TABLE: delta},
             rewrites={},
-            state={"n_keys": prev_state.get("n_keys", 0) + n_added},
+            state={
+                "n_keys": prev_state.get("n_keys", 0) + n_added,
+                **(state_extra or {}),
+            },
         )
         self._maybe_rebuild(manifest)
         return self.catalog.current()

@@ -131,6 +131,55 @@ def dedup_stream(
     return wm.dropDuplicatesWithinWatermark(cols)
 
 
+def seenstore_sink(store, key_col: str = "key", on_fresh=None):
+    """``foreachBatch`` function wiring a streaming ingest to a
+    persistent :class:`~pholcus_spark.ops.seenstore.SeenStore` — the
+    production shape for incremental corpus dedup over a live feed:
+    each micro-batch is probed against the accumulated fingerprint set
+    (Bloom-prefiltered, O(batch) work), the fresh rows are handed to
+    ``on_fresh(df, batch_id)`` (the caller's downstream write), and
+    their keys are snapshot-committed back.
+
+    Replay safety (Structured Streaming may re-run a batch after a
+    failure): ``on_fresh`` runs BEFORE the key commit, and the commit
+    records the batch id in the snapshot state —
+
+    * downstream write succeeded, key commit did not → the replay
+      re-probes, gets the same fresh rows, re-runs ``on_fresh`` (the
+      standard foreachBatch idempotent-sink contract) and commits;
+    * key commit succeeded → the replayed batch's keys are already
+      members, the probe returns nothing new, and the guarded commit
+      is skipped — no duplicate snapshot, no duplicate output.
+
+    Complements :func:`dedup_stream`: that bounds in-flight duplicate
+    state by the watermark horizon; this is the durable 10^10-key
+    membership set behind it.
+
+    Usage::
+
+        q = (batches.writeStream
+             .foreachBatch(seenstore_sink(store, "key", write_fresh))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def fn(batch_df, batch_id):
+        state = store.catalog.state() or {}
+        last = state.get("last_stream_batch")
+        fresh = store.filter_unseen(
+            batch_df.dropDuplicates([key_col]), key_col
+        )
+        if on_fresh is not None:
+            on_fresh(fresh, batch_id)
+        if last is None or batch_id > last:
+            store.add(
+                fresh.select(key_col),
+                key_col,
+                state_extra={"last_stream_batch": batch_id},
+            )
+
+    return fn
+
+
 def metrics_rate_stream(spark, catalog_root: str):
     """Rolling crawl throughput from the metrics table as a streaming
     aggregation (fetched/failed per superstep window)."""

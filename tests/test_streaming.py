@@ -419,3 +419,64 @@ def test_dedup_stream_suppresses_duplicates_within_horizon(spark, tmp_path):
     _pq_events(src / "f2.parquet", [(700.0, 1), (710.0, 3)], 2000)
     got2 = _drain(df(), "dd", tmp_path / "ckpt_dd", "append")
     assert sorted(r.user_id for r in got2) == [3]
+
+
+def test_seenstore_sink_streaming_incremental_dedup(spark, tmp_path):
+    """seenstore_sink: a streaming feed probed against the persistent
+    SeenStore — only store-unseen rows reach the downstream write, keys
+    accumulate across micro-batches, and a replayed batch (same batch
+    id after the key commit) is a clean no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pholcus_spark.ops.seenstore import SeenStore
+    from pholcus_spark.streaming import seenstore_sink
+
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def _pq_docs(path, keys, mtime):
+        import os
+
+        pq.write_table(pa.table({"key": pa.array(keys, pa.string())}), path)
+        os.utime(path, (mtime, mtime))
+
+    store = SeenStore.open(spark, str(tmp_path / "seen"), num_buckets=4)
+    got: list[tuple[int, list[str]]] = []
+    fn = seenstore_sink(
+        store, "key",
+        lambda df, bid: got.append((bid, sorted(r.key for r in df.collect()))),
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema("key string")
+            .parquet(str(src))
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / "ckpt_seen"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _pq_docs(src / "b1.parquet", ["a", "b", "b"], 1000)
+    drain()
+    # batch-internal dup collapsed, both keys fresh + committed
+    assert got[-1][1] == ["a", "b"]
+    assert store.count() == 2
+
+    _pq_docs(src / "b2.parquet", ["b", "c"], 2000)
+    drain()
+    # 'b' is a store member now -> only 'c' reaches downstream
+    assert got[-1][1] == ["c"]
+    assert store.count() == 3
+
+    # replay simulation: foreachBatch re-runs the LAST batch id after
+    # the key commit — the probe finds nothing new and the guarded
+    # commit is skipped (no duplicate snapshot)
+    snap_before = store.catalog.current()["snapshot_id"]
+    last_bid = got[-1][0]
+    fn(spark.createDataFrame([("b",), ("c",)], "key string"), last_bid)
+    assert got[-1][1] == []  # downstream saw an empty fresh set
+    assert store.catalog.current()["snapshot_id"] == snap_before
+    assert store.count() == 3
