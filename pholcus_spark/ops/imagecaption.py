@@ -40,6 +40,7 @@ __all__ = [
     "DEFAULT_ASPECT_BUCKETS",
     "shard_pairs",
     "shard_manifest",
+    "write_webdataset",
 ]
 
 # SDXL-style aspect-ratio buckets (w, h): square plus landscape/
@@ -229,6 +230,71 @@ def shard_manifest(sharded: DataFrame) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("row_bytes").alias("total_bytes"),
     )
+
+
+def write_webdataset(
+    sharded: DataFrame,
+    out_dir: str,
+    fmt_ext: str = "fmt",
+) -> None:
+    """Export :func:`shard_pairs` output as WebDataset-style tar shards
+    (the public convention a multimodal training loader streams: one
+    ``.tar`` per shard, each sample as adjacent members
+    ``<image_id>.<fmt>`` + ``<image_id>.txt``).
+
+    Scale shape mirrors :func:`~pholcus_spark.sources.warc.write_warc`:
+    one shuffle on ``shard``, rows sorted within the partition in the
+    shard's deterministic interleave order, and each task STREAMS its
+    shards to ``{out_dir}/{shard}.tar`` one member at a time — task
+    memory is O(row), and a task owning several shards (hash collision
+    of shard ids into one partition) closes one tar before opening the
+    next. Member mtimes are pinned to 0 so shard bytes are stable
+    across runs (the WARC/gzip determinism rule).
+
+    Requires the ``bytes`` column (this is the one operator in this
+    module that exports pixels); run it LAST, after metadata filtering
+    has pruned the corpus."""
+    import os
+    import tarfile
+
+    from .text import portable_hash64
+
+    rows = sharded.select(
+        "shard",
+        "image_id",
+        F.lower(F.coalesce(F.col(fmt_ext), F.lit("bin"))).alias("_ext"),
+        F.col("bytes"),
+        F.encode(F.coalesce(F.col("caption"), F.lit("")), "UTF-8").alias(
+            "_cap"
+        ),
+        portable_hash64(F.col("image_id")).alias("_h"),
+    ).repartition(F.col("shard")).sortWithinPartitions("shard", "_h", "image_id")
+
+    def _dump(it):
+        tar, cur = None, None
+        try:
+            for r in it:
+                if r["shard"] != cur:
+                    if tar is not None:
+                        tar.close()
+                    os.makedirs(out_dir, exist_ok=True)
+                    cur = r["shard"]
+                    tar = tarfile.open(f"{out_dir}/{cur}.tar", "w")
+                for name, data in (
+                    (f"{r['image_id']}.{r['_ext']}", bytes(r["bytes"])),
+                    (f"{r['image_id']}.txt", bytes(r["_cap"])),
+                ):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    import io
+
+                    tar.addfile(info, io.BytesIO(data))
+        finally:
+            if tar is not None:
+                tar.close()
+
+    rows.foreachPartition(_dump)
 
 
 def pair_phash_neardup(pairs: DataFrame, max_hamming: int = 4) -> DataFrame:

@@ -781,6 +781,74 @@ def test_shard_pairs_size_bound(spark):
     assert a == b
 
 
+def test_write_webdataset_roundtrip(spark, tmp_path):
+    """write_webdataset: every sharded pair lands in its assigned
+    shard's tar as adjacent <id>.<fmt> + <id>.txt members, member order
+    follows the shard's deterministic (hash, image_id) interleave, and
+    re-exporting produces byte-identical tar files."""
+    import tarfile
+
+    from pholcus_spark.ops import imagecaption as ic
+    from pholcus_spark.ops.text import portable_hash64
+
+    rows = [
+        (f"img{i:03d}", b"P" * (i % 5 + 3) + bytes([i]), "png" if i % 2 else "jpeg",
+         f"caption {i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string"
+    )
+    sharded = ic.shard_pairs(df, target_bytes=400, n_buckets=3)
+
+    def export(d):
+        ic.write_webdataset(sharded, str(d))
+        return {
+            p.name: p.read_bytes() for p in d.iterdir() if p.suffix == ".tar"
+        }
+
+    tars = export(tmp_path / "wds1")
+    # one tar per shard id
+    shards = {r.shard for r in sharded.select("shard").distinct().collect()}
+    assert set(tars) == {f"{s}.tar" for s in shards}
+
+    # membership + adjacency + order
+    order = {
+        r.image_id: (r.shard, r._h)
+        for r in sharded.withColumn(
+            "_h", portable_hash64(F.col("image_id"))
+        ).collect()
+    }
+    seen = {}
+    for fname, data in tars.items():
+        import io
+
+        with tarfile.open(fileobj=io.BytesIO(data)) as t:
+            names = t.getnames()
+            # adjacent pairs: image member then its caption
+            assert len(names) % 2 == 0
+            ids = []
+            for j in range(0, len(names), 2):
+                img, txt = names[j], names[j + 1]
+                iid = img.rsplit(".", 1)[0]
+                assert txt == f"{iid}.txt"
+                ids.append(iid)
+                seen[iid] = (
+                    fname[:-4],
+                    t.extractfile(img).read(),
+                    t.extractfile(txt).read().decode(),
+                )
+            # member order is the (hash, image_id) interleave
+            assert ids == sorted(ids, key=lambda i: (order[i][1], i))
+    for iid, by, fmt, cap in rows:
+        shard, img_bytes, txt = seen[iid]
+        assert shard == order[iid][0]
+        assert img_bytes == by
+        assert txt == cap
+    # pinned mtimes -> byte-identical re-export
+    assert export(tmp_path / "wds2") == tars
+
+
 def test_paginate_expand_edges(spark):
     """PaginateRule expansion edges: clamp at max_pages, count < start
     -> empty, and the least()-skips-nulls trap — a NON-NUMERIC count
