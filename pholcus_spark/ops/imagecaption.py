@@ -41,6 +41,7 @@ __all__ = [
     "shard_pairs",
     "shard_manifest",
     "write_webdataset",
+    "read_webdataset",
 ]
 
 # SDXL-style aspect-ratio buckets (w, h): square plus landscape/
@@ -295,6 +296,77 @@ def write_webdataset(
                 tar.close()
 
     rows.foreachPartition(_dump)
+
+
+def read_webdataset(spark, path: str) -> DataFrame:
+    """Distributed scan of WebDataset tar shards back into the pair
+    shape ``(shard, image_id, fmt, bytes, caption)`` — the
+    :func:`write_webdataset` inverse and the loader-side ingest scan.
+
+    Same scale shape as the WARC source: ``binaryFile`` gives one task
+    per shard tar (shards are sized by ``shard_pairs`` exactly so that
+    per-file parallelism is enough), members are split inside
+    ``mapInPandas`` (python framing walk over Arrow-delivered bytes,
+    no per-member UDF calls). Adjacent ``<id>.<ext>`` + ``<id>.txt``
+    members pair up; a caption-less image yields an empty caption."""
+    import io
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    def split(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, data in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(fpath)
+                if shard.endswith(".tar"):
+                    shard = shard[:-4]
+                samples: dict[str, dict] = {}
+                order: list[str] = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(data))) as t:
+                    for m in t:
+                        if not m.isfile():
+                            continue
+                        iid, _, ext = m.name.rpartition(".")
+                        if not iid:
+                            continue
+                        s = samples.setdefault(iid, {})
+                        if iid not in order:
+                            order.append(iid)
+                        if ext == "txt":
+                            s["caption"] = (
+                                t.extractfile(m).read().decode(errors="replace")
+                            )
+                        else:
+                            s["fmt"] = ext
+                            s["bytes"] = t.extractfile(m).read()
+                for iid in order:
+                    s = samples[iid]
+                    rows.append(
+                        (
+                            shard,
+                            iid,
+                            s.get("fmt", ""),
+                            s.get("bytes", b""),
+                            s.get("caption", ""),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["shard", "image_id", "fmt", "bytes", "caption"]
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(
+        split,
+        "shard string, image_id string, fmt string, bytes binary, "
+        "caption string",
+    )
 
 
 def pair_phash_neardup(pairs: DataFrame, max_hamming: int = 4) -> DataFrame:

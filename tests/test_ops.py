@@ -848,6 +848,18 @@ def test_write_webdataset_roundtrip(spark, tmp_path):
     # pinned mtimes -> byte-identical re-export
     assert export(tmp_path / "wds2") == tars
 
+    # distributed read-back inverts the export (shard + fmt + bytes +
+    # caption all survive)
+    back = sorted(
+        (r.image_id, r.shard, r.fmt, bytes(r.bytes), r.caption)
+        for r in ic.read_webdataset(spark, str(tmp_path / "wds1")).collect()
+    )
+    want = sorted(
+        (iid, order[iid][0], fmt, by, f"caption {int(iid[3:])}")
+        for iid, by, fmt, _cap in rows
+    )
+    assert back == want
+
 
 def test_paginate_expand_edges(spark):
     """PaginateRule expansion edges: clamp at max_pages, count < start
