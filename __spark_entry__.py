@@ -1179,6 +1179,36 @@ def q_shard_manifest(spark, sf_dir):
     )
 
 
+def q_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset shard export/ingest gated end-to-end: the derived
+    pair table (shard assignment already oracle-replicated by
+    q_shard_pairs) gains a deterministic payload (caption prefix as
+    bytes), is written as per-shard tar archives, read back through the
+    binaryFile + mapInPandas member splitter, and must reproduce every
+    (shard, image_id, fmt, payload, caption) row byte-exactly — the
+    oracle recomputes the shard id and payload from the raw columns, so
+    any tar-framing/member-pairing/ordering defect breaks the hash."""
+    import tempfile
+
+    from pholcus_spark.ops.imagecaption import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    sharded = _sharded_pairs(spark, sf_dir).withColumn(
+        "bytes", F.encode(F.substring(F.col("caption"), 1, 48), "utf-8")
+    )
+    out = tempfile.mkdtemp(prefix="pholcus-wds-gate-")
+    write_webdataset(sharded, out)
+    return read_webdataset(spark, out).select(
+        "shard",
+        "image_id",
+        "fmt",
+        F.decode("bytes", "utf-8").alias("payload"),
+        "caption",
+    )
+
+
 def q_paginate_expand(spark, sf_dir):
     """PaginateRule's count→pages→URL expansion (the Aid-loop operator,
     engine.paginate_expand) on a derived item table: counts cycle 0..8
@@ -1574,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": q_url_canonical,
         "q_file_output_name": q_file_output_name,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_webdataset_roundtrip": q_webdataset_roundtrip,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_gopher": text_gopher,
@@ -2447,6 +2478,30 @@ SELECT bucket, shard_ix,
   CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(row_bytes) AS BIGINT) AS total_bytes
 FROM c GROUP BY 1, 2, 3
+""",
+        "q_webdataset_roundtrip": f"""
+WITH {_SQL_PAIRS},
+s AS (
+  SELECT image_id, fmt, caption,
+    CAST(w AS BIGINT) * h AS row_bytes,
+    CAST(({_H.format(x="image_id")}) % 8 AS INTEGER) AS bucket,
+    ({_H.format(x="image_id")}) AS hsh
+  FROM pairs
+),
+c AS (
+  SELECT image_id, fmt, caption, bucket,
+    CAST(coalesce(sum(row_bytes) OVER (
+      PARTITION BY bucket ORDER BY hsh, image_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // {4 << 20} AS INTEGER) AS shard_ix
+  FROM s
+)
+SELECT
+  CAST(bucket AS VARCHAR) || '-' || CAST(shard_ix AS VARCHAR) AS shard,
+  image_id, fmt,
+  substring(caption, 1, 48) AS payload,
+  caption
+FROM c
 """,
         "q_paginate_expand": """
 WITH src AS (

@@ -63,6 +63,8 @@ HEADLINE = [
     "q_paginate_expand",
     "q_shard_pairs",
     "q_shard_manifest",
+    # q_warc_roundtrip / q_webdataset_roundtrip stay CORRECTNESS gates
+    # only: their time is temp-dir archive IO, not a query plan
     "q_doc_chunks",
     "q_pack_sequences",
     "q_curation_pipeline",
