@@ -254,7 +254,11 @@ def write_webdataset(
 
     Requires the ``bytes`` column (this is the one operator in this
     module that exports pixels); run it LAST, after metadata filtering
-    has pruned the corpus."""
+    has pruned the corpus. A ``fmt`` value of ``txt`` is rejected
+    task-side (the image member name would collide with the caption's
+    ``<id>.txt`` — a tar with duplicate member names silently loses
+    the image on read-back)."""
+    import io
     import os
     import tarfile
 
@@ -275,6 +279,11 @@ def write_webdataset(
         tar, cur = None, None
         try:
             for r in it:
+                if r["_ext"] == "txt":
+                    raise ValueError(
+                        f"fmt 'txt' collides with the caption member "
+                        f"name for image_id {r['image_id']!r}"
+                    )
                 if r["shard"] != cur:
                     if tar is not None:
                         tar.close()
@@ -288,8 +297,6 @@ def write_webdataset(
                     info = tarfile.TarInfo(name)
                     info.size = len(data)
                     info.mtime = 0
-                    import io
-
                     tar.addfile(info, io.BytesIO(data))
         finally:
             if tar is not None:
@@ -322,8 +329,8 @@ def read_webdataset(spark, path: str) -> DataFrame:
                 shard = os.path.basename(fpath)
                 if shard.endswith(".tar"):
                     shard = shard[:-4]
+                # insertion-ordered dict doubles as the member order
                 samples: dict[str, dict] = {}
-                order: list[str] = []
                 with tarfile.open(fileobj=io.BytesIO(bytes(data))) as t:
                     for m in t:
                         if not m.isfile():
@@ -332,8 +339,6 @@ def read_webdataset(spark, path: str) -> DataFrame:
                         if not iid:
                             continue
                         s = samples.setdefault(iid, {})
-                        if iid not in order:
-                            order.append(iid)
                         if ext == "txt":
                             s["caption"] = (
                                 t.extractfile(m).read().decode(errors="replace")
@@ -341,8 +346,7 @@ def read_webdataset(spark, path: str) -> DataFrame:
                         else:
                             s["fmt"] = ext
                             s["bytes"] = t.extractfile(m).read()
-                for iid in order:
-                    s = samples[iid]
+                for iid, s in samples.items():
                     rows.append(
                         (
                             shard,

@@ -112,13 +112,28 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
 def parse_warc(data: bytes, gzipped: bool | None = None) -> Iterator[dict]:
     """Yield record dicts (headers lower-cased, ``payload`` bytes,
     ``record_offset`` = framing offset of the record in the DECOMPRESSED
-    stream) from archive bytes. ``gzipped=None`` sniffs the magic."""
+    stream) from archive bytes. ``gzipped=None`` sniffs the magic.
+
+    Gzipped archives are parsed PER MEMBER: with the one-record-per-
+    member convention, a member whose framing is corrupt (bad
+    Content-Length, mangled header block) loses only itself — the walk
+    re-syncs at the next member boundary instead of silently dropping
+    the rest of a 50k-record archive. A whole-archive single member
+    degrades to the plain behavior (stop at the first corrupt frame)."""
     if gzipped is None:
         gzipped = data[:2] == b"\x1f\x8b"
     if gzipped:
-        buf = b"".join(_gzip_members(data))
-    else:
-        buf = data
+        base = 0
+        for member in _gzip_members(data):
+            for rec in _parse_frames(member):
+                rec["record_offset"] += base
+                yield rec
+            base += len(member)
+        return
+    yield from _parse_frames(data)
+
+
+def _parse_frames(buf: bytes) -> Iterator[dict]:
     pos = 0
     n = len(buf)
     while pos < n:

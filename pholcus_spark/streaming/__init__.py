@@ -141,15 +141,27 @@ def seenstore_sink(store, key_col: str = "key", on_fresh=None):
     their keys are snapshot-committed back.
 
     Replay safety (Structured Streaming may re-run a batch after a
-    failure): ``on_fresh`` runs BEFORE the key commit, and the commit
-    records the batch id in the snapshot state —
+    failure) needs no batch-id bookkeeping — the store's own state is
+    the guard: ``on_fresh`` runs BEFORE the key commit, and the commit
+    is skipped when the batch produced no fresh rows —
 
     * downstream write succeeded, key commit did not → the replay
       re-probes, gets the same fresh rows, re-runs ``on_fresh`` (the
       standard foreachBatch idempotent-sink contract) and commits;
     * key commit succeeded → the replayed batch's keys are already
-      members, the probe returns nothing new, and the guarded commit
-      is skipped — no duplicate snapshot, no duplicate output.
+      members, the probe returns nothing fresh, and the empty commit
+      is skipped — no duplicate output, no snapshot churn. (Skipping
+      empty batches also keeps a duplicate-heavy steady-state feed
+      from appending one empty delta dir per micro-batch forever.)
+
+    This stays correct across checkpoint resets and even two streams
+    feeding one store (each batch is judged purely by what the store
+    already contains), as long as writers are serialized — the
+    catalog's single-writer commit contract, same as the engine's.
+
+    The probed batch is persisted for the duration of the call so the
+    Bloom probe + anti-joins run once, not once for ``on_fresh`` and
+    twice more inside :meth:`SeenStore.add`.
 
     Complements :func:`dedup_stream`: that bounds in-flight duplicate
     state by the watermark horizon; this is the durable 10^10-key
@@ -163,19 +175,20 @@ def seenstore_sink(store, key_col: str = "key", on_fresh=None):
     """
 
     def fn(batch_df, batch_id):
-        state = store.catalog.state() or {}
-        last = state.get("last_stream_batch")
         fresh = store.filter_unseen(
             batch_df.dropDuplicates([key_col]), key_col
-        )
-        if on_fresh is not None:
-            on_fresh(fresh, batch_id)
-        if last is None or batch_id > last:
-            store.add(
-                fresh.select(key_col),
-                key_col,
-                state_extra={"last_stream_batch": batch_id},
-            )
+        ).persist()
+        try:
+            if on_fresh is not None:
+                on_fresh(fresh, batch_id)
+            if fresh.limit(1).count() > 0:
+                store.add(
+                    fresh.select(key_col),
+                    key_col,
+                    state_extra={"last_stream_batch": batch_id},
+                )
+        finally:
+            fresh.unpersist()
 
     return fn
 

@@ -848,6 +848,21 @@ def test_write_webdataset_roundtrip(spark, tmp_path):
     # pinned mtimes -> byte-identical re-export
     assert export(tmp_path / "wds2") == tars
 
+    # fmt='txt' would collide with the caption member name: the writer
+    # rejects it loudly instead of silently losing the image on read
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [("imgX", b"zz", "txt", "cap")],
+        "image_id string, bytes binary, fmt string, caption string",
+    )
+    with pytest.raises(Py4JJavaError, match="collides with the caption"):
+        ic.write_webdataset(
+            ic.shard_pairs(bad, target_bytes=100, n_buckets=1),
+            str(tmp_path / "wds_bad"),
+        )
+
     # distributed read-back inverts the export (shard + fmt + bytes +
     # caption all survive)
     back = sorted(

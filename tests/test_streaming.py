@@ -472,7 +472,7 @@ def test_seenstore_sink_streaming_incremental_dedup(spark, tmp_path):
     assert store.count() == 3
 
     # replay simulation: foreachBatch re-runs the LAST batch id after
-    # the key commit — the probe finds nothing new and the guarded
+    # the key commit — the probe finds nothing fresh and the empty
     # commit is skipped (no duplicate snapshot)
     snap_before = store.catalog.current()["snapshot_id"]
     last_bid = got[-1][0]
@@ -480,3 +480,10 @@ def test_seenstore_sink_streaming_incremental_dedup(spark, tmp_path):
     assert got[-1][1] == []  # downstream saw an empty fresh set
     assert store.catalog.current()["snapshot_id"] == snap_before
     assert store.count() == 3
+
+    # checkpoint reset: a NEW query over the same durable store restarts
+    # batch ids at 0 — a genuinely-new key must still commit (the guard
+    # is the store's contents, not a global batch counter)
+    fn(spark.createDataFrame([("c",), ("d",)], "key string"), 0)
+    assert got[-1][1] == ["d"]
+    assert store.count() == 4

@@ -76,6 +76,23 @@ def test_parse_stops_at_malformed_content_length():
     assert len(list(warc.parse_warc(good + bad))) == 1
 
 
+def test_gzip_member_walk_resyncs_past_corrupt_record():
+    """Per-member gzip parsing: a corrupt frame loses only its own
+    member — the walk re-syncs at the next member boundary instead of
+    discarding the rest of the archive."""
+    recs = _recs(4)
+    members = []
+    for i, r in enumerate(recs):
+        raw = warc.build_record(**r)
+        if i == 1:
+            raw = raw.replace(b"Content-Length: ", b"Content-Length: x")
+        members.append(gzip.compress(raw, mtime=0))
+    out = list(warc.parse_warc(b"".join(members)))
+    assert [r["warc-target-uri"] for r in out] == [
+        "http://h.test/p/0", "http://h.test/p/2", "http://h.test/p/3"
+    ]
+
+
 def test_read_warc_distributed(spark, tmp_path):
     (tmp_path / "a.warc.gz").write_bytes(
         warc.build_warc(_recs(3), gzipped=True)
