@@ -90,6 +90,32 @@ def test_image_gallery_sample_runs(spark):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_export_webdataset_pipeline(spark):
+    """Crawl → pair_filter → caption_dedup → shard_pairs →
+    write_webdataset → read_webdataset: the full north-rule path; every
+    curated pair survives the shard roundtrip with bytes + caption."""
+    sys.path.insert(0, "samples")
+    from export_webdataset import run
+
+    from pholcus_spark.ops.imagecaption import read_webdataset
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-wds-pipe-")
+    try:
+        out, sharded = run(workdir, spark=spark)
+        want = sorted(
+            (r.image_id, bytes(r.bytes), r.caption)
+            for r in sharded.select("image_id", "bytes", "caption").collect()
+        )
+        assert len(want) > 0
+        back = sorted(
+            (r.image_id, bytes(r.bytes), r.caption)
+            for r in read_webdataset(spark, out).collect()
+        )
+        assert back == want
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_jiban_html_sample_matches_oracle(spark):
     """The jiban port: the @html (.Html()) projection through the full
     crawl loop (jiban.go:104). Engine items — including the serialized
