@@ -1586,7 +1586,35 @@ def q_sitemap_parse(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's CORRECTNESS gate checks exactly the
+    # FIRST 50 entries of this registry.  Round 4 had 71 entries, so 21
+    # gates (the dedup_*/sim_* family plus five crawl gates) fell outside
+    # the window and have no driver row yet.  Those 21 go FIRST this round;
+    # the 50 that are already green in CORRECTNESS_r04.json follow.
     return {
+        # --- 21 gates without a CORRECTNESS_r04 row (window them first) ---
+        "q_robots_filter": q_robots_filter,
+        "q_proxy_assign": q_proxy_assign,
+        "q_sitemap_parse": q_sitemap_parse,
+        "q_global_rank": q_global_rank,
+        "q_top_per_source": q_top_per_source,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_semantic": dedup_semantic,
+        "dedup_lines": dedup_lines,
+        "dedup_incremental": dedup_incremental,
+        "dedup_components": dedup_components,
+        "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_ann_lsh": sim_ann_lsh,
+        "sim_knn_batch": sim_knn_batch,
+        "sim_knn_ivf": sim_knn_ivf,
+        "sim_quantize_int8": sim_quantize_int8,
+        # --- green in CORRECTNESS_r04.json (driver rows already exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q_dedup_anti_join": q_dedup_anti_join,
@@ -1637,27 +1665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_accumulate_items": q_accumulate_items,
         "q_kafka_payload": q_kafka_payload,
         "q_beanstalk_payload": q_beanstalk_payload,
-        "q_robots_filter": q_robots_filter,
-        "q_proxy_assign": q_proxy_assign,
-        "q_sitemap_parse": q_sitemap_parse,
-        "q_global_rank": q_global_rank,
-        "q_top_per_source": q_top_per_source,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_semantic": dedup_semantic,
-        "dedup_lines": dedup_lines,
-        "dedup_incremental": dedup_incremental,
-        "dedup_components": dedup_components,
-        "dedup_embedding": dedup_embedding,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "sim_cosine_topk": sim_cosine_topk,
-        "sim_ann_lsh": sim_ann_lsh,
-        "sim_knn_batch": sim_knn_batch,
-        "sim_knn_ivf": sim_knn_ivf,
-        "sim_quantize_int8": sim_quantize_int8,
     }
 
 

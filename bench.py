@@ -248,6 +248,29 @@ def main():
     ]
 
     total = round(sum(timings.values()), 3)
+    # Driver contract: stdout carries exactly ONE compact JSON line with
+    # the per-query MEDIANS. Round 4 lost `parsed.queries` because the
+    # spread map pushed the line past the driver's tail capture — the
+    # spread + per-run crawl detail now go to a file artifact instead.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "queries_spread_min_max": spread,
+                    "crawl_runs": crawl_runs,
+                    "reps": reps,
+                    "sf": sf,
+                    "cpus": cpus,
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -255,13 +278,9 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_spread_min_max": spread,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl": crawl,
-                "crawl_urls_per_sec_all_runs": [
-                    c["urls_per_sec"] for c in crawl_runs
-                ],
                 "cpus": cpus,
             }
         )

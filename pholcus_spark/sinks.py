@@ -122,6 +122,15 @@ def file_cell_relpath(namespace: str, name: str) -> str:
     import posixpath
 
     cleaned = posixpath.normpath(name).lstrip("/")
+    # normpath preserves leading '..' segments, so a name like
+    # '../../x' would escape file_dir — and unlike the reference's
+    # single process this writer runs fan-out on every executor against
+    # a shared filesystem. Strip the escaping segments (all in-tree
+    # names are unaffected, keeping layout parity with filepath.Join).
+    while cleaned.startswith("../"):
+        cleaned = cleaned[3:]
+    if cleaned == "..":
+        cleaned = ""
     i = cleaned.rfind("/")
     p, n = cleaned[: i + 1], cleaned[i + 1 :]
     parts = [file_name_replace(namespace)]
@@ -533,22 +542,56 @@ def export_items_jdbc(
         if out_default_field
         else []
     )
+    # With sub_field set, two RULES can land in one TABLE (they share a
+    # subNamespace value). Appending each rule separately would write
+    # different column sets into the same table — the second append then
+    # fails on schema mismatch mid-export, leaving a partial table set.
+    # Group by (spider, subNamespace) and union the per-rule projections
+    # onto the table's common column set (ordered union of the declared
+    # field lists, + data_json when any co-tabled rule lacks one) so
+    # each table sees exactly one schema-stable append.
+    groups: dict[tuple, list] = {}
     for spider, subns, rule in tabs:
-        fields = field_order.get(rule)
-        if fields:
+        groups.setdefault((spider, subns), []).append(rule)
+    for (spider, subns), rules in sorted(groups.items()):
+        table_fields: list[str] = []
+        any_fallback = False
+        for rule in rules:
+            fields = field_order.get(rule)
+            if fields:
+                table_fields += [f for f in fields if f not in table_fields]
+            else:
+                any_fallback = True
+        parts = []
+        for rule in rules:
+            fields = field_order.get(rule) or []
             cols = [
-                F.try_element_at(F.col("data"), F.lit(f)).alias(f)
-                for f in fields
+                (
+                    F.try_element_at(F.col("data"), F.lit(f))
+                    if f in fields
+                    else F.lit(None).cast("string")
+                ).alias(f)
+                for f in table_fields
             ]
-        else:
-            cols = [F.to_json("data").alias("data_json")]
-        part = items.where(
-            (F.col("spider") == spider)
-            & (F.col("rule") == rule)
-            & (sub_namespace_col(sub_field) == subns)
-        )
+            if any_fallback:
+                cols.append(
+                    (
+                        F.to_json("data")
+                        if not fields
+                        else F.lit(None).cast("string")
+                    ).alias("data_json")
+                )
+            part = items.where(
+                (F.col("spider") == spider)
+                & (F.col("rule") == rule)
+                & (sub_namespace_col(sub_field) == subns)
+            )
+            parts.append(part.select(*cols, *prov))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         tname = f"{file_name_replace(spider)}__{file_name_replace(subns)}"
-        write_jdbc(part.select(*cols, *prov), url, tname, **options)
+        write_jdbc(out, url, tname, **options)
 
 
 def write_kafka(df: DataFrame, servers: str, topic: str | None = None,

@@ -98,11 +98,18 @@ def build_warc(records: list[dict], gzipped: bool = False) -> bytes:
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Walk concatenated gzip members (zlib with gzip wrapping exposes
-    unused_data at each member boundary)."""
+    unused_data at each member boundary).
+
+    The remaining archive is fed to each decompressor as a memoryview
+    slice: ``data[pos:]`` on bytes would COPY O(remaining) per member,
+    turning a 1 GB archive with tens of thousands of members (the
+    Common Crawl shape) into O(members x archive_size) memcpy. The
+    memoryview slice is zero-copy, keeping the walk linear."""
+    mv = memoryview(data)
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        yield d.decompress(data[pos:])
+        yield d.decompress(mv[pos:])
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:  # corrupt tail: stop rather than spin
             return
@@ -163,7 +170,16 @@ def _parse_frames(buf: bytes) -> Iterator[dict]:
         body_start = head_end + 4
         payload = buf[body_start : body_start + length]
         pos = body_start + length
-        yield {"record_offset": offset, "payload": payload, **headers}
+        # reserved keys must WIN over untrusted archive headers: a record
+        # carrying a header literally named "Payload" or "Record_Offset"
+        # (keys are only lowercased) must not clobber the binary payload /
+        # integer offset — parse_warc does arithmetic on record_offset and
+        # read_warc ships payload into a binary Arrow column, so one
+        # crafted record would otherwise fail the whole mapInPandas task
+        rec = dict(headers)
+        rec["record_offset"] = offset
+        rec["payload"] = payload
+        yield rec
 
 
 # ---------------------------------------------------------------------------

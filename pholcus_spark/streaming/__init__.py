@@ -149,10 +149,14 @@ def seenstore_sink(store, key_col: str = "key", on_fresh=None):
       re-probes, gets the same fresh rows, re-runs ``on_fresh`` (the
       standard foreachBatch idempotent-sink contract) and commits;
     * key commit succeeded → the replayed batch's keys are already
-      members, the probe returns nothing fresh, and the empty commit
-      is skipped — no duplicate output, no snapshot churn. (Skipping
-      empty batches also keeps a duplicate-heavy steady-state feed
-      from appending one empty delta dir per micro-batch forever.)
+      members, the probe returns nothing fresh, and the WHOLE batch is
+      skipped — ``on_fresh`` included. Calling ``on_fresh`` with the
+      now-empty frame would hand a downstream sink implementing the
+      standard overwrite-by-batch-id idempotence pattern a different
+      (empty) payload for a batch_id it already wrote, erasing that
+      batch's output. (Skipping empty batches also keeps a
+      duplicate-heavy steady-state feed from appending one empty delta
+      dir per micro-batch forever.)
 
     This stays correct across checkpoint resets and even two streams
     feeding one store (each batch is judged purely by what the store
@@ -179,14 +183,17 @@ def seenstore_sink(store, key_col: str = "key", on_fresh=None):
             batch_df.dropDuplicates([key_col]), key_col
         ).persist()
         try:
+            # emptiness probe FIRST: a fully-replayed batch (keys already
+            # committed) must not reach on_fresh with an empty frame
+            if fresh.limit(1).count() == 0:
+                return
             if on_fresh is not None:
                 on_fresh(fresh, batch_id)
-            if fresh.limit(1).count() > 0:
-                store.add(
-                    fresh.select(key_col),
-                    key_col,
-                    state_extra={"last_stream_batch": batch_id},
-                )
+            store.add(
+                fresh.select(key_col),
+                key_col,
+                state_extra={"last_stream_batch": batch_id},
+            )
         finally:
             fresh.unpersist()
 

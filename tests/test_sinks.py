@@ -702,6 +702,14 @@ def test_file_cell_relpath_layout():
     # absolute-looking names stay under FileDir (filepath.Join contract)
     assert sinks.file_cell_relpath("s", "/etc/x.png") == "s/etc/x.png"
     assert sinks.file_cell_relpath("名字", ".html") == "名字/.html"
+    # leading '..' segments must not escape FileDir (executors write
+    # fan-out against a shared filesystem — round-4 advice)
+    assert sinks.file_cell_relpath("s", "../../x.png") == "s/x.png"
+    assert sinks.file_cell_relpath("s", "../a/../b/x.png") == "s/b/x.png"
+    assert sinks.file_cell_relpath("s", "..") == "s/"
+    assert "/".join(
+        p for p in sinks.file_cell_relpath("s", "a/../../../x.png").split("/")
+    ).startswith("s/")
 
 
 def test_export_files_writes_layout(spark):
@@ -810,3 +818,41 @@ def test_export_items_jdbc_not_default_field_and_sub(spark):
     assert x.columns == ["title"]
     assert [r.title for r in x.collect()] == ["A"]
     assert [r.title for r in read("site__y").collect()] == ["B"]
+
+
+def test_export_items_jdbc_co_tabled_rules_union_schema(spark):
+    """Two rules whose rows share one subNamespace value land in ONE
+    table. Round-4 advice: appending them separately with different
+    column sets (declared field_order vs data_json fallback) fails on
+    schema mismatch mid-export. The export must union the per-rule
+    projections onto one common column set and append once."""
+    spark._jvm.java.lang.System.setProperty("derby.system.home", "/tmp")
+    url, opts = _derby("pholcus_cotab")
+    items = spark.createDataFrame(
+        [
+            ("site", "detail", "http://h/1", "http://h/0", "t1", 1,
+             {"title": "A", "cat": "shared"}),
+            ("site", "misc", "http://h/3", "http://h/0", "t3", 2,
+             {"k": "v", "cat": "shared"}),
+        ],
+        "spider string, rule string, url string, parent_url string, "
+        "download_time string, superstep int, data map<string,string>",
+    )
+
+    sinks.export_items_jdbc(
+        items, url, field_order={"detail": ("title",)},
+        sub_field="cat", out_default_field=False, **opts,
+    )
+
+    t = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "site__shared").options(**opts).load()
+    )
+    # common column set: declared fields first, then the fallback blob
+    assert t.columns == ["title", "data_json"]
+    rows = {(r.title, r.data_json) for r in t.collect()}
+    import json
+
+    assert ("A", None) in rows
+    blob = next(d for ti, d in rows if ti is None)
+    assert json.loads(blob) == {"k": "v", "cat": "shared"}

@@ -472,12 +472,16 @@ def test_seenstore_sink_streaming_incremental_dedup(spark, tmp_path):
     assert store.count() == 3
 
     # replay simulation: foreachBatch re-runs the LAST batch id after
-    # the key commit — the probe finds nothing fresh and the empty
-    # commit is skipped (no duplicate snapshot)
+    # the key commit — the probe finds nothing fresh and the WHOLE
+    # batch is skipped: on_fresh must NOT run (an overwrite-by-batch-id
+    # downstream sink would erase that batch's earlier output if handed
+    # an empty frame for the same batch id — round-4 advice), and no
+    # duplicate snapshot is committed
     snap_before = store.catalog.current()["snapshot_id"]
     last_bid = got[-1][0]
+    n_calls = len(got)
     fn(spark.createDataFrame([("b",), ("c",)], "key string"), last_bid)
-    assert got[-1][1] == []  # downstream saw an empty fresh set
+    assert len(got) == n_calls  # downstream write never invoked
     assert store.catalog.current()["snapshot_id"] == snap_before
     assert store.count() == 3
 

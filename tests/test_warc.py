@@ -76,6 +76,30 @@ def test_parse_stops_at_malformed_content_length():
     assert len(list(warc.parse_warc(good + bad))) == 1
 
 
+def test_reserved_keys_survive_hostile_headers():
+    """A record carrying headers literally named Payload / Record_Offset
+    (lowercased they collide with the reserved dict keys) must not
+    clobber the binary payload or the integer framing offset — round-4
+    advice: one such record would otherwise TypeError the arithmetic in
+    parse_warc or ship a str into read_warc's binary Arrow column,
+    failing the whole task."""
+    recs = _recs(2)
+    recs[0]["extra_headers"] = {
+        "Payload": "evil", "Record_Offset": "evil", "Content_Length": "9"
+    }
+    for gz in (False, True):
+        out = list(warc.parse_warc(warc.build_warc(recs, gzipped=gz)))
+        assert len(out) == 2
+        for r in out:
+            assert isinstance(r["payload"], bytes)
+            assert isinstance(r["record_offset"], int)
+            assert r["payload"].endswith(b"fake boundary")
+        # the hostile values remain visible under their header names
+        assert out[0]["payload"] != b"evil"
+        # offsets are the real framing offsets (record 2 starts after 1)
+        assert out[1]["record_offset"] > out[0]["record_offset"]
+
+
 def test_gzip_member_walk_resyncs_past_corrupt_record():
     """Per-member gzip parsing: a corrupt frame loses only its own
     member — the walk re-syncs at the next member boundary instead of
