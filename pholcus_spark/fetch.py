@@ -252,7 +252,7 @@ class StoreFetcher(FixtureFetcher):
         )
 
 
-class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
+class HttpFetcher:  # aiohttp session gated; wrapper executed via factory
     """Production fetcher: Arrow-batched async HTTP via mapInPandas.
 
     Per-batch politeness is already enforced upstream by wave selection;
@@ -269,17 +269,28 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
 
     def __init__(self, timeout_s: float = 120.0, max_conn_per_task: int = 16,
                  try_times: int = 3, retry_pause_s: float = 2.0,
-                 redirect_times: int = 0):
+                 redirect_times: int = 0, session_factory=None):
         # redirect policy per the reference (`surfer/param.go:130-144`):
         # 0 = unlimited, <0 = forbidden, n = at most n redirects
         self.redirect_times = redirect_times
-        try:
-            import aiohttp  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "HttpFetcher requires aiohttp (not installed in this "
-                "container); use FixtureFetcher for tests/benchmarks"
-            ) from e
+        # session_factory(timeout_s, max_conn) -> async context manager
+        # yielding an async_fetch_one-compatible session. None (the
+        # default) builds an aiohttp ClientSession per task; a factory
+        # lets the WHOLE mapInPandas wrapper — schema assembly, batch
+        # concurrency, column plumbing — run without aiohttp (the
+        # parity suite drives it over the urllib session against a
+        # live server). The factory is pickled into the task closure,
+        # so it must be self-contained.
+        self._session_factory = session_factory
+        if session_factory is None:
+            try:
+                import aiohttp  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "HttpFetcher requires aiohttp (not installed in this "
+                    "container); use FixtureFetcher for tests/benchmarks "
+                    "or inject session_factory="
+                ) from e
         self.timeout_s = timeout_s
         self.max_conn_per_task = max_conn_per_task
         self.try_times = try_times
@@ -293,6 +304,7 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
         try_times = self.try_times
         retry_pause_s = self.retry_pause_s
         redirect_times = self.redirect_times
+        session_factory = self._session_factory
         from pyspark.sql.types import (
             BinaryType,
             BooleanType,
@@ -316,17 +328,23 @@ class HttpFetcher:  # pragma: no cover - session setup needs aiohttp
         )
 
         def run(batches):
-            import aiohttp
             import pandas as pd
 
             from .httpfetch import async_fetch_one
 
-            async def fetch_all(urls, methods, bodies, proxies, uas, hdrs):
-                import json as json_mod
+            def make_session():
+                if session_factory is not None:
+                    return session_factory(timeout_s, max_conn)
+                import aiohttp
 
                 conn = aiohttp.TCPConnector(limit=max_conn)
                 tmo = aiohttp.ClientTimeout(total=timeout_s)
-                async with aiohttp.ClientSession(connector=conn, timeout=tmo) as s:
+                return aiohttp.ClientSession(connector=conn, timeout=tmo)
+
+            async def fetch_all(urls, methods, bodies, proxies, uas, hdrs):
+                import json as json_mod
+
+                async with make_session() as s:
                     # the retry/redirect/encoding loop is the SAME
                     # async_fetch_one the stdlib fetcher runs (and the
                     # live-server suite pins); aiohttp's ClientSession

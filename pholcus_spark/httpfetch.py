@@ -119,6 +119,42 @@ def cookie_header(jar: dict[str, str]) -> str:
     return "; ".join(f"{k}={v}" for k, v in jar.items())
 
 
+def decode_content(body: bytes, headers) -> bytes:
+    """Transparent response-body decompression by Content-Encoding —
+    gzip / x-gzip, deflate (both the RFC zlib-wrapped form and the raw
+    stream many servers actually send), and zlib — matching the
+    reference Surf engine's reader selection
+    (`surfer/surf.go:52-155`: gzip.NewReader / flate.NewReader /
+    zlib.NewReader by header).
+
+    Defensive on two fronts: (a) aiohttp auto-decompresses but leaves
+    the Content-Encoding header visible, so a gzip body that lacks the
+    \\x1f\\x8b magic is returned as-is rather than double-decoded, and
+    a deflate/zlib decode failure falls back to the raw bytes;
+    (b) decode errors on truly mangled streams must not raise — the
+    body goes to the parser as-is, same as an unencoded response."""
+    import zlib as _zlib
+
+    if not body or headers is None:
+        return body
+    enc = (headers.get("Content-Encoding") or "").strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            if body[:2] != b"\x1f\x8b":
+                return body  # transport already decoded (aiohttp)
+            return _zlib.decompress(body, 16 + _zlib.MAX_WBITS)
+        if enc == "deflate":
+            try:
+                return _zlib.decompress(body)
+            except _zlib.error:
+                return _zlib.decompress(body, -_zlib.MAX_WBITS)
+        if enc == "zlib":
+            return _zlib.decompress(body)
+    except Exception:
+        return body
+    return body
+
+
 def _all_headers(headers, name: str) -> list[str]:
     """Every value of a (possibly repeated) header across the header
     containers the two transports use: ``email.Message`` (urllib,
@@ -228,6 +264,12 @@ async def async_fetch_one(
                             # differently-cased copies of one header
                             hdrs[k] = v
                             present.add(kl)
+                if not any(k.lower() == "accept-encoding" for k in hdrs):
+                    # advertise compression now that decode_content
+                    # handles the response side (surf.go:52-155 decodes
+                    # transparently; Go's transport advertises gzip).
+                    # An author-set Accept-Encoding wins, same rule as UA.
+                    hdrs["Accept-Encoding"] = "gzip, deflate"
                 if ua and not any(
                     k.lower() == "user-agent" for k in hdrs
                 ):
@@ -269,7 +311,9 @@ async def async_fetch_one(
                         if status in (301, 302, 303):
                             cur_method, cur_data, headers = "GET", None, {}
                         continue  # 307/308 keep method + body
-                    body = b"" if cur_method == "HEAD" else await r.read()
+                    body = b"" if cur_method == "HEAD" else decode_content(
+                        await r.read(), r.headers
+                    )
                 return status, ctype, body
         except Exception:
             if cookies_out is not None:
@@ -437,6 +481,32 @@ class _UrllibSession:
         except urllib.error.HTTPError as he:
             body = he.read() if he.fp else b""
             return _UrllibResponse(he.code, he.headers, body)
+
+
+class _SessionCM:
+    """Async-context-manager wrapper for sessions that need no async
+    teardown (aiohttp's ClientSession is its own async CM; the urllib
+    session is not)."""
+
+    def __init__(self, session):
+        self._session = session
+
+    async def __aenter__(self):
+        return self._session
+
+    async def __aexit__(self, *exc):
+        return False
+
+
+def urllib_session_factory(timeout_s: float, max_conn: int):
+    """``HttpFetcher(session_factory=...)``-compatible factory over the
+    blocking urllib transport — the same session :func:`fetch_one`
+    uses. Lets the aiohttp fetcher's WHOLE mapInPandas wrapper (schema
+    assembly, batch gather, column plumbing) execute on a cluster or in
+    tests without aiohttp installed. Requests inside one batch
+    serialize (urllib blocks the loop), so this is a correctness twin,
+    not the concurrency path — ``max_conn`` is accepted and ignored."""
+    return _SessionCM(_UrllibSession(timeout_s, dns_cache=DnsCache()))
 
 
 def fetch_one(

@@ -11,6 +11,7 @@ of a live fetch path end-to-end.
 
 from __future__ import annotations
 
+import gzip
 import shutil
 import tempfile
 import threading
@@ -107,8 +108,28 @@ class _SiteHandler(BaseHTTPRequestHandler):
             return
         status = page.get("status", 200)
         body = page.get("body") or b""
+        encoding = page.get("encoding")
+        if encoding:  # compressed wire body (real servers sometimes
+            # compress even for clients that didn't advertise it)
+            import zlib as _z
+
+            def _raw_deflate(b):
+                c = _z.compressobj(wbits=-_z.MAX_WBITS)
+                return c.compress(b) + c.flush()
+
+            body = {
+                "gzip": lambda b: gzip.compress(b, mtime=0),
+                "deflate": _z.compress,  # RFC form: zlib-wrapped
+                "deflate_raw": _raw_deflate,  # what many servers send
+                "zlib": _z.compress,
+            }[encoding](body)
         self.send_response(status)
         self.send_header("Content-Type", page.get("content_type", ""))
+        if encoding:
+            self.send_header(
+                "Content-Encoding",
+                "deflate" if encoding == "deflate_raw" else encoding,
+            )
         self.send_header("Content-Length", str(len(body)))
         if path in self.set_cookie_paths:
             self.send_header("Set-Cookie", self.set_cookie_paths[path])
@@ -318,6 +339,185 @@ def _localize(corpus, netloc: str):
 
 def _path_of(url: str) -> str:
     return "/" + url.split("/", 3)[3]
+
+
+def test_content_encoding_decode_live(server):
+    """surf.go:52-155 parity: compressed response bodies decode
+    transparently — gzip, RFC (zlib-wrapped) deflate, the raw-deflate
+    stream many real servers send under the 'deflate' label, and zlib."""
+    body = b"<html>compressed page body</html>"
+    _reset({
+        "/gz": {"body": body, "content_type": "text/html",
+                "encoding": "gzip"},
+        "/df": {"body": body, "content_type": "text/html",
+                "encoding": "deflate"},
+        "/dfr": {"body": body, "content_type": "text/html",
+                 "encoding": "deflate_raw"},
+        "/zl": {"body": body, "content_type": "text/html",
+                "encoding": "zlib"},
+    })
+    for path in ("/gz", "/df", "/dfr", "/zl"):
+        status, _ct, got = fetch_one(f"http://{server}{path}")
+        assert (status, got) == (200, body), path
+
+
+def test_accept_encoding_advertised_and_author_override(server):
+    """With decode in place the stdlib fetcher advertises compression
+    (Go's transport advertises gzip); an author-set Accept-Encoding
+    wins, same precedence rule as User-Agent."""
+    _reset({})
+    _SiteHandler.hdr_echo_paths = {"/hdrs"}
+    _, _, got = fetch_one(f"http://{server}/hdrs")
+    assert b"Accept-Encoding: gzip, deflate" in got
+    _, _, got = fetch_one(
+        f"http://{server}/hdrs", extra_headers={"Accept-Encoding": "identity"}
+    )
+    assert b"Accept-Encoding: identity" in got
+
+
+def test_decode_content_defensive():
+    """decode_content must never raise and never double-decode: aiohttp
+    auto-decompresses but keeps the Content-Encoding header visible, so
+    a 'gzip' body without the magic bytes passes through untouched, and
+    mangled streams fall back to the raw bytes."""
+    from pholcus_spark.httpfetch import decode_content
+
+    plain = b"<html>already decoded</html>"
+    # aiohttp shape: header present, body already plain
+    assert decode_content(plain, {"Content-Encoding": "gzip"}) == plain
+    assert decode_content(plain, {"Content-Encoding": "deflate"}) == plain
+    # mangled gzip stream: raw bytes, no raise
+    bad = b"\x1f\x8bgarbage"
+    assert decode_content(bad, {"Content-Encoding": "gzip"}) == bad
+    # no header / empty body passthrough
+    assert decode_content(plain, {}) == plain
+    assert decode_content(b"", {"Content-Encoding": "gzip"}) == b""
+    # real decode
+    assert decode_content(
+        gzip.compress(plain, mtime=0), {"Content-Encoding": "x-gzip"}
+    ) == plain
+
+
+def test_engine_live_crawl_compressed_bodies(spark, server):
+    """VERDICT r4 item 3 'done' bar: gzip + deflate bodies served
+    through a FULL engine crawl — conformance vs the oracle unchanged
+    (the oracle sees the plain corpus; the wire carries compressed)."""
+    corpus = _localize(
+        fixtures.generate(
+            fixtures.SiteSpec(
+                n_hosts=1, list_pages=3, details_per_list=2,
+                images_per_detail=1, flaky_rate=0.0, fail_404_rate=0.0,
+            )
+        ),
+        server,
+    )
+    encs = ["gzip", "deflate", "deflate_raw", None]
+    _reset({
+        _path_of(p["url"]): (
+            dict(p, encoding=encs[i % len(encs)])
+            if encs[i % len(encs)]
+            else p
+        )
+        for i, p in enumerate(corpus.pages)
+    })
+
+    from pholcus_spark.catalog import SnapshotCatalog
+    from pholcus_spark.engine import CrawlEngine, EngineConfig
+
+    workdir = tempfile.mkdtemp(prefix="pholcus-live-gz-")
+    try:
+        _pages, _i, _t, _s, robots = fixtures.to_spark(spark, corpus)
+        spec = SpiderSpec("site")
+        catalog = SnapshotCatalog(workdir, spark)
+        engine = CrawlEngine(
+            spark, catalog,
+            StdlibHttpFetcher(timeout_s=15.0, try_times=1),
+            spec, robots,
+            EngineConfig(wave_window_ms=6000, commit_every=2),
+        )
+        engine.seed(corpus.seeds)
+        state = engine.run()
+        assert state["stopped"]
+        run = testkit.EngineRun(catalog, state, workdir)
+        res = testkit.run_oracle(
+            corpus, spec, OracleConfig(wave_window_ms=6000)
+        )
+        engine_seen = {
+            r.key for r in run.df("url_seen").select("key").collect()
+        }
+        assert engine_seen == res.seen
+        assert testkit.items_set_engine(run) == testkit.items_set_oracle(res)
+        img_df = run.df("images")
+        assert {(r.image_id, r.caption) for r in img_df.collect()} == {
+            (i["image_id"], i["caption"]) for i in res.images
+        }
+        assert img_df.where("NOT valid").count() == 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_httpfetcher_wrapper_parity_with_stdlib(spark, server):
+    """VERDICT r4 item 5: execute HttpFetcher.fetch END TO END — the
+    mapInPandas wrapper, schema assembly, and batch gather path — with
+    an injected session factory (the urllib session behind an async CM)
+    against the live server, and require row-for-row parity with
+    StdlibHttpFetcher on the same scenarios: OK page, 404, miss,
+    redirect chain, POST echo, compressed body, per-row extra header."""
+    import json
+
+    from pholcus_spark.fetch import HttpFetcher
+    from pholcus_spark.httpfetch import urllib_session_factory
+
+    body = b"<html>page</html>"
+    _reset({
+        "/ok": {"body": body, "content_type": "text/html"},
+        "/gone": {"status": 404},
+        "/gz": {"body": body, "content_type": "text/html",
+                "encoding": "gzip"},
+        "/land": {"body": b"landed", "content_type": "text/plain"},
+    })
+    _SiteHandler.redirects = {"/hop": (302, "/land")}
+    _SiteHandler.echo_paths = {"/echo"}
+    _SiteHandler.header_gate = {"/gated": ("X-Token", "t0k")}
+    _SiteHandler.pages["/gated"] = {
+        "body": b"secret", "content_type": "text/plain"
+    }
+
+    rows = [
+        (f"http://{server}/ok", "GET", "", ""),
+        (f"http://{server}/gone", "GET", "", ""),
+        (f"http://{server}/nowhere", "GET", "", ""),
+        (f"http://{server}/gz", "GET", "", ""),
+        (f"http://{server}/hop", "GET", "", ""),
+        (f"http://{server}/echo", "POST", "a=1&b=2", ""),
+        (f"http://{server}/gated", "GET", "",
+         json.dumps({"X-Token": "t0k"})),
+    ]
+    wave = spark.createDataFrame(
+        rows, "url string, method string, post_data string, hdr string"
+    ).repartition(2)
+
+    def grab(fetcher):
+        out = fetcher.fetch(wave)
+        assert out.columns[-4:] == ["status", "content_type", "body", "ok"]
+        return {
+            r.url: (r.status, r.content_type, bytes(r.body or b""), r.ok)
+            for r in out.collect()
+        }
+
+    got_async = grab(
+        HttpFetcher(
+            timeout_s=15.0, try_times=1,
+            session_factory=urllib_session_factory,
+        )
+    )
+    got_stdlib = grab(StdlibHttpFetcher(timeout_s=15.0, try_times=1))
+    assert got_async == got_stdlib
+    assert got_async[f"http://{server}/ok"][2] == body
+    assert got_async[f"http://{server}/gz"][2] == body  # decoded
+    assert got_async[f"http://{server}/hop"][2] == b"landed"
+    assert got_async[f"http://{server}/gated"][0] == 200
+    assert got_async[f"http://{server}/nowhere"][3] is False
 
 
 def test_engine_live_http_conformance(spark, server):
