@@ -879,11 +879,19 @@ def dedup_semantic(spark, sf_dir):
     id. Every sum is int64 (order-independent), the only floats are one
     IEEE division/sqrt on identical integers — so the oracle replays the
     ENTIRE iterative algorithm (quantize → init → 2×(assign, update) →
-    pair join) bit-exactly in unrolled SQL."""
+    pair join) bit-exactly in unrolled SQL.
+
+    ``max_cluster`` engages the shared skew guard by default (same
+    discipline as the LSH family's max_bucket): a degenerate corpus
+    where one cluster swallows everything is bounded at cap×cluster
+    pairs instead of cluster². No sf≤0.1 cluster comes near 4096
+    members, so the gate output is byte-identical to the uncapped
+    oracle replay."""
     from pholcus_spark.ops.cluster import semantic_dedup
 
     return semantic_dedup(
-        _load(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.35
+        _load(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.35,
+        max_cluster=4096,
     )
 
 

@@ -307,19 +307,23 @@ def exact_substring_stats(
             F.md5(F.concat_ws(" ", F.slice(w, F.col("pos"), k))).alias("_h"),
         )
     )
-    # duplicate windows in ONE corpus pass: group positions by
-    # fingerprint, keep >= min_count groups, explode back — no
-    # join-back recompute of the gram stage. Group state is one small
-    # struct per occurrence; a boilerplate fingerprint shared by
-    # millions of docs makes a large (spillable) group — acceptable,
-    # its rows are exactly the output rows a join would produce too.
-    grp = positions.groupBy("_h").agg(
-        F.collect_list(F.struct("doc_id", "n_tokens", "pos")).alias("_ps")
+    # duplicate windows via a count(*) pre-aggregate joined back to the
+    # positions — NOT collect_list per fingerprint: a boilerplate
+    # fingerprint shared by millions of docs would build one giant
+    # array in a single task (a join spreads the same rows across
+    # tasks; the array lands on one straggler). count(*) partial-
+    # aggregates map-side, the surviving-fingerprint set is small, and
+    # AQE reuses the hash partitioning for the equi-join. The gram
+    # stage runs twice (once per join side) — a linear map stage,
+    # deliberately recomputed rather than persisting O(corpus tokens).
+    dup_keys = (
+        positions.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
     )
-    dup_pos = (
-        grp.where(F.size("_ps") >= min_count)
-        .select(F.explode("_ps").alias("_s"))
-        .select("_s.doc_id", "_s.n_tokens", "_s.pos")
+    dup_pos = positions.join(dup_keys, "_h").select(
+        "doc_id", "n_tokens", "pos"
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     covered = (

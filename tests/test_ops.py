@@ -1365,6 +1365,30 @@ def test_exact_substring_stats_matches_bruteforce(spark):
     assert got == expect
 
 
+def test_exact_substring_stats_mega_duplicate_group(spark):
+    """VERDICT r4 item 6 stress: N identical docs share every window
+    fingerprint. With the old collect_list-per-fingerprint plan all
+    their positions landed in ONE task's array; the count-prefilter +
+    join-back plan must produce the same answer — every token of every
+    doc covered — and the physical plan must contain no
+    ObjectHashAggregate/collect_list."""
+    from pholcus_spark.ops.text import exact_substring_stats
+
+    n, k = 400, 5
+    text = " ".join(f"tok{j}" for j in range(30))  # 30 tokens, 26 windows
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    res = exact_substring_stats(df, k=k)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    rows = res.collect()
+    assert len(rows) == n
+    for r in rows:
+        assert (r.n_tokens, r.dup_windows, r.dup_tokens) == (30, 26, 30)
+        assert r.dup_frac == 1.0
+
+
 def test_top_k_per_group_matches_single_window(spark):
     """The salted two-phase per-group top-k must equal the plain
     single-window rank, including on a pathologically skewed group
