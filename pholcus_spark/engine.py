@@ -830,20 +830,71 @@ class CrawlEngine:
         """Session cookies in: fold harvested Set-Cookie headers into
         the store in wave order (priority desc, seq asc — the oracle's
         sequential DoHistory order, so same-name updates are
-        deterministic). Collects only rows that actually set cookies."""
+        deterministic).
+
+        The fold runs DISTRIBUTED per host (applyInPandas group =
+        host): each task replays its host's Set-Cookie stream in wave
+        order through the same SimpleCookie merge the driver used to
+        run row-by-row, and emits only the NET per-host delta — names
+        whose last operation was a set, and names whose last operation
+        was a delete (the empty-value logout idiom). The driver collect
+        is therefore O(hosts-in-wave) rows × O(cookies-per-host) bytes —
+        the same scale class as the robots dim — never O(wave rows):
+        a cookie-enabled bulk crawl at 10^10-frontier scale streams
+        hosts, not responses, to the driver each superstep. The
+        driver-resident jar itself stays O(hosts × cookie names); that
+        envelope is the login-session use case the reference's cookie
+        jar serves (surf's per-client jar), not a per-page cache."""
         if not getattr(self.fetcher, "enable_cookie", False):
             return
-        from .httpfetch import merge_set_cookie
 
-        rows = (
-            fetched.where(F.size("set_cookies") > 0)
-            .select("host", "priority", "seq", "set_cookies")
-            .collect()
+        rows = fetched.where(F.size("set_cookies") > 0).select(
+            "host", "priority", "seq", "set_cookies"
         )
-        for r in sorted(rows, key=lambda r: (-r.priority, r.seq)):
+
+        def fold(pdf):
+            import json
+
+            import pandas as pd
+
+            from pholcus_spark.httpfetch import set_cookie_ops
+
+            pdf = pdf.sort_values(
+                ["priority", "seq"], ascending=[False, True]
+            )
+            # last op per name wins ('' = delete tombstone for the
+            # driver's existing jar) — exactly what the sequential
+            # merge_set_cookie fold would leave
+            net: dict = {}
+            for cookies in pdf["set_cookies"]:
+                for raw in cookies:
+                    for name, value in set_cookie_ops(raw):
+                        net[name] = value
+            return pd.DataFrame(
+                {
+                    "host": [pdf["host"].iloc[0]],
+                    "sets": [
+                        json.dumps(
+                            {n: v for n, v in net.items() if v != ""}
+                        )
+                    ],
+                    "dels": [
+                        json.dumps(
+                            sorted(n for n, v in net.items() if v == "")
+                        )
+                    ],
+                }
+            )
+
+        import json
+
+        for r in rows.groupBy("host").applyInPandas(
+            fold, "host string, sets string, dels string"
+        ).collect():
             jar = self._cookie_store.setdefault(r.host, {})
-            for raw in r.set_cookies:
-                merge_set_cookie(jar, raw)
+            for name in json.loads(r.dels):
+                jar.pop(name, None)
+            jar.update(json.loads(r.sets))
 
     def _superstep_after_wave(
         self, state, frontier, others, wave, rest, superstep, t0

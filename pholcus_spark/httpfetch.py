@@ -97,22 +97,31 @@ def parse_cookie_header(header: str) -> dict[str, str]:
     return out
 
 
-def merge_set_cookie(jar: dict[str, str], raw: str) -> None:
-    """Fold one raw Set-Cookie header value into the name→value jar
-    (attributes dropped; an empty value removes the cookie — the
-    common server-side logout idiom)."""
+def set_cookie_ops(raw: str) -> list[tuple[str, str]]:
+    """The (name, value) operations one raw Set-Cookie header value
+    encodes — ``""`` value means delete (the server-side logout
+    idiom). :func:`merge_set_cookie` folds these into a jar; the
+    engine's distributed per-host harvest replays the same ops on the
+    executors, so the two paths cannot drift. Malformed headers yield
+    no ops, like browsers."""
     from http.cookies import SimpleCookie
 
     try:
         c = SimpleCookie()
         c.load(raw)
-        for name, morsel in c.items():
-            if morsel.value == "":
-                jar.pop(name, None)
-            else:
-                jar[name] = morsel.value
+        return [(name, morsel.value) for name, morsel in c.items()]
     except Exception:
-        pass  # malformed Set-Cookie: ignored, like browsers do
+        return []
+
+
+def merge_set_cookie(jar: dict[str, str], raw: str) -> None:
+    """Fold one raw Set-Cookie header value into the name→value jar
+    (attributes dropped; an empty value removes the cookie)."""
+    for name, value in set_cookie_ops(raw):
+        if value == "":
+            jar.pop(name, None)
+        else:
+            jar[name] = value
 
 
 def cookie_header(jar: dict[str, str]) -> str:

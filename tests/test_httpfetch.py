@@ -627,6 +627,50 @@ def test_engine_cookie_gated_crawl(spark, server):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_harvest_cookies_distributed_fold_equivalence(spark):
+    """VERDICT r4 item 7: the cookie harvest folds per host ON THE
+    EXECUTORS and collects O(hosts) net-delta rows, not O(wave) raw
+    rows. The distributed fold must equal the sequential
+    merge_set_cookie replay in (-priority, seq) order — including
+    same-name overwrites across priorities and the empty-value delete
+    reaching a cookie that pre-exists in the driver jar."""
+    from types import SimpleNamespace
+
+    from pholcus_spark.engine import CrawlEngine
+    from pholcus_spark.httpfetch import merge_set_cookie
+
+    rows = [
+        ("h1.test", 5, 1, ["sid=first; Path=/"]),
+        ("h1.test", 5, 2, ["sid=second", "tok=t1"]),
+        ("h1.test", 9, 7, ["sid=high-prio-sorts-first"]),
+        ("h1.test", 5, 3, ["gone=; Max-Age=0"]),
+        ("h2.test", 1, 1, ["a=1; Secure", "b=2"]),
+        ("h3.test", 1, 1, []),  # sets nothing: filtered upstream
+    ]
+    seed_jar = {"old": "keep", "sid": "stale", "gone": "x"}
+
+    eng = CrawlEngine.__new__(CrawlEngine)
+    eng.fetcher = SimpleNamespace(enable_cookie=True)
+    eng._cookie_store = {"h1.test": dict(seed_jar)}
+    fetched = spark.createDataFrame(
+        rows,
+        "host string, priority int, seq int, set_cookies array<string>",
+    )
+    eng._harvest_cookies(fetched)
+
+    # sequential reference: the pre-round-5 driver-side fold
+    store = {"h1.test": dict(seed_jar)}
+    for h, _p, _s, cookies in sorted(rows, key=lambda t: (-t[1], t[2])):
+        if not cookies:
+            continue
+        jar = store.setdefault(h, {})
+        for raw in cookies:
+            merge_set_cookie(jar, raw)
+    assert eng._cookie_store == store
+    assert eng._cookie_store["h1.test"]["sid"] == "second"
+    assert "gone" not in eng._cookie_store["h1.test"]
+
+
 def test_fetch_robots_dim_live(spark, server):
     """Live robots bootstrap: the dim is built by fetching
     /robots.txt through the stdlib fetcher; missing robots get the
