@@ -211,6 +211,11 @@ def two_phase_rank(
     local = Window.partitionBy("_pid").orderBy(*order)
     ranked = ranged.withColumn("_lrank", F.row_number().over(local))
     pc = ranged.groupBy("_pid").agg(F.count("*").alias("_pn"))
+    # NOTE: this single-partition window is DELIBERATE and runs over
+    # <= `partitions` rows (the per-range counts), never data rows —
+    # it is the source of WindowExec's "No Partition Defined" log
+    # warnings during a crawl (a foldable partitionBy(lit) key gets
+    # optimized away, so the warning cannot be silenced per-window)
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = pc.withColumn(
         "_poff", F.coalesce(F.sum("_pn").over(off_w), F.lit(0))
@@ -724,6 +729,8 @@ class CrawlEngine:
         # with plan size); the wave is materialized exactly once either
         # way, and it is small by construction (Σ host budgets)
         wave = wave.localCheckpoint(eager=True)
+        if os.environ.get("PHOLCUS_TIMING"):
+            print(f"  [t] wave-ckpt {time.time()-t0:.2f}")
 
         return self._superstep_after_wave(
             state, frontier, others, wave, rest, superstep, t0
@@ -963,6 +970,8 @@ class CrawlEngine:
                 "cookie", "set_cookies", "proxy", "ua", "hdr"
             )
             fetched = fetched_full
+        if os.environ.get("PHOLCUS_TIMING"):
+            print(f"  [t] fetch-ckpt {time.time()-t0:.2f}")
         ok = fetched.where(F.col("ok"))
         failed = fetched.where(~F.col("ok"))
         # same-key repeat failures within one wave (only possible for
@@ -1193,6 +1202,8 @@ class CrawlEngine:
         children = self._emit_children(parsed, superstep).localCheckpoint(
             eager=True
         )
+        if os.environ.get("PHOLCUS_TIMING"):
+            print(f"  [t] children-ckpt {time.time()-t0:.2f}")
         # dedup (matrix.go:81-86 hasHistory = success-history ∪ temp-history):
         #   in-run keys (this wave's successes + still-queued) are small and
         #   checked with a plain anti-join; the historical url_seen — the
@@ -1288,6 +1299,25 @@ class CrawlEngine:
         _dbg = _os.environ.get("PHOLCUS_TIMING")
         if _dbg:
             print(f"  [t] plan-build {time.time()-t0:.2f}")
+        # -- 7a. next frontier FIRST (round-5 superstep fixed-cost cut):
+        # the frontier checkpoint forces the expensive spine (children
+        # dedup + rank via new_rows) exactly once; the counts job below
+        # then reads persisted/materialized branches and costs one
+        # near-free pass instead of re-materializing the spine itself.
+        # new_rows only needs state["next_seq"] (pre-update), never the
+        # counts, so the reorder is purely a scheduling change.
+        new_frontier = (
+            rest.select(*[c for c in rest.columns])
+            .unionByName(others)
+            .unionByName(new_rows)
+            .unionByName(new_failed_wait)
+        )
+        _tf = time.time()
+        new_frontier = new_frontier.coalesce(
+            self.config.frontier_partitions
+        ).localCheckpoint(eager=True)
+        if _dbg:
+            print(f"  [t] frontier-ckpt {time.time()-_tf:.2f}")
         _tc = time.time()
         tag = lambda df, t: df.select(F.lit(t).alias("t"))  # noqa: E731
         counts_src = (
@@ -1343,13 +1373,7 @@ class CrawlEngine:
             "seconds double",
         )
 
-        # -- 7. commit -------------------------------------------------------
-        new_frontier = (
-            rest.select(*[c for c in rest.columns])
-            .unionByName(others)
-            .unionByName(new_rows)
-            .unionByName(new_failed_wait)
-        )
+        # -- 7. commit (frontier already checkpointed above) -----------------
         # skip writes we know are empty — each append is a Spark job
         appends = {"metrics": metrics}
         if wave_size > 0:
@@ -1438,12 +1462,6 @@ class CrawlEngine:
             )
         ap = self.config.append_partitions
         appends = {k: v.coalesce(ap) for k, v in appends.items()}
-        _tf = time.time()
-        new_frontier = new_frontier.coalesce(
-            self.config.frontier_partitions
-        ).localCheckpoint(eager=True)
-        if _dbg:
-            print(f"  [t] frontier-ckpt {time.time()-_tf:.2f}")
         if self._frontier_df is not None:
             # old checkpoint may still back pending append plans — defer
             self._pending_unpersist.append(self._frontier_df)
@@ -1522,26 +1540,90 @@ class CrawlEngine:
         spec = self.spec
         # children come from anchors AND embedded image srcs — the reference
         # enqueues file downloads from img srcs via ctx.AddQueue just like
-        # page links (context.go:104-125, FileOutput path :247-284)
-        emit_arrays = (
-            [
-                F.col("out_links"),
-                F.transform(F.col("figures"), lambda f: f["src"]),
-            ]
-            if getattr(spec, "follow_anchors", True)
-            else []  # explicit-AddQueue-only ports (spec.follow_anchors)
-        ) + [
-            # link_fields-emitted children (ctx.AddQueue from rule
-            # data, avatar.go:95-101) — last in push order
-            F.coalesce(F.col("dsl_links"), F.array().cast("array<string>")),
-        ]
+        # page links (context.go:104-125, FileOutput path :247-284).
+        #
+        # Round-5 shape: the figure-caption carry and the rule-authored
+        # Temp carry ride the SAME explode as the links, as struct
+        # entries, instead of the previous separate figs/carries
+        # branches (each its own canonical_split python stage + dedup
+        # window + join back). One canonicalize pass and one last-wins
+        # window over (parent_url, curl) replace two python round trips,
+        # two windows and two joins per superstep — and for an
+        # image-heavy crawl (figures ≈ children, the north-rule shape)
+        # the join form's build side was the same size as the probe, so
+        # this is also strictly fewer shuffles at bulk scale.
+        follow = getattr(spec, "follow_anchors", True)
+        has_carry = any(
+            getattr(er, "carry_fields", ()) or ()
+            for er in spec.extract_rules
+        )
+        null_fig = F.lit(None).cast(
+            "struct<caption:string,image_id:string>"
+        )
+        null_map = F.lit(None).cast("map<string,string>")
+
+        def _entry(raw, fig=None, ctemp=None, emit=True):
+            return F.struct(
+                raw.alias("raw_link"),
+                (fig if fig is not None else null_fig).alias("fig0"),
+                (ctemp if ctemp is not None else null_map).alias("ctemp0"),
+                F.lit(emit).alias("is_emit"),
+            )
+
+        emit_arrays = []
+        if follow:
+            emit_arrays.append(
+                F.transform(F.col("out_links"), lambda l: _entry(l))
+            )
+        # figure entries are always present: emitted children when
+        # follow_anchors, caption-carry-only otherwise (explicit-
+        # AddQueue ports still attach figure Temp to matching children)
+        emit_arrays.append(
+            F.transform(
+                F.col("figures"),
+                lambda f: _entry(
+                    f["src"],
+                    fig=F.struct(
+                        f["caption"].alias("caption"),
+                        F.regexp_extract(
+                            f["src"], r"/img/(.+)\.(png|jpe?g)$", 1
+                        ).alias("image_id"),
+                    ),
+                    emit=follow,
+                ),
+            )
+        )
+        # link_fields-emitted children (ctx.AddQueue from rule data,
+        # avatar.go:95-101) — last in push order; the authored carry
+        # (dsl_carry, parallel array) rides the same entry
+        emit_arrays.append(
+            F.transform(
+                F.coalesce(
+                    F.col("dsl_links"), F.array().cast("array<string>")
+                ),
+                lambda l, i: _entry(
+                    l,
+                    ctemp=(
+                        F.try_element_at(F.col("dsl_carry"), i + 1)
+                        if has_carry
+                        else None
+                    ),
+                ),
+            )
+        )
         links = parsed.select(
             "spider",
             F.col("url").alias("parent_url"),
             "depth",
             F.col("priority").alias("p_prio"),
             F.col("seq").alias("p_seq"),
-            F.posexplode(F.concat(*emit_arrays)).alias("ordinal", "raw_link"),
+            F.posexplode(F.concat(*emit_arrays)).alias("ordinal", "_e"),
+        ).select(
+            "spider", "parent_url", "depth", "p_prio", "p_seq", "ordinal",
+            F.col("_e.raw_link").alias("raw_link"),
+            F.col("_e.fig0").alias("fig0"),
+            F.col("_e.ctemp0").alias("ctemp0"),
+            F.col("_e.is_emit").alias("is_emit"),
         )
         if spec.max_depth is not None:
             links = links.where(F.col("depth") < spec.max_depth)
@@ -1563,6 +1645,10 @@ class CrawlEngine:
             prio_col = F.when(cond, F.lit(lr.priority)).otherwise(prio_col)
             method_col = F.when(cond, F.lit(lr.method)).otherwise(method_col)
             post_col = F.when(cond, F.lit(lr.post_data)).otherwise(post_col)
+        # carry-only entries (is_emit=false) survive routing: they are
+        # filtered after the attach window below, and a figure src that
+        # matches no LinkRule must still donate its caption to a
+        # same-curl child routed by other means (paginate/AddQueue)
         links = links.withColumns(
             {
                 "rule": rule_col,
@@ -1570,7 +1656,7 @@ class CrawlEngine:
                 "method": method_col,
                 "post_data": post_col,
             }
-        ).where(F.col("rule").isNotNull())
+        ).where(F.col("rule").isNotNull() | ~F.col("is_emit"))
         # extract-count pagination (PaginateRule — the reference's
         # Aid-loop idiom): expanded JVM-side, pushed after the page's
         # other children via the ordinal block offset; joins the same
@@ -1584,100 +1670,40 @@ class CrawlEngine:
         # robots filter (north-rule extension): the shared oracle-gated
         # broadcast-dim primitive (RFC 9309 longest-match incl. Allow)
         links = self._robots_disallow_filter(links, "curl")
-        # temp caption carry for image children (request Temp, temp.go:11-44)
-        figs = (
-            parsed.select(
-                F.col("url").alias("fparent"),
-                F.posexplode("figures").alias("fpos", "fig"),
-            )
-            .select(
-                "fparent",
-                "fpos",
-                F.col("fig.src").alias("_rawsrc"),
-                F.col("fig.caption").alias("caption"),
-                F.regexp_extract(
-                    F.col("fig.src"), r"/img/(.+)\.(png|jpe?g)$", 1
-                ).alias("image_id"),
-            )
+        # attach the carried Temp: the LAST (by emission ordinal)
+        # figure caption / authored carry among same-(parent, curl)
+        # entries wins — matching the oracle's dict assignment; the
+        # whole fig struct transfers at once so a last figure with a
+        # null caption still overrides an earlier one wholesale.
+        # Paginate rows (unioned without entry columns) participate as
+        # attach TARGETS only (is_emit null → kept by the coalesce).
+        attach = (
+            Window.partitionBy("parent_url", "curl")
+            .orderBy("ordinal")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
-        figs = (
-            canonical_split(figs, "_rawsrc")
-            .withColumnRenamed("curl", "fsrc")
-            .drop("host", "_rawsrc")
-            # same src twice on a page with different captions: the LAST
-            # occurrence wins, deterministically — matching the oracle's
-            # dict assignment (dropDuplicates would keep an arbitrary row)
-            .withColumn(
-                "_frn",
-                F.row_number().over(
-                    Window.partitionBy("fparent", "fsrc").orderBy(F.desc("fpos"))
-                ),
-            )
-            .where(F.col("_frn") == 1)
-            .drop("_frn", "fpos")
-        )
-        links = links.join(
-            figs,
-            (links["parent_url"] == figs["fparent"]) & (links["curl"] == figs["fsrc"]),
-            "left",
-        ).drop("fparent", "fsrc")
-        # rule-authored Temp carry (AddQueue Temp map,
-        # shunfenghaitao.go:60, zhihu_daily.go:45,58): carry_fields of
-        # the emitting item attach to its link_fields children — joined
-        # on (parent, canonical url) like the figure carry, last
-        # emitter wins deterministically
-        if any(
-            getattr(er, "carry_fields", ()) or ()
-            for er in spec.extract_rules
-        ):
-            carries = (
-                parsed.select(
-                    F.col("url").alias("cparent"),
-                    F.posexplode(
-                        F.arrays_zip("dsl_links", "dsl_carry")
-                    ).alias("cpos", "_z"),
-                )
-                .select(
-                    "cparent",
-                    "cpos",
-                    F.col("_z.dsl_links").alias("_rawl"),
-                    F.col("_z.dsl_carry").alias("ctemp"),
-                )
-                .where(F.col("ctemp").isNotNull())
-            )
-            carries = (
-                canonical_split(carries, "_rawl")
-                .withColumnRenamed("curl", "ccurl")
-                .drop("host", "_rawl")
-                .withColumn(
-                    "_crn",
-                    F.row_number().over(
-                        Window.partitionBy("cparent", "ccurl").orderBy(
-                            F.desc("cpos")
-                        )
+        links = (
+            links.withColumns(
+                {
+                    "_fig": F.last("fig0", ignorenulls=True).over(attach),
+                    "_ctemp": (
+                        F.last("ctemp0", ignorenulls=True).over(attach)
+                        if has_carry
+                        else null_map
                     ),
-                )
-                .where(F.col("_crn") == 1)
-                .drop("_crn", "cpos")
+                }
             )
-            links = links.join(
-                carries,
-                (links["parent_url"] == carries["cparent"])
-                & (links["curl"] == carries["ccurl"]),
-                "left",
-            ).drop("cparent", "ccurl")
-        else:
-            links = links.withColumn(
-                "ctemp", F.lit(None).cast("map<string,string>")
-            )
+            .where(F.coalesce(F.col("is_emit"), F.lit(True)))
+            .drop("fig0", "ctemp0", "is_emit")
+        )
         # generic Temp carry-along (request.go:280-332, temp.go:11-44):
         # a map<string,string> column on the frontier row; the figure
         # carry (caption/image_id for image children) populates it here,
-        # a rule-authored carry (ctemp) REPLACES it when present
+        # a rule-authored carry (_ctemp) REPLACES it when present
         reload_list = list(spec.reloadable_urls)
         # method is part of the identity key: the same URL under GET and
         # POST is two frontier entries (request.go:139-145)
-        temp_sources = [F.col("ctemp")]
+        temp_sources = [F.col("_ctemp")]
         if "pcarry" in links.columns:  # PaginateRule carry (taobao.go:244)
             temp_sources.append(F.col("pcarry"))
         links = links.withColumns(
@@ -1686,8 +1712,8 @@ class CrawlEngine:
                     *temp_sources,
                     F.map_filter(
                         F.create_map(
-                            F.lit("caption"), F.col("caption"),
-                            F.lit("image_id"), F.col("image_id"),
+                            F.lit("caption"), F.col("_fig.caption"),
+                            F.lit("image_id"), F.col("_fig.image_id"),
                         ),
                         lambda k, v: v.isNotNull(),
                     ),
@@ -1702,7 +1728,7 @@ class CrawlEngine:
                 ),
                 "depth": F.col("depth") + 1,
             }
-        ).drop("caption", "image_id", "ctemp", "pcarry")
+        ).drop("_fig", "_ctemp", "pcarry")
         return links
 
     def _paginate_children(self, parsed: DataFrame) -> DataFrame | None:
