@@ -201,6 +201,22 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # PHOLCUS_BENCH_PIN=1: re-exec the whole bench under taskset so the
+    # JVM AND the python UDF workers are pinned to exactly `cpus` CPUs —
+    # the same protocol tools/bench_scaling.py uses for its legs
+    # (unpinned, python workers run outside Spark's task-thread
+    # accounting and float to ~2N cores, widening the crawl band).
+    # Env-gated so the driver's default run is unchanged.
+    if (
+        os.environ.get("PHOLCUS_BENCH_PIN") == "1"
+        and not os.environ.get("_PHOLCUS_BENCH_PINNED")
+    ):
+        os.environ["_PHOLCUS_BENCH_PINNED"] = "1"
+        os.execvp(
+            "taskset",
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable] + sys.argv,
+        )
+
     from pholcus_spark.session import build_spark
 
     spark = build_spark("pholcus-bench", parallelism=cpus, shuffle_partitions=cpus)
