@@ -98,3 +98,34 @@ def test_operators_facade_exports():
         "oracle_crawl",
     ):
         assert hasattr(ops, name), name
+
+
+def test_correctness_window_covers_round4_unwindowed_gates():
+    """The driver's CORRECTNESS gate checks exactly the FIRST 50 entries
+    of __spark_entry__.queries() — registry order is correctness
+    visibility. Round 4 grew the registry past 50 and silently dropped
+    21 gates out of the driver's window; this pins that those 21 (the
+    only ones without a CORRECTNESS_r04 row) stay inside the first 50,
+    and that the registry remains 1:1 with oracle_sql()."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry_mod
+
+    q = list(entry_mod.queries())
+    first50 = set(q[:50])
+    unwindowed_r4 = [
+        "q_robots_filter", "q_proxy_assign", "q_sitemap_parse",
+        "q_global_rank", "q_top_per_source",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_semantic",
+        "dedup_lines", "dedup_incremental", "dedup_components",
+        "dedup_embedding", "dedup_embedding_lsh",
+        "sim_cosine_topk", "sim_ann_lsh", "sim_knn_batch",
+        "sim_knn_ivf", "sim_quantize_int8",
+    ]
+    missing = [n for n in unwindowed_r4 if n not in first50]
+    assert not missing, f"gates outside the driver window: {missing}"
+    assert len(q) == len(set(q))
+    assert set(entry_mod.oracle_sql()) == set(q)
