@@ -297,8 +297,20 @@ class EngineConfig:
     # (StoreFetcher), decode+validate+write image rows inside the python
     # task that reads the bytes — body bytes never cross the JVM<->Python
     # Arrow bridge (the non-scaling layer in BENCH/BASELINE.md §3); the
-    # catalog adopts the task-written parquet files at commit.
+    # catalog adopts the task-written parquet rows at commit.
     python_image_sink: bool = False
+    # adaptive small-wave shuffle width: when the queue holds fewer than
+    # ~adaptive_shuffle_rows rows per base shuffle partition, shrink
+    # spark.sql.shuffle.partitions for THAT superstep (restored after) —
+    # a 1-100-row tail wave otherwise pays 8-32 near-empty tasks per
+    # shuffle stage across ~10 stages (measured ~15% of small-wave wall,
+    # BENCH/BASELINE.md §7). Results are partition-count independent
+    # (pinned by the conformance suite, which runs both shapes). 0
+    # disables. NOTE: the conf mutation is session-wide for the duration
+    # of one superstep — don't run unrelated SQL concurrently with
+    # run() in the same session (the engine assumes it owns the session
+    # during a crawl, same as its localCheckpoint/persist discipline).
+    adaptive_shuffle_rows: int = 64
 
 
 class CrawlEngine:
@@ -720,21 +732,44 @@ class CrawlEngine:
         queued = frontier.where(F.col("state") == "queued")
         others = frontier.where(F.col("state") != "queued")
 
-        wave, rest = self._wave_plan(queued)
+        # small-wave shuffle shrink (config.adaptive_shuffle_rows): a
+        # tail wave of 1-100 rows pays base-width near-empty shuffle
+        # tasks across ~10 stages; size this superstep's shuffles by the
+        # queue instead, and restore the session default afterwards
+        base_sp = None
+        if cfg.adaptive_shuffle_rows:
+            try:
+                base = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                base = 0
+            q_rows = max(1, state["queued_count"])
+            target = -(-q_rows // cfg.adaptive_shuffle_rows)  # ceil
+            if base and target < base:
+                base_sp = base
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(target)
+                )
+        try:
+            wave, rest = self._wave_plan(queued)
 
-        # truncate the wave's lineage: every downstream branch (fetch,
-        # fetch_meta, politeness bookkeeping, order table) would
-        # otherwise re-analyze the frontier + wave-select window tree on
-        # each of its many Dataset creations (driver-side cost, grows
-        # with plan size); the wave is materialized exactly once either
-        # way, and it is small by construction (Σ host budgets)
-        wave = wave.localCheckpoint(eager=True)
-        if os.environ.get("PHOLCUS_TIMING"):
-            print(f"  [t] wave-ckpt {time.time()-t0:.2f}")
+            # truncate the wave's lineage: every downstream branch (fetch,
+            # fetch_meta, politeness bookkeeping, order table) would
+            # otherwise re-analyze the frontier + wave-select window tree on
+            # each of its many Dataset creations (driver-side cost, grows
+            # with plan size); the wave is materialized exactly once either
+            # way, and it is small by construction (Σ host budgets)
+            wave = wave.localCheckpoint(eager=True)
+            if os.environ.get("PHOLCUS_TIMING"):
+                print(f"  [t] wave-ckpt {time.time()-t0:.2f}")
 
-        return self._superstep_after_wave(
-            state, frontier, others, wave, rest, superstep, t0
-        )
+            return self._superstep_after_wave(
+                state, frontier, others, wave, rest, superstep, t0
+            )
+        finally:
+            if base_sp is not None:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(base_sp)
+                )
 
     def _wave_plan(self, queued: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Wave selection (politeness budgets + fair share) as a pure
