@@ -51,6 +51,7 @@ HEADLINE = [
     "text_decontaminate",
     "text_repetition",
     "text_exact_substr",
+    "text_url_filter",
     "q_top_per_source",
     "q_hash_sample",
     "q_stratified_sample",

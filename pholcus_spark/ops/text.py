@@ -587,3 +587,110 @@ def gopher_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep only rule-passing documents (the curation-pipeline step):
     a row-local where() — one scan, no join, no shuffle."""
     return docs.where(_gopher_cols(text_col)["gopher_pass"])
+
+
+# URL parsing for curation is regexp-based rather than F.parse_url so a
+# SQL oracle replays it bit-exactly (same tradeoff as md5-over-xxhash):
+# scheme://authority[/path][?query][#fragment], lowercased upstream
+_URL_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+_TRACKING_QUERY_RE = (
+    r"(^|&)(utm_[a-z]+|gclid|fbclid|sessionid|phpsessid|sid)="
+)
+
+
+def url_quality_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_domains=(),
+    allowed_tlds=("com", "org", "net", "edu", "gov", "io"),
+    max_url_len: int = 512,
+    max_path_depth: int = 8,
+    max_digit_frac: float = 0.4,
+) -> DataFrame:
+    """URL-based curation signals — the web-corpus filtering stage that
+    runs BEFORE any text is read (RefinedWeb §3.1 / FineWeb both gate
+    on URL blocklists + heuristics; the reference engine's analog is
+    the LinkRule pattern gate, spiderspec routing):
+
+    * ``blocked_domain`` — registrable-ish domain (last two host
+      labels) in the blocklist. Pass a sequence for a literal IN (small
+      lists fold into codegen); pass a one-column DataFrame for a
+      broadcast join (the UT1-scale path: ~4M domains is a dim, never
+      a literal).
+    * ``bad_tld`` — TLD outside the allowlist.
+    * ``too_long`` — overall URL length (spam/tracking tails).
+    * ``deep_path`` — path depth beyond ``max_path_depth`` (calendar /
+      faceted-navigation traps).
+    * ``tracking_query`` — utm_*/gclid/fbclid/session-id parameters.
+    * ``digit_heavy_path`` — digit fraction of the path above
+      ``max_digit_frac`` (id-soup URLs: galleries, session paths).
+    * ``url_keep`` — none of the above.
+
+    Row-local regexp/string expressions only (one scan, no UDF, no
+    shuffle except the optional broadcast blocklist join); ratios round
+    to 4 places for the cross-engine contract."""
+    u = F.lower(F.trim(F.col(url_col)))
+    host = F.regexp_replace(
+        F.regexp_extract(u, _URL_HOST_RE, 1), r":\d+$", ""
+    )
+    labels = F.split(host, r"\.")
+    tld = F.element_at(labels, -1)
+    domain = F.when(
+        F.size(labels) >= 2,
+        F.concat(F.element_at(labels, -2), F.lit("."), tld),
+    ).otherwise(host)
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    query = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    digit_frac = F.round(
+        F.length(F.regexp_replace(path, r"[^0-9]", ""))
+        / F.greatest(F.length(path), F.lit(1)),
+        4,
+    )
+    out = df.withColumns({"_host": host, "_domain": domain})
+    if isinstance(blocked_domains, DataFrame):
+        dim = blocked_domains.toDF("_bd").withColumn(
+            "_blocked", F.lit(True)
+        )
+        out = (
+            out.join(
+                F.broadcast(dim), out["_domain"] == dim["_bd"], "left"
+            )
+            .drop("_bd")
+            .withColumn(
+                "blocked_domain",
+                F.coalesce(F.col("_blocked"), F.lit(False)),
+            )
+            .drop("_blocked")
+        )
+    else:
+        out = out.withColumn(
+            "blocked_domain",
+            F.col("_domain").isin(list(blocked_domains))
+            if blocked_domains
+            else F.lit(False),
+        )
+    flags = {
+        "bad_tld": ~tld.isin(list(allowed_tlds)),
+        "too_long": F.length(u) > max_url_len,
+        "deep_path": depth > max_path_depth,
+        "tracking_query": query.rlike(_TRACKING_QUERY_RE),
+        "digit_heavy_path": digit_frac > max_digit_frac,
+    }
+    out = out.withColumns(flags)
+    keep = ~F.col("blocked_domain")
+    for name in flags:
+        keep = keep & ~F.col(name)
+    return (
+        out.withColumn("url_keep", keep)
+        .withColumnsRenamed({"_host": "url_host", "_domain": "url_domain"})
+    )
+
+
+def url_filter(df: DataFrame, url_col: str = "url", **kwargs) -> DataFrame:
+    """Keep only rows whose URL passes every signal (the pipeline step
+    form of :func:`url_quality_flags`); signal columns are dropped."""
+    flagged = url_quality_flags(df, url_col=url_col, **kwargs)
+    return flagged.where(F.col("url_keep")).select(*df.columns)

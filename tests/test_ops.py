@@ -1543,3 +1543,52 @@ def test_gopher_rules_each_rule_fires(spark):
     kept = text.gopher_filter(docs)
     assert [r.doc_id for r in kept.collect()] == [0]
     assert "Join" not in kept._jdf.queryExecution().executedPlan().toString()
+
+
+def test_url_quality_flags_signal_matrix(spark):
+    """Each URL-curation signal fires independently and url_keep is
+    their conjunction; blocklist works both as a literal sequence and
+    as a broadcast DataFrame dim (the UT1-scale path)."""
+    from pholcus_spark.ops.text import url_filter, url_quality_flags
+
+    rows = [
+        (1, "http://good.com/a/b"),               # clean
+        (2, "http://spam.biz/a"),                 # bad_tld
+        (3, "http://blocked.com/x"),              # blocked_domain
+        (4, "http://good.com/p?utm_source=x"),    # tracking_query
+        (5, "http://good.com/p?page=2"),          # benign query
+        (6, "http://good.com/1234567/89"),        # digit_heavy_path
+        (7, "http://good.com/" + "d/" * 10 + "x"),  # deep_path
+        (8, "http://good.com/" + "a" * 600),      # too_long
+        (9, "http://good.com:8080/a"),            # port stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.doc_id: r
+        for r in url_quality_flags(
+            df, blocked_domains=("blocked.com",), max_path_depth=8
+        ).collect()
+    }
+    assert out[1].url_keep and out[5].url_keep and out[9].url_keep
+    assert out[2].bad_tld and not out[2].url_keep
+    assert out[3].blocked_domain and not out[3].url_keep
+    assert out[4].tracking_query and not out[4].url_keep
+    assert out[6].digit_heavy_path and not out[6].url_keep
+    assert out[7].deep_path and not out[7].url_keep
+    assert out[8].too_long and not out[8].url_keep
+    assert out[9].url_host == "good.com"  # :8080 stripped
+
+    kept = url_filter(df, blocked_domains=("blocked.com",), max_path_depth=8)
+    assert kept.columns == ["doc_id", "url"]
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 5, 9]
+
+    # blocklist as a DataFrame dim: broadcast join path, same answer
+    dim = spark.createDataFrame([("blocked.com",)], "domain string")
+    out2 = url_quality_flags(df, blocked_domains=dim, max_path_depth=8)
+    assert {(r.doc_id, r.url_keep) for r in out2.collect()} == {
+        (k, v.url_keep) for k, v in out.items()
+    }
+    phys = out2._sc._jvm.PythonSQLUtils.explainString(
+        out2._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in phys
