@@ -1639,12 +1639,36 @@ def q_sitemap_parse(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS gate checks exactly the
-    # FIRST 50 entries of this registry.  Round 4 had 71 entries, so 21
-    # gates (the dedup_*/sim_* family plus five crawl gates) fell outside
-    # the window and have no driver row yet.  Those 21 go FIRST this round;
-    # the 50 that are already green in CORRECTNESS_r04.json follow.
+    # FIRST 50 entries of this registry.  Round 5's window covered the 21
+    # previously-unwindowed gates + 29 others; the 22 entries that fell
+    # OUTSIDE that window (no CORRECTNESS_r05 row — 21 green in r4 plus
+    # text_url_filter, never driver-checked) rotate to the FRONT this
+    # round so every gate has a driver row <= 1 round old.
     return {
-        # --- 21 gates without a CORRECTNESS_r04 row (window them first) ---
+        # --- 22 gates without a CORRECTNESS_r05 row (window them first) ---
+        "q_stratified_sample": q_stratified_sample,
+        "q_train_split": q_train_split,
+        "q_dsir_weights": q_dsir_weights,
+        "q_pair_filter": q_pair_filter,
+        "q_caption_dedup": q_caption_dedup,
+        "q_pair_phash_neardup": q_pair_phash_neardup,
+        "q_aspect_bucket": q_aspect_bucket,
+        "q_paginate_expand": q_paginate_expand,
+        "q_shard_pairs": q_shard_pairs,
+        "q_shard_manifest": q_shard_manifest,
+        "text_repetition": text_repetition,
+        "text_exact_substr": text_exact_substr,
+        "q_curation_pipeline": q_curation_pipeline,
+        "q_doc_chunks": q_doc_chunks,
+        "q_pack_sequences": q_pack_sequences,
+        "q_json_extract": q_json_extract,
+        "q_css_extract": q_css_extract,
+        "q_xml_extract": q_xml_extract,
+        "q_accumulate_items": q_accumulate_items,
+        "q_kafka_payload": q_kafka_payload,
+        "q_beanstalk_payload": q_beanstalk_payload,
+        "text_url_filter": text_url_filter,
+        # --- green in CORRECTNESS_r05.json (driver rows <= 1 round old) ---
         "q_robots_filter": q_robots_filter,
         "q_proxy_assign": q_proxy_assign,
         "q_sitemap_parse": q_sitemap_parse,
@@ -1666,7 +1690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_batch": sim_knn_batch,
         "sim_knn_ivf": sim_knn_ivf,
         "sim_quantize_int8": sim_quantize_int8,
-        # --- green in CORRECTNESS_r04.json (driver rows already exist) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q_dedup_anti_join": q_dedup_anti_join,
@@ -1696,32 +1719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text_decontaminate,
         "text_bm25": text_bm25,
         "q_hash_sample": q_hash_sample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_train_split": q_train_split,
-        "q_dsir_weights": q_dsir_weights,
-        "q_pair_filter": q_pair_filter,
-        "q_caption_dedup": q_caption_dedup,
-        "q_pair_phash_neardup": q_pair_phash_neardup,
-        "q_aspect_bucket": q_aspect_bucket,
-        "q_paginate_expand": q_paginate_expand,
-        "q_shard_pairs": q_shard_pairs,
-        "q_shard_manifest": q_shard_manifest,
-        "text_repetition": text_repetition,
-        "text_exact_substr": text_exact_substr,
-        "q_curation_pipeline": q_curation_pipeline,
-        "q_doc_chunks": q_doc_chunks,
-        "q_pack_sequences": q_pack_sequences,
-        "q_json_extract": q_json_extract,
-        "q_css_extract": q_css_extract,
-        "q_xml_extract": q_xml_extract,
-        "q_accumulate_items": q_accumulate_items,
-        "q_kafka_payload": q_kafka_payload,
-        "q_beanstalk_payload": q_beanstalk_payload,
-        # round-5 addition, deliberately LAST: positions 51+ sit outside
-        # the driver's 50-entry window (the first 50 above are exactly
-        # the r4-unwindowed set + previously-green gates); check locally
-        # with tools/check_oracle.py
-        "text_url_filter": text_url_filter,
     }
 
 
