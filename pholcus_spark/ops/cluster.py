@@ -56,7 +56,9 @@ _L = "bigint"
 
 def _quantize(embeddings: DataFrame, col: str) -> DataFrame:
     """int8 codes as array<long> (int64 domain for all downstream
-    arithmetic) plus their exact squared norm."""
+    arithmetic) plus their exact squared norm. `quantize_int8` spreads
+    a narrow scan to the core count, so every k-means pass downstream
+    (all interpreted higher-order-function work) runs parallel."""
     q = quantize_int8(embeddings, col).select(
         "vec_id", F.transform("q", lambda x: x.cast(_L)).alias("q")
     )
@@ -149,8 +151,11 @@ def kmeans_quantized(
     # the same localCheckpoint discipline)
     codes = _quantize(embeddings, col).persist()
     try:
-        d = len(codes.select("q").first()["q"])
+        # the init sample rows carry full code vectors — read the
+        # dimensionality from them instead of a separate first() probe
+        # (one Spark job saved per call; same crash on an empty corpus)
         cents = init_centroids(codes, k)
+        d = len(cents[0][1])
         for _ in range(max(0, iters)):
             assigned = _assign(codes, cents)
             upd = {
@@ -224,8 +229,30 @@ def semantic_dedup(
         F.sqrt(F.col("_an").cast("double"))
         * F.sqrt(F.col("_bn").cast("double"))
     )
+    # The equi-key has only k distinct values, so an unsalted join runs
+    # its probe (and every interpreted dot product) on <= k tasks —
+    # parallelism collapse, not skew AQE can split (one key = one
+    # partition). Salt deterministically (guide §2.5: never rand()):
+    # the a-side keys on hash(_aid) % S, the b-side replicates S ways,
+    # every (a, b) pair still meets exactly once, so the result is
+    # byte-identical. S follows cores/k — at production k (hundreds+)
+    # S collapses to 1 and the plan is exactly the unsalted one.
+    sess = embeddings.sparkSession
+    n_salt = max(1, min(32, sess.sparkContext.defaultParallelism // max(1, k)))
+    join_on = (a["_cl"] == b["_cl"]) & (a["_aid"] < b["_bid"])
+    if n_salt > 1:
+        a = a.withColumn(
+            "_sl", F.pmod(F.xxhash64("_aid"), F.lit(n_salt)).cast("int")
+        )
+        salts = sess.range(n_salt).select(F.col("id").cast("int").alias("_sl"))
+        b = b.crossJoin(F.broadcast(salts))
+        join_on = (
+            (a["_cl"] == b["_cl"])
+            & (a["_sl"] == b["_sl"])
+            & (a["_aid"] < b["_bid"])
+        )
     dups = (
-        a.join(b, on=(a["_cl"] == b["_cl"]) & (a["_aid"] < b["_bid"]))
+        a.join(b, on=join_on)
         .where((F.col("_an") > 0) & (F.col("_bn") > 0))
         .where(cos >= F.lit(float(threshold)))
         .groupBy(F.col("_bid").alias("vec_id"))

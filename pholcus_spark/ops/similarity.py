@@ -46,11 +46,13 @@ def cosine_topk(
     """Exact top-k by cosine against one stored vector. The query row is
     a broadcast cross join (one row), so the scan stays embarrassingly
     parallel with no shuffle until the final top-k."""
+    from ..session import spread_scan
+
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec")
     )
     return (
-        embeddings.crossJoin(F.broadcast(q))
+        spread_scan(embeddings).crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
@@ -138,11 +140,14 @@ def knn_batch_lsh(
         F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    topk = (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= k)
-        .orderBy("qid", "rn")
     )
+    # the global sort's range partitioner SAMPLES its child in a
+    # separate job, re-executing the whole join+score subtree; truncate
+    # at the top-k result (Q×k rows) so the heavy subtree runs once
+    return topk.localCheckpoint().orderBy("qid", "rn")
 
 
 def lsh_index(
@@ -152,8 +157,14 @@ def lsh_index(
     a bucket-keyed table) and pass it to ``ann_lsh_topk`` /
     ``knn_batch_lsh`` via ``bucketed=`` — repeated queries then skip
     re-hashing the corpus, which is the right shape for an interactive
-    lookup service over a large corpus."""
-    return embeddings.withColumn(
+    lookup service over a large corpus. The corpus is spread to the
+    core count first when its scan is narrower (guide §6): the
+    num_planes × dim interpreted dot products per row otherwise
+    serialize on a single-row-group file's one scan task; a wide input
+    passes through untouched."""
+    from ..session import spread_scan
+
+    return spread_scan(embeddings).withColumn(
         "bucket", lsh_sign_bucket(F.col("embedding"), dim, num_planes)
     )
 
@@ -314,8 +325,12 @@ def ivf_index(
     """The inverted lists: corpus + map-side nearest-centroid cell
     column. Persist (or write bucketed by cell) and pass to
     `knn_batch_ivf` via ``indexed=`` to skip re-assignment on repeated
-    query batches."""
-    return embeddings.withColumn(
+    query batches. Spread to the core count when the scan is narrower
+    (guide §6 — same rationale as `lsh_index`: n_cells × dim
+    interpreted multiplies per row on one scan task otherwise)."""
+    from ..session import spread_scan
+
+    return spread_scan(embeddings).withColumn(
         "cell", assign_ivf_cell(F.col("embedding"), centroids)
     )
 
@@ -356,11 +371,13 @@ def knn_batch_ivf(
         F.round(cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    topk = (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= k)
-        .orderBy("qid", "rn")
     )
+    # same discipline as `knn_batch_lsh`: checkpoint the Q×k top-k so
+    # the global sort's sampling pass does not re-run the cell join
+    return topk.localCheckpoint().orderBy("qid", "rn")
 
 
 def quantize_int8(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
@@ -373,6 +390,8 @@ def quantize_int8(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     transforms — map-side, no shuffle, no Python. Returns
     (vec_id, q array<int>, absmax double); dequantize as q * absmax /
     127 with per-element error ≤ absmax/254."""
+    from ..session import spread_scan
+
     v = F.col(col)
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     absmax = F.greatest(absmax, F.lit(1e-30))
@@ -380,6 +399,8 @@ def quantize_int8(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     q = F.transform(
         v, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int")
     )
-    return embeddings.select(
+    # spread (guide §6): 2×dim interpreted HOF ops per row — serial on
+    # a one-row-group scan, untouched when the input is already wide
+    return spread_scan(embeddings).select(
         "vec_id", q.alias("q"), absmax.alias("absmax")
     )

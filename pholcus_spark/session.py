@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread_scan(df, target: int | None = None):
+    """Scan-parallelism floor for sub-splittable inputs (optimization
+    guide §6: `spark.sql.files.minPartitionNum` sets the floor, but a
+    parquet file with ONE row group still scans as one task no matter
+    how the byte ranges split). Heavy map-side work that precedes the
+    first exchange — interpreted higher-order functions over vector
+    columns, Arrow/pandas UDF stages — then serializes on one core.
+
+    When the plan's current width is below the session's default
+    parallelism, round-robin repartition to the core count (the local
+    sort that makes round-robin deterministic under retry is on by
+    default — SPARK-23207); otherwise return the frame unchanged, so a
+    real multi-row-group corpus at scale pays NO extra exchange. Row
+    SETS are unchanged either way."""
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def build_spark(
     app_name: str = "pholcus-spark",
     parallelism: int | None = None,
