@@ -591,7 +591,11 @@ def q_css_extract(spark, sf_dir):
             ],
         )
 
-    docs = _load(spark, sf_dir, "documents")
+    from pholcus_spark.session import spread_scan
+
+    # spread (guide §4/§6): the css pandas UDF stage inherits the scan
+    # width — one row group = ONE python worker otherwise
+    docs = spread_scan(_load(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     head = F.array_join(
         F.transform(
@@ -700,9 +704,13 @@ def q_accumulate_items(spark, sf_dir):
     REPLACED) and lineitem (one comment segment per line number);
     DuckDB replays with string_agg ORDER BY + left join."""
     from pholcus_spark.sinks import accumulate_items
+    from pholcus_spark.session import spread_scan
 
-    orders = _load(spark, sf_dir, "orders")
-    li = _load(spark, sf_dir, "lineitem")
+    # spread (guide §6): the items-shaped map construction over 750k
+    # rows is map-side work ahead of the first exchange — serial on
+    # these one-row-group scans otherwise
+    orders = spread_scan(_load(spark, sf_dir, "orders"))
+    li = spread_scan(_load(spark, sf_dir, "lineitem"))
     prov = [
         F.lit("").alias("parent_url"),
         F.lit(1).alias("superstep"),
@@ -1359,9 +1367,9 @@ def text_exact_substr(spark, sf_dir):
         .when(d % 7 == 2, F.concat_ws(" ", F.col("text"), head10))
         .otherwise(F.col("text"))
         .alias("text"),
-    ).repartition(32)  # one small parquet file = one scan split; at
-    # real scale the scan's natural splits parallelize the gram stage
-    # and this shuffle of the raw corpus would be wrong
+    )
+    # scan-width floor now lives inside exact_substring_stats
+    # (session.spread_scan — core-count adaptive, no-op on wide inputs)
     return exact_substring_stats(derived, k=8).select(
         "doc_id", "n_tokens", "dup_windows", "dup_tokens"
     )

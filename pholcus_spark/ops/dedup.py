@@ -110,8 +110,14 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
-    slice() is 1-based in both Spark and DuckDB list semantics."""
-    toks = docs.select(
+    slice() is 1-based in both Spark and DuckDB list semantics.
+    The doc scan is spread to the core count when narrower (guide §6):
+    tokenize + n-gram expansion is the dominant map-side cost of every
+    shingle consumer and otherwise serializes on a one-row-group file's
+    single scan task; wide inputs pass through untouched."""
+    from ..session import spread_scan
+
+    toks = spread_scan(docs).select(
         "doc_id", F.split(norm_text(F.col("text")), " ").alias("w")
     )
     return (
@@ -304,7 +310,11 @@ def minhash_lsh_candidates(
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash: sign-aggregate token-hash bits.
     bit b of simhash = 1 iff sum over tokens of ±1 (by bit b of the
-    token hash) is positive."""
+    token hash) is positive. Narrow scans spread to the core count
+    (guide §6 — same rationale as `word_shingles`)."""
+    from ..session import spread_scan
+
+    docs = spread_scan(docs)
     toks = docs.select(
         "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("tok")
     ).withColumn("h", portable_hash64(F.col("tok")))

@@ -163,6 +163,8 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (codegen, no Python in the plan); per-category counts plus the
     redacted text. Beyond-reference training-data operator
     (BASELINE.json first-class additions)."""
+    from ..session import spread_scan
+
     stage = F.col(text_col)
     counts = []
     for name, pattern, repl in _PII_RULES:
@@ -172,7 +174,11 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .alias(f"n_{name}")
         )
         stage = F.regexp_replace(stage, pattern, repl)
-    return docs.select("doc_id", *counts, stage.alias("text_clean"))
+    # spread (guide §6): the chained regex scan per document otherwise
+    # runs on one task for a single-row-group input; no-op when wide
+    return spread_scan(docs).select(
+        "doc_id", *counts, stage.alias("text_clean")
+    )
 
 
 def decontaminate(
@@ -211,11 +217,15 @@ def repetition_stats(
     partial-aggregated map-side. All counts are INTEGERS (the
     ``*_frac`` ratios are convenience doubles; exactness-critical
     consumers — and the DuckDB gate — use the counts)."""
+    from ..session import spread_scan
+
     # materialize both splits ONCE per doc in their own projection —
     # referencing the split expression inside the gram lambda would
     # re-tokenize the document per gram index (O(len²) per doc;
-    # measured ~2× on the sf0.1 gate)
-    pre = docs.select(
+    # measured ~2× on the sf0.1 gate). Narrow scans spread to the core
+    # count first (guide §6): the tokenize + gram explode is the
+    # dominant map-side cost and serializes on one task otherwise.
+    pre = spread_scan(docs).select(
         "doc_id",
         F.split(F.col(text_col), "\n").alias("_lines"),
         F.split(F.trim(text_col), r"\s+").alias("_w"),
@@ -287,6 +297,12 @@ def exact_substring_stats(
     # at sf0.1). Generate + projection fuse into one map stage; _w is
     # pruned right after the gram is built, so nothing array-typed
     # shuffles.
+    from ..session import spread_scan
+
+    # spread a narrow doc scan to the core count (guide §6) BEFORE the
+    # gram stage — it runs twice (once per join side), so a one-task
+    # scan pays the whole tokenize+md5 cost serially, twice
+    docs = spread_scan(docs)
     w = F.col("_w")
     positions = (
         docs.select("doc_id", F.split(F.trim(text_col), r"\s+").alias("_w"))
@@ -382,7 +398,11 @@ def clean_html_docs(docs: DataFrame) -> DataFrame:
         F.lit('<Style>.x{}</Style><P>tail</P></DIV>'),
     )
     cleaned = clean_html(raw, depth=5)
-    return docs.select(
+    from ..session import spread_scan
+
+    # spread (guide §6): the regexp_replace chain per document runs on
+    # one task for a narrow single-row-group scan; no-op when wide
+    return spread_scan(docs).select(
         "doc_id",
         F.md5(cleaned).alias("clean_md5"),
         F.length(cleaned).cast("long").alias("clean_len"),
@@ -417,7 +437,11 @@ def main_content(
         ),
         "string",
     )
-    return docs.select(id_col, _mc(html_col).alias("content"))
+    from ..session import spread_scan
+
+    # spread (guide §6): one Arrow python stage inherits the scan's
+    # width — a one-row-group input would run a single python worker
+    return spread_scan(docs).select(id_col, _mc(html_col).alias("content"))
 
 
 def bm25_topk(
@@ -458,7 +482,12 @@ def bm25_topk(
         # pyspark pick the (element, index) higher-order form
         return lambda x: x == F.lit(term)
 
-    per_doc = docs.select(
+    from ..session import spread_scan
+
+    # spread (guide §6): the per-term filter() HOFs are interpreted and
+    # the per_doc projection is evaluated on BOTH the stats and scored
+    # branches — a one-task scan pays that serially, twice
+    per_doc = spread_scan(docs).select(
         F.col(id_col),
         dl.alias("_dl"),
         *[
