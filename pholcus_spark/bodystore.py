@@ -109,7 +109,7 @@ class ParquetBodyStore:
 
     def _bucketed(self, meta: DataFrame, n_tasks: int) -> DataFrame:
         """Bucket-tag and partition metadata so each task owns whole
-        buckets. Partition COUNT is the bucket count, NOT n_tasks:
+        buckets. Partition COUNT defaults to the bucket count:
         hashing B buckets into T≈B/4 partitions is a balls-in-bins draw
         whose fullest bin becomes a straggler task that caps scaling.
         With B partitions the hash still collides (max load ~
@@ -118,11 +118,21 @@ class ParquetBodyStore:
         one max-load task (~3-4 buckets), not a constant fraction of
         the wave — measured adequate (BENCH/BASELINE.md §1); rows
         within a partition are sorted by bucket so the reader streams
-        one bucket at a time regardless."""
-        del n_tasks  # partitioning is by bucket; cores only schedule
+        one bucket at a time regardless.
+
+        ``n_tasks`` (when given and SMALLER than the bucket count) caps
+        the width: an empty-ish python task still costs a ~140 ms Arrow
+        round trip (BASELINE §6), so a caller that KNOWS the batch is
+        small — the engine sizes it from the queue depth — shrinks the
+        stage instead of paying bucket-count handshakes for a handful
+        of rows. The straggler analysis above is about BULK batches,
+        where callers keep the full bucket width."""
+        parts = self.n_buckets
+        if n_tasks and int(n_tasks) < parts:
+            parts = max(1, int(n_tasks))
         return (
             meta.withColumn("_bb", bucket_col(F.col("url"), self.n_buckets))
-            .repartition(self.n_buckets, "_bb")
+            .repartition(parts, "_bb")
             .sortWithinPartitions("_bb")
         )
 

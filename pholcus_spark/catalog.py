@@ -124,11 +124,17 @@ class SnapshotCatalog:
         tables: dict[str, dict] = {
             k: dict(v) for k, v in (prev["tables"] if prev else {}).items()
         }
+        # each table's data dir is independent until the single manifest
+        # publish below — write them as concurrent Spark jobs so one
+        # write's task tail back-fills cores freed by another (guide
+        # §2.6); a failure aborts before the manifest, exactly like the
+        # serial form (unpublished dirs are invisible orphans)
+        write_jobs: list[tuple] = []
         for name, df in appends.items():
             if df is None:
                 continue
             rel = f"{name}/delta-{sid:06d}"
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            write_jobs.append((df, rel))
             entry = tables.setdefault(name, {"dirs": []})
             entry["dirs"] = entry["dirs"] + [rel]
         for name, rels in (adopt or {}).items():
@@ -139,8 +145,23 @@ class SnapshotCatalog:
             entry["dirs"] = entry["dirs"] + rels
         for name, df in rewrites.items():
             rel = f"{name}/v{sid:06d}"
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            write_jobs.append((df, rel))
             tables[name] = {"dirs": [rel]}
+
+        def _write(job):
+            df, rel = job
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+
+        if len(write_jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(3, len(write_jobs))
+            ) as pool:
+                list(pool.map(_write, write_jobs))
+        else:
+            for job in write_jobs:
+                _write(job)
         manifest = {"snapshot_id": sid, "tables": tables, "state": state}
         self._write_manifest(manifest)
         return manifest

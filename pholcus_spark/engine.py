@@ -311,6 +311,14 @@ class EngineConfig:
     # run() in the same session (the engine assumes it owns the session
     # during a crawl, same as its localCheckpoint/persist discipline).
     adaptive_shuffle_rows: int = 64
+    # python body-stage sizing: target rows per body-store python task.
+    # The engine caps each superstep's python stages (parse / attach /
+    # image sink) at ceil(queue_depth / this) tasks, bounded by the
+    # store's bucket count — an empty-ish Arrow task still costs a
+    # ~140 ms round trip (BASELINE §6), so a 5-row tail wave should run
+    # 1 python task, not bucket-count of them. Bulk waves are unchanged
+    # (the cap saturates at the bucket count). 0 disables the cap.
+    python_rows_per_task: int = 64
 
 
 class CrawlEngine:
@@ -379,6 +387,15 @@ class CrawlEngine:
         # hosts) per wave). Session-scoped, like the reference: not
         # persisted to the catalog across engine restarts.
         self._cookie_store: dict[str, dict[str, str]] = {}
+        # fanout signal for adaptive shuffle sizing: last superstep's
+        # children count (round-5 ADVICE — high-fanout small-queue
+        # supersteps must not shrink the children shuffles)
+        self._last_children_count = 0
+        # lazily probed: does the robots dim carry any non-empty
+        # disallow list? (guide §2.4: an all-empty dim makes the
+        # per-superstep robots join an identity — skip it outright;
+        # Allow lists alone cannot block, they only carve out)
+        self._robots_active: bool | None = None
 
     def _proxy_dim_for(self, superstep: int) -> DataFrame | None:
         """Resolve the proxy dim for this wave. Static dim: returned
@@ -473,7 +490,24 @@ class CrawlEngine:
         """Drop rows whose URL path matches a robots disallow prefix for
         its host (broadcast-dim equi-join; `df` must carry a `host`
         column). Delegates to :func:`robots.disallow_filter` — the
-        oracle-gated standalone form (`q_robots_filter`)."""
+        oracle-gated standalone form (`q_robots_filter`). A dim with no
+        non-empty disallow list anywhere is a proven identity (RFC 9309
+        permissive default; Allow-only rules cannot block) — probed
+        ONCE per engine, then the per-superstep join is skipped."""
+        if self._robots_active is None:
+            self._robots_active = bool(
+                self.robots.where(
+                    F.size(
+                        F.coalesce(
+                            F.col("disallow_prefixes"),
+                            F.array().cast("array<string>"),
+                        )
+                    )
+                    > 0
+                ).head(1)
+            )
+        if not self._robots_active:
+            return df
         from . import robots as robots_mod
 
         return robots_mod.disallow_filter(df, self.robots, url_col)
@@ -742,7 +776,15 @@ class CrawlEngine:
                 base = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             except Exception:
                 base = 0
-            q_rows = max(1, state["queued_count"])
+            # size by the LARGER of queue depth and last superstep's
+            # children volume: the dominant shuffles (children dedup
+            # windows, push rank) scale with wave × out-link fanout,
+            # not queue depth — a 100-row wave of pages emitting
+            # hundreds of links each must not collapse those stages to
+            # 2 partitions (round-5 ADVICE)
+            q_rows = max(
+                1, state["queued_count"], self._last_children_count
+            )
             target = -(-q_rows // cfg.adaptive_shuffle_rows)  # ceil
             if base and target < base:
                 base_sp = base
@@ -750,15 +792,35 @@ class CrawlEngine:
                     "spark.sql.shuffle.partitions", str(target)
                 )
         try:
-            wave, rest = self._wave_plan(queued)
-
             # truncate the wave's lineage: every downstream branch (fetch,
             # fetch_meta, politeness bookkeeping, order table) would
             # otherwise re-analyze the frontier + wave-select window tree on
             # each of its many Dataset creations (driver-side cost, grows
             # with plan size); the wave is materialized exactly once either
-            # way, and it is small by construction (Σ host budgets)
-            wave = wave.localCheckpoint(eager=True)
+            # way, and it is small by construction (Σ host budgets).
+            #
+            # Default config (no quota, no order table): checkpoint the
+            # TAGGED queue (one boolean `_wv` column over ONE window
+            # pass) instead of the wave alone — `rest` used to stay a
+            # live plan, so the frontier checkpoint and the dedup's
+            # in-run-keys branch re-ran the whole wave-select window
+            # once more per superstep (guide §2.4: consumers of one
+            # partitioning should share one execution). Both frames
+            # become cheap filters over one materialization; the quota /
+            # record_order shapes keep the original two-frame path
+            # (their extra windows run over the wave subset only).
+            if (
+                self.config.per_spider_quota is None
+                and not self.config.record_order
+            ):
+                tagged = self._wave_tagged(queued).localCheckpoint(
+                    eager=True
+                )
+                wave = tagged.where(F.col("_wv")).drop("_wv")
+                rest = tagged.where(~F.col("_wv")).drop("_wv")
+            else:
+                wave, rest = self._wave_plan(queued)
+                wave = wave.localCheckpoint(eager=True)
             if os.environ.get("PHOLCUS_TIMING"):
                 print(f"  [t] wave-ckpt {time.time()-t0:.2f}")
 
@@ -771,14 +833,10 @@ class CrawlEngine:
                     "spark.sql.shuffle.partitions", str(base_sp)
                 )
 
-    def _wave_plan(self, queued: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Wave selection (politeness budgets + fair share) as a pure
-        plan: returns (wave, rest) BEFORE lineage truncation so tests
-        can assert the plan shape — with the default config this plan
-        contains no unpartitioned window (every `row_number` is
-        partitioned by host or spider); the single-partition golden-order
-        `wave_pos` window exists only behind the test-only
-        ``record_order`` opt-in."""
+    def _budget_ranked(self, queued: DataFrame) -> DataFrame:
+        """The shared wave-selection core: queued rows joined with the
+        broadcast robots delay dim, carrying ``_budget`` (per-host wave
+        budget) and ``_host_rank`` (politeness rank within host)."""
         cfg = self.config
         # crawl_delay_ms = 0 falls back to the default exactly like the
         # oracle's `delay or default` (a zero divisor would otherwise
@@ -796,13 +854,34 @@ class CrawlEngine:
         by_host = Window.partitionBy("host").orderBy(
             F.desc("priority"), F.asc("seq")
         )
-        ranked = queued.join(
+        return queued.join(
             F.broadcast(self.robots.select("host", "crawl_delay_ms")),
             "host",
             "left",
         ).withColumns(
             {"_budget": budget, "_host_rank": F.row_number().over(by_host)}
         )
+
+    def _wave_tagged(self, queued: DataFrame) -> DataFrame:
+        """Default-config wave selection as ONE frame: the full queue
+        with a boolean ``_wv`` (in-wave) column — a single window pass
+        whose checkpoint serves wave AND rest (`_wave_plan`'s two-frame
+        form re-executes the window per consumer). Only valid without
+        per_spider_quota / record_order (those rank the wave subset)."""
+        return self._budget_ranked(queued).withColumn(
+            "_wv", F.col("_host_rank") <= F.col("_budget")
+        ).drop("crawl_delay_ms", "_budget", "_host_rank")
+
+    def _wave_plan(self, queued: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Wave selection (politeness budgets + fair share) as a pure
+        plan: returns (wave, rest) BEFORE lineage truncation so tests
+        can assert the plan shape — with the default config this plan
+        contains no unpartitioned window (every `row_number` is
+        partitioned by host or spider); the single-partition golden-order
+        `wave_pos` window exists only behind the test-only
+        ``record_order`` opt-in."""
+        cfg = self.config
+        ranked = self._budget_ranked(queued)
         wave = ranked.where(F.col("_host_rank") <= F.col("_budget")).drop(
             "crawl_delay_ms", "_budget", "_host_rank"
         )
@@ -949,6 +1028,17 @@ class CrawlEngine:
         # (extract, image write) each stream bodies exactly once. With a
         # cheap-meta fetcher the metadata pass never touches bodies at all.
         has_store = getattr(self.fetcher, "store", None) is not None
+        # python body-stage width for this superstep: queue depth is a
+        # (pre-wave) upper bound on every body batch below — size the
+        # mapInPandas stages by DATA, not by inherited bucket width
+        # (config.python_rows_per_task; BASELINE §6's lesson)
+        py_tasks = None
+        if has_store and self.config.python_rows_per_task:
+            py_tasks = max(
+                1,
+                -(-max(1, state["queued_count"])
+                  // self.config.python_rows_per_task),
+            )
         # author-set request headers ride every fetch (dropped with the
         # other transport columns below)
         wave = self._attach_headers(wave)
@@ -1046,6 +1136,7 @@ class CrawlEngine:
             parsed = self.fetcher.parse_pages(
                 fetched.where(_html_filter), self.spec.extract_rules,
                 getattr(self.spec, "carry_concat", ()) or (),
+                n_tasks=py_tasks,
             ).persist()
         else:
             html_ok = fetched_full.where(_html_filter)
@@ -1161,7 +1252,9 @@ class CrawlEngine:
         if use_pysink:
             image_ok = fetched.where(_img_filter)  # metadata only
         elif has_store:
-            image_ok = self.fetcher.attach_bodies(fetched.where(_img_filter))
+            image_ok = self.fetcher.attach_bodies(
+                fetched.where(_img_filter), n_tasks=py_tasks
+            )
         else:
             image_ok = fetched_full.where(_img_filter)
         images = None if use_pysink else (
@@ -1200,7 +1293,7 @@ class CrawlEngine:
             _file_filter = F.col("ok") & F.col("rule").isin(list(_file_rules))
             if has_store:
                 file_ok = self.fetcher.attach_bodies(
-                    fetched.where(_file_filter)
+                    fetched.where(_file_filter), n_tasks=py_tasks
                 )
             else:
                 file_ok = fetched_full.where(_file_filter)
@@ -1234,6 +1327,11 @@ class CrawlEngine:
         # route -> robots -> key) is re-analyzed by every dedup/rank/
         # failure Dataset below; truncating it once keeps those trees
         # flat. Wave-proportional rows, materialized once either way.
+        if os.environ.get("PHOLCUS_TIMING_DETAIL"):
+            # measurement aid only: force the parse cache so the
+            # children checkpoint below attributes parse vs emit time
+            parsed.count()
+            print(f"  [t] parse-forced {time.time()-t0:.2f}")
         children = self._emit_children(parsed, superstep).localCheckpoint(
             eager=True
         )
@@ -1245,7 +1343,11 @@ class CrawlEngine:
         #   10^10-scale side — goes through the Bloom sidecar so the exact
         #   anti-join only sees probable hits + the uncovered recent tail.
         new_seen = ok.where(~F.col("reloadable")).select("key")
-        in_run_keys = new_seen.union(rest.select("key")).distinct()
+        # no distinct: the right side of a left_anti join needs no
+        # dedup (identical result, one aggregate+exchange less per
+        # superstep — guide §2.4 "a distinct on data that is already
+        # unique"-class removal; here duplicates are simply harmless)
+        in_run_keys = new_seen.union(rest.select("key"))
         non_reload = children.where(~F.col("reloadable")).join(
             in_run_keys, "key", "left_anti"
         )
@@ -1385,6 +1487,7 @@ class CrawlEngine:
         n_images = counts.get("images", 0)
         n_files = counts.get("files", 0)
         n_children = counts.get("children", 0)
+        self._last_children_count = n_children
 
         # -- lineage: per-host (the crawl's natural partition) --------------
         lineage = (
@@ -1449,7 +1552,7 @@ class CrawlEngine:
                     ),
                 ),
                 "image_id string, valid boolean",
-                n_tasks=self.config.append_partitions,
+                n_tasks=py_tasks,
                 sink_dir=stage_dir,
                 sink_tag=f"s{superstep:06d}",
                 sink_arrow_schema=images_arrow_schema(),
@@ -1533,21 +1636,51 @@ class CrawlEngine:
             else {}
         )
         adopt: dict[str, list[str]] = {}
-        for name, staged in self._pending_adopt.items():
-            for manifest, stage_dir, rel in staged:
-                # forcing the manifest runs the python sink tasks; the
-                # files land in the invisible .staging dir, which one
-                # rename publishes under the table dir before the commit
-                # adopts it (a crash before here leaves only .staging
-                # orphans — never visible to readers or streams)
-                manifest.write.mode("overwrite").format("noop").save()
-                dst = os.path.join(self.catalog.root, rel)
-                shutil.rmtree(dst, ignore_errors=True)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(stage_dir, dst)
-                adopt.setdefault(name, []).append(rel)
+        staged_all = [
+            (name, manifest, stage_dir, rel)
+            for name, staged in self._pending_adopt.items()
+            for manifest, stage_dir, rel in staged
+        ]
+
+        def _force_adopt(item):
+            # forcing the manifest runs the python sink tasks; the
+            # files land in the invisible .staging dir, which one
+            # rename publishes under the table dir before the commit
+            # adopts it (a crash before here leaves only .staging
+            # orphans — never visible to readers or streams)
+            _name, manifest, stage_dir, rel = item
+            manifest.write.mode("overwrite").format("noop").save()
+            dst = os.path.join(self.catalog.root, rel)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(stage_dir, dst)
+
+        _dbg = os.environ.get("PHOLCUS_TIMING")
+        _tm = time.time()
+        if len(staged_all) > 1:
+            # commit_every>1 buffers one independent staged sink per
+            # superstep; run them as concurrent Spark jobs so the tail
+            # tasks of one back-fill cores freed by another (guide
+            # §2.6) — a few in flight is enough, and it bounds python
+            # worker pressure
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(3, len(staged_all))
+            ) as pool:
+                list(pool.map(_force_adopt, staged_all))
+        else:
+            for item in staged_all:
+                _force_adopt(item)
+        for name, _m, _s, rel in staged_all:
+            adopt.setdefault(name, []).append(rel)
         self._pending_adopt = {}
+        if _dbg and staged_all:
+            print(f"  [t] flush-sinks {time.time()-_tm:.2f}")
+        _tc = time.time()
         self.catalog.commit(appends, rewrites, state, adopt=adopt)
+        if _dbg:
+            print(f"  [t] flush-commit {time.time()-_tc:.2f}")
         for df in self._pending_unpersist:
             df.unpersist()
         self._pending = {}

@@ -209,12 +209,15 @@ class StoreFetcher(FixtureFetcher):
         meta = spark.read.parquet(store.path).drop("body", "body_bucket")
         super().__init__(meta, try_times=try_times)
 
-    def attach_bodies(self, meta: DataFrame) -> DataFrame:
+    def attach_bodies(
+        self, meta: DataFrame, n_tasks: int | None = None
+    ) -> DataFrame:
         """Attach body bytes to an (already filtered!) metadata frame —
         a python-side bucket read + yield, costing one Python->JVM body
         crossing for exactly these rows. Callers MUST filter first:
         filters cannot be pushed through mapInPandas, so attaching
-        before filtering would ship every body."""
+        before filtering would ship every body. ``n_tasks`` caps the
+        python stage width for small batches (bodystore._bucketed)."""
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in meta.schema.fields
         ) + ", body binary"
@@ -223,7 +226,8 @@ class StoreFetcher(FixtureFetcher):
             return pdf
 
         return self.store.map_bodies(
-            meta, attach, schema, n_tasks=self.store.n_buckets
+            meta, attach, schema,
+            n_tasks=n_tasks or self.store.n_buckets,
         )
 
     def fetch(self, wave: DataFrame) -> DataFrame:
@@ -232,13 +236,15 @@ class StoreFetcher(FixtureFetcher):
         return self.attach_bodies(self.fetch_meta(wave))
 
     def parse_pages(
-        self, meta: DataFrame, extract_rules=(), carry_concat=()
+        self, meta: DataFrame, extract_rules=(), carry_concat=(),
+        n_tasks: int | None = None,
     ) -> DataFrame:
         """Fused read+parse: the body-read task itself runs the
         link/figure/ExtractRule extraction and returns only the parsed
         columns — html bodies never enter the JVM plan (the html analog
         of the python image sink). ``meta`` must be pre-filtered to the
-        html rows."""
+        html rows. ``n_tasks`` caps the python stage width for small
+        batches (bodystore._bucketed)."""
         from .extract import PARSE_EXTRA_DDL, parse_pages_kernel
 
         schema = ", ".join(
@@ -248,7 +254,7 @@ class StoreFetcher(FixtureFetcher):
             meta,
             parse_pages_kernel(extract_rules, carry_concat),
             schema,
-            n_tasks=self.store.n_buckets,
+            n_tasks=n_tasks or self.store.n_buckets,
         )
 
 
