@@ -150,9 +150,12 @@ def _gram_buckets(
     text, hashed into ``n_buckets`` (the paper's hashed feature space).
     All JVM: split + one guarded transform for bigrams + explode."""
     from .text import norm_text
+    from ..session import spread_scan
 
     toks = F.split(norm_text(F.col(text_col)), " ")
-    with_tk = df.select(F.col(id_col), toks.alias("_tk"))
+    # spread (guide §6): tokenize + gram explode ahead of the first
+    # exchange serializes on a one-row-group scan's single task
+    with_tk = spread_scan(df).select(F.col(id_col), toks.alias("_tk"))
     bigrams = F.when(
         F.size("_tk") >= 2,
         F.expr(
@@ -205,7 +208,14 @@ def dsir_weights(
     raw_g = _gram_buckets(raw, n_buckets, text_col, id_col)
     tgt_g = _gram_buckets(target, n_buckets, text_col, id_col)
 
-    rc = raw_g.groupBy("bucket").agg(F.count("*").alias("rc"))
+    # rc is derived FROM the per-doc counts (identical integers: the
+    # bucket total is the sum of its per-doc counts) so the raw-corpus
+    # gram explode feeds ONE exchange — keyed (id, bucket) — that both
+    # the ratio dim and the contrib join reuse; the old direct
+    # groupBy("bucket") was a second, differently-keyed exchange that
+    # re-ran the whole explode (guide §2.4: share one exchange)
+    f = raw_g.groupBy(id_col, "bucket").agg(F.count("*").alias("f"))
+    rc = f.groupBy("bucket").agg(F.sum("f").alias("rc"))
     tc = tgt_g.groupBy("bucket").agg(F.count("*").alias("tc"))
     totals = rc.agg(F.sum("rc").alias("R")).crossJoin(
         tc.agg(F.sum("tc").alias("T"))
@@ -225,7 +235,6 @@ def dsir_weights(
             ).alias("r"),
         )
     )
-    f = raw_g.groupBy(id_col, "bucket").agg(F.count("*").alias("f"))
     contrib = f.join(F.broadcast(ratios), "bucket").select(
         id_col,
         "bucket",
