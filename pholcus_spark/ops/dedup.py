@@ -521,7 +521,9 @@ def connected_components(
         )
         # the fixpoint test rides the same pass: a vertex changed iff a
         # neighbor offered a strictly smaller label — no extra
-        # old-vs-new join, the count is a scan of the checkpointed rows
+        # old-vs-new join. The checkpoint is LAZY so the count action
+        # both materializes it and reads the change flag in ONE Spark
+        # job per iteration (eager ckpt + count was two).
         new_labels = (
             labels.join(nbr, labels["v"] == nbr["a"], "left")
             .select(
@@ -531,7 +533,7 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nlabel") < F.col("label")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
