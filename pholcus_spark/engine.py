@@ -1456,27 +1456,50 @@ class CrawlEngine:
         if _dbg:
             print(f"  [t] frontier-ckpt {time.time()-_tf:.2f}")
         _tc = time.time()
+        # wave/ok/images/files are all conditional counts over ONE scan
+        # of the checkpointed fetch metadata — a single aggregate
+        # replaces four separate tagged scans of the same rows (the
+        # remaining branches read different caches and stay tagged)
+        _ok1 = F.col("ok").cast("long")
+        fetched_aggs = [
+            F.count("*").alias("wave"),
+            F.sum(_ok1).alias("ok"),
+            F.sum(
+                (F.col("ok") & (F.col("rule") == self.spec.image_rule))
+                .cast("long")
+            ).alias("images"),
+        ]
+        if _file_rules:
+            fetched_aggs.append(
+                F.sum(
+                    (F.col("ok") & F.col("rule").isin(list(_file_rules)))
+                    .cast("long")
+                ).alias("files")
+            )
+        fetched_counts = fetched.agg(*fetched_aggs).select(
+            F.explode(
+                F.create_map(
+                    *[
+                        c
+                        for name in (
+                            ["wave", "ok", "images"]
+                            + (["files"] if _file_rules else [])
+                        )
+                        for c in (F.lit(name), F.coalesce(F.col(name), F.lit(0)))
+                    ]
+                )
+            ).alias("t", "n")
+        )
         tag = lambda df, t: df.select(F.lit(t).alias("t"))  # noqa: E731
         counts_src = (
-            tag(fetched, "wave")
-            .union(tag(ok, "ok"))
-            .union(tag(items, "items"))
-            .union(
-                tag(ok.where(F.col("rule") == self.spec.image_rule), "images")
-            )
+            tag(items, "items")
             .union(tag(perm_failed, "perm"))
             .union(tag(kept, "children"))
-        )
-        if _file_rules:
-            counts_src = counts_src.union(
-                tag(ok.where(F.col("rule").isin(list(_file_rules))), "files")
-            )
-        counts = dict(
-            (r.t, r.n)
-            for r in counts_src.groupBy("t")
+            .groupBy("t")
             .agg(F.count("*").alias("n"))
-            .collect()
+            .unionByName(fetched_counts)
         )
+        counts = dict((r.t, r.n) for r in counts_src.collect())
         if _dbg:
             print(f"  [t] count-job {time.time()-_tc:.2f}")
         wave_size = counts.get("wave", 0)
