@@ -345,7 +345,18 @@ class HttpFetcher:  # aiohttp session gated; wrapper executed via factory
 
                 conn = aiohttp.TCPConnector(limit=max_conn)
                 tmo = aiohttp.ClientTimeout(total=timeout_s)
-                return aiohttp.ClientSession(connector=conn, timeout=tmo)
+                # auto_decompress=False: decode_content is the ONE
+                # decode point for both transports. aiohttp's default
+                # strips Content-Encoding transparently but leaves the
+                # header visible, so a payload that is ITSELF a .gz
+                # file (sitemap.xml.gz served with Content-Encoding:
+                # gzip) would match decode_content's magic sniff and be
+                # decompressed a second time (round-5 ADVICE); with the
+                # transport's decompression off the two paths cannot
+                # diverge.
+                return aiohttp.ClientSession(
+                    connector=conn, timeout=tmo, auto_decompress=False
+                )
 
             async def fetch_all(urls, methods, bodies, proxies, uas, hdrs):
                 import json as json_mod

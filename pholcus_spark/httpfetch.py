@@ -136,12 +136,20 @@ def decode_content(body: bytes, headers) -> bytes:
     (`surfer/surf.go:52-155`: gzip.NewReader / flate.NewReader /
     zlib.NewReader by header).
 
-    Defensive on two fronts: (a) aiohttp auto-decompresses but leaves
-    the Content-Encoding header visible, so a gzip body that lacks the
-    \\x1f\\x8b magic is returned as-is rather than double-decoded, and
-    a deflate/zlib decode failure falls back to the raw bytes;
-    (b) decode errors on truly mangled streams must not raise — the
-    body goes to the parser as-is, same as an unencoded response."""
+    This is the ONE decode point for both transports: the aiohttp
+    session is constructed with ``auto_decompress=False`` (a transport
+    that silently strips the encoding but leaves the header visible
+    would make a genuine ``.gz`` payload served with Content-Encoding:
+    gzip match the magic sniff below and be decompressed twice —
+    round-5 ADVICE). Injected ``session_factory`` sessions must follow
+    the same contract (no transport-level decompression).
+
+    Defensive on two fronts: (a) a gzip-labeled body that lacks the
+    \\x1f\\x8b magic (e.g. a legacy auto-decompressing session stub) is
+    returned as-is rather than mis-decoded, and a deflate/zlib decode
+    failure falls back to the raw bytes; (b) decode errors on truly
+    mangled streams must not raise — the body goes to the parser
+    as-is, same as an unencoded response."""
     import zlib as _zlib
 
     if not body or headers is None:

@@ -100,20 +100,30 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Walk concatenated gzip members (zlib with gzip wrapping exposes
     unused_data at each member boundary).
 
-    The remaining archive is fed to each decompressor as a memoryview
-    slice: ``data[pos:]`` on bytes would COPY O(remaining) per member,
-    turning a 1 GB archive with tens of thousands of members (the
-    Common Crawl shape) into O(members x archive_size) memcpy. The
-    memoryview slice is zero-copy, keeping the walk linear."""
+    Each decompressor is fed bounded memoryview chunks: handing it the
+    whole remaining archive would make zlib materialize ``unused_data``
+    — a bytes COPY of everything past the member boundary — at every
+    member, turning a 1 GB archive with tens of thousands of members
+    (the Common Crawl shape) into O(members × archive_size) memcpy
+    (round-5 ADVICE). With chunked feeding the per-member overshoot is
+    bounded by one chunk, so the walk is genuinely linear."""
     mv = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    chunk = 1 << 20
+    while pos < n:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        yield d.decompress(mv[pos:])
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # corrupt tail: stop rather than spin
+        start = pos
+        parts = []
+        while pos < n and not d.eof:
+            parts.append(d.decompress(mv[pos:pos + chunk]))
+            pos += min(chunk, n - pos)
+        if d.eof:
+            # rewind the (≤ one chunk) overshoot past the member end
+            pos -= len(d.unused_data)
+        yield b"".join(parts)
+        if pos <= start:  # corrupt tail: stop rather than spin
             return
-        pos += consumed
 
 
 def parse_warc(data: bytes, gzipped: bool | None = None) -> Iterator[dict]:

@@ -171,3 +171,26 @@ def test_write_then_read_roundtrip(spark, tmp_path):
         (f"http://h.test/d/{i}", f"body {i}".encode()) for i in range(10)
     }
     assert {r.content_type for r in back.collect()} == {"text/plain"}
+
+
+def test_gzip_member_walk_chunked_boundaries():
+    """The chunked member walk (round-6: bounded-chunk feeding replaces
+    whole-tail unused_data copies) must reproduce members exactly when
+    a member spans multiple feed chunks and when many small members
+    share one chunk."""
+    big = b"A" * (3 * (1 << 20) + 12345)  # spans >3 of the 1 MiB chunks
+    smalls = [f"rec-{i}".encode() * 10 for i in range(50)]
+    members = [big] + smalls + [big[: 1 << 20]]
+    blob = b"".join(gzip.compress(m, mtime=0) for m in members)
+    walked = list(warc._gzip_members(blob))
+    assert walked == members
+
+
+def test_gzip_member_walk_truncated_tail():
+    """A truncated final member yields its partial output and stops —
+    the pre-chunking behavior, preserved."""
+    good = gzip.compress(b"complete record", mtime=0)
+    cut = gzip.compress(b"B" * 100000, mtime=0)[:200]  # header + partial
+    walked = list(warc._gzip_members(good + cut))
+    assert walked[0] == b"complete record"
+    assert len(walked) == 2  # the partial member still surfaces
