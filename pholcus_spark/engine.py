@@ -1836,10 +1836,17 @@ class CrawlEngine:
             prio_col = F.when(cond, F.lit(lr.priority)).otherwise(prio_col)
             method_col = F.when(cond, F.lit(lr.method)).otherwise(method_col)
             post_col = F.when(cond, F.lit(lr.post_data)).otherwise(post_col)
-        # carry-only entries (is_emit=false) survive routing: they are
-        # filtered after the attach window below, and a figure src that
-        # matches no LinkRule must still donate its caption to a
-        # same-curl child routed by other means (paginate/AddQueue)
+        # carry-only entries (is_emit=false — the follow_anchors=False
+        # figure shape) survive routing and are filtered after the
+        # attach window below. In follow mode, unrouted figure entries
+        # drop HERE — and that is correct, not a donation leak (round-5
+        # ADVICE, adjudicated round 6 against the conformance oracle):
+        # routing is a pure function of curl, so a same-curl anchors/
+        # link_fields child is unrouted exactly when the figure is, and
+        # the only routing-bypassing children (paginate rows) take
+        # their Temp from PaginateRule.carry_fields in the oracle,
+        # never from figures — keeping unrouted figures as donors here
+        # would make the engine diverge from it.
         links = links.withColumns(
             {
                 "rule": rule_col,
