@@ -150,12 +150,12 @@ def _gram_buckets(
     text, hashed into ``n_buckets`` (the paper's hashed feature space).
     All JVM: split + one guarded transform for bigrams + explode."""
     from .text import norm_text
-    from ..session import spread_scan
 
     toks = F.split(norm_text(F.col(text_col)), " ")
-    # spread (guide §6): tokenize + gram explode ahead of the first
-    # exchange serializes on a one-row-group scan's single task
-    with_tk = spread_scan(df).select(F.col(id_col), toks.alias("_tk"))
+    # no spread here: the gram explode fans out fast enough that the
+    # up-front corpus shuffle costs more than the serial scan it
+    # parallelizes (same-box A/B: median 2.3s plain vs 4.6s spread)
+    with_tk = df.select(F.col(id_col), toks.alias("_tk"))
     bigrams = F.when(
         F.size("_tk") >= 2,
         F.expr(
